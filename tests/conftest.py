@@ -1,19 +1,26 @@
 """Test configuration.
 
-Forces JAX onto a virtual 8-device CPU platform BEFORE jax is imported so
-that (a) tests are deterministic/fast without a TPU and (b) multi-device
-sharding tests can run on a host-only machine. Benchmarks (bench.py) run on
-the real chip and do not import this.
+Forces JAX onto a virtual 8-device CPU platform so (a) tests are
+deterministic (exact fp32 matmuls) and fast without a TPU and (b)
+multi-device sharding tests run on a host-only machine.
+
+Note: this image's sitecustomize.py (axon TPU plugin) imports jax at
+interpreter startup, so JAX_PLATFORMS set here would be ignored — the
+platform must be forced through jax.config instead; XLA_FLAGS is still read
+lazily at backend init, which hasn't happened yet when conftest runs.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,217 @@
+"""Shared NN layer tests: layer parity vs torch, KV-cache decode consistency,
+sampling op behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.nn import layers, lstm, transformer
+from tpu_audio.ops import sampling
+from tpu_audio.ops.decoding import decode_loop
+from tpu_audio.ops.sampling import SamplerConfig
+
+torch = pytest.importorskip("torch")
+
+
+def t2n(x):
+    return x.detach().numpy()
+
+
+class TestLayersVsTorch:
+    def test_conv1d(self, rng):
+        x = rng.standard_normal((2, 20, 8)).astype(np.float32)
+        w = rng.standard_normal((16, 8, 3)).astype(np.float32)  # torch (O, I, K)
+        b = rng.standard_normal(16).astype(np.float32)
+        ref = torch.nn.functional.conv1d(
+            torch.tensor(x).transpose(1, 2), torch.tensor(w), torch.tensor(b),
+            stride=2, padding=1).transpose(1, 2)
+        p = {"weight": jnp.asarray(w.transpose(2, 1, 0)), "bias": jnp.asarray(b)}
+        got = layers.conv1d(p, jnp.asarray(x), stride=2, padding=1)
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=2e-5)
+
+    def test_conv_transpose1d(self, rng):
+        x = rng.standard_normal((2, 10, 8)).astype(np.float32)
+        w = rng.standard_normal((8, 16, 4)).astype(np.float32)  # torch (I, O, K)
+        ref = torch.nn.functional.conv_transpose1d(
+            torch.tensor(x).transpose(1, 2), torch.tensor(w),
+            stride=2, padding=1).transpose(1, 2)
+        p = {"weight": jnp.asarray(w.transpose(2, 0, 1))}  # (K, I, O)
+        got = layers.conv_transpose1d(p, jnp.asarray(x), stride=2, padding=1)
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=2e-5)
+
+    def test_depthwise_conv1d(self, rng):
+        x = rng.standard_normal((1, 20, 8)).astype(np.float32)
+        w = rng.standard_normal((8, 1, 5)).astype(np.float32)
+        ref = torch.nn.functional.conv1d(
+            torch.tensor(x).transpose(1, 2), torch.tensor(w),
+            padding=2, groups=8).transpose(1, 2)
+        p = {"weight": jnp.asarray(w.transpose(2, 1, 0))}
+        got = layers.conv1d(p, jnp.asarray(x), padding=2, groups=8)
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=2e-5)
+
+    def test_layer_norm(self, rng):
+        x = rng.standard_normal((3, 7, 16)).astype(np.float32)
+        w = rng.standard_normal(16).astype(np.float32)
+        b = rng.standard_normal(16).astype(np.float32)
+        ref = torch.nn.functional.layer_norm(torch.tensor(x), (16,),
+                                             torch.tensor(w), torch.tensor(b))
+        got = layers.layer_norm({"weight": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=1e-5)
+
+    def test_group_norm(self, rng):
+        x = rng.standard_normal((2, 12, 16)).astype(np.float32)
+        w = np.ones(16, np.float32)
+        b = np.zeros(16, np.float32)
+        ref = torch.nn.functional.group_norm(
+            torch.tensor(x).transpose(1, 2), 4, torch.tensor(w), torch.tensor(b)
+        ).transpose(1, 2)
+        got = layers.group_norm({"weight": jnp.asarray(w), "bias": jnp.asarray(b)},
+                                jnp.asarray(x), num_groups=4)
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=1e-5)
+
+    def test_lstm_vs_torch(self, rng):
+        b, t, d, h = 2, 9, 6, 5
+        x = rng.standard_normal((b, t, d)).astype(np.float32)
+        m = torch.nn.LSTM(d, h, batch_first=True)
+        ref, _ = m(torch.tensor(x))
+        p = {
+            "wx": jnp.asarray(t2n(m.weight_ih_l0)),
+            "wh": jnp.asarray(t2n(m.weight_hh_l0)),
+            "bias_ih": jnp.asarray(t2n(m.bias_ih_l0)),
+            "bias_hh": jnp.asarray(t2n(m.bias_hh_l0)),
+        }
+        got = lstm.lstm(p, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=1e-5)
+
+    def test_bilstm_vs_torch(self, rng):
+        b, t, d, h = 1, 7, 4, 3
+        x = rng.standard_normal((b, t, d)).astype(np.float32)
+        m = torch.nn.LSTM(d, h, batch_first=True, bidirectional=True)
+        ref, _ = m(torch.tensor(x))
+        p = {
+            "fwd": {"wx": jnp.asarray(t2n(m.weight_ih_l0)),
+                    "wh": jnp.asarray(t2n(m.weight_hh_l0)),
+                    "bias_ih": jnp.asarray(t2n(m.bias_ih_l0)),
+                    "bias_hh": jnp.asarray(t2n(m.bias_hh_l0))},
+            "bwd": {"wx": jnp.asarray(t2n(m.weight_ih_l0_reverse)),
+                    "wh": jnp.asarray(t2n(m.weight_hh_l0_reverse)),
+                    "bias_ih": jnp.asarray(t2n(m.bias_ih_l0_reverse)),
+                    "bias_hh": jnp.asarray(t2n(m.bias_hh_l0_reverse))},
+        }
+        got = lstm.bilstm(p, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=1e-5)
+
+
+TINY = transformer.TransformerConfig(
+    dim=32, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=64, vocab_size=50,
+)
+
+
+class TestTransformer:
+    def test_prefill_equals_stepwise_decode(self):
+        """KV-cache correctness: logits from one prefill == step-by-step."""
+        key = jax.random.PRNGKey(0)
+        params = transformer.init_params(key, TINY)
+        tokens = jnp.array([[3, 7, 11, 2, 9]], dtype=jnp.int32)
+
+        cache = transformer.make_cache(TINY, 1, 16, dtype=jnp.float32)
+        full_logits, _ = transformer.forward(params, TINY, tokens, cache)
+
+        cache = transformer.make_cache(TINY, 1, 16, dtype=jnp.float32)
+        step_logits = []
+        for i in range(5):
+            lg, cache = transformer.forward(params, TINY, tokens[:, i : i + 1], cache)
+            step_logits.append(lg[:, 0])
+        step_logits = jnp.stack(step_logits, axis=1)
+        np.testing.assert_allclose(np.asarray(full_logits), np.asarray(step_logits),
+                                   atol=2e-5)
+
+    def test_gpt2_style_config(self):
+        cfg = transformer.TransformerConfig(
+            dim=32, n_layers=2, n_heads=4, hidden_dim=64, vocab_size=50,
+            mlp="gelu", norm="ln", pos_emb="learned", max_position_embeddings=64,
+            attn_qkv_bias=True, attn_o_bias=True, tie_word_embeddings=True)
+        params = transformer.init_params(jax.random.PRNGKey(1), cfg)
+        cache = transformer.make_cache(cfg, 2, 16, dtype=jnp.float32)
+        logits, cache2 = transformer.forward(
+            params, cfg, jnp.zeros((2, 3), jnp.int32), cache)
+        assert logits.shape == (2, 3, 50)
+        assert int(cache2.pos) == 3
+
+    def test_qwen3_qk_norm(self):
+        cfg = transformer.TransformerConfig(
+            dim=32, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=64,
+            vocab_size=50, qk_norm=True, attn_qkv_bias=False)
+        params = transformer.init_params(jax.random.PRNGKey(2), cfg)
+        cache = transformer.make_cache(cfg, 1, 8, dtype=jnp.float32)
+        logits, _ = transformer.forward(params, cfg, jnp.ones((1, 4), jnp.int32), cache)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_encode(self):
+        params = transformer.init_params(jax.random.PRNGKey(3), TINY)
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 32))
+        out = transformer.encode(params, TINY, x)
+        assert out.shape == (2, 6, 32)
+
+
+class TestSampling:
+    def test_top_k(self):
+        logits = jnp.array([[1.0, 5.0, 3.0, 2.0]])
+        out = sampling.apply_top_k(logits, 2)
+        assert out[0, 0] < -1e29 and out[0, 3] < -1e29
+        assert out[0, 1] == 5.0 and out[0, 2] == 3.0
+
+    def test_top_p_keeps_first(self):
+        logits = jnp.array([[10.0, 0.0, -10.0, -10.0]])
+        out = sampling.apply_top_p(logits, 0.5)
+        assert out[0, 0] == 10.0
+        assert out[0, 1] < -1e29
+
+    def test_min_p(self):
+        logits = jnp.log(jnp.array([[0.5, 0.3, 0.01, 0.19]]))
+        out = sampling.apply_min_p(logits, 0.1)  # cutoff = 0.05
+        assert out[0, 2] < -1e29
+        assert np.isfinite(np.asarray(out[0, :2])).all()
+
+    def test_repetition_penalty(self):
+        logits = jnp.array([[2.0, -2.0, 1.0]])
+        recent = jnp.array([[0, 1, -1]])
+        out = sampling.apply_repetition_penalty(logits, recent, 2.0)
+        np.testing.assert_allclose(np.asarray(out[0]), [1.0, -4.0, 1.0])
+
+    def test_greedy_sample(self):
+        logits = jnp.array([[0.0, 3.0, 1.0]])
+        tok = sampling.sample(jax.random.PRNGKey(0), logits,
+                              SamplerConfig(temperature=0.0))
+        assert int(tok[0]) == 1
+
+
+class TestDecodeLoop:
+    def test_decode_until_eos(self):
+        """A step_fn that deterministically counts up must stop at EOS."""
+        def step_fn(last, state):
+            v = 10
+            nxt = (last[:, 0] + 1) % v
+            logits = jax.nn.one_hot(nxt, v) * 100.0
+            return logits, state
+
+        res = decode_loop(
+            jax.random.PRNGKey(0), step_fn, state=(),
+            first_token=jnp.array([2], jnp.int32), max_new_tokens=20,
+            eos_ids=(7,), sampler=SamplerConfig(temperature=0.0))
+        toks = np.asarray(res.tokens[0])
+        assert list(toks[:5]) == [3, 4, 5, 6, 7]
+        assert int(res.lengths[0]) == 4
+
+    def test_min_tokens_blocks_eos(self):
+        def step_fn(last, state):
+            logits = jnp.full((1, 5), -10.0).at[0, 4].set(10.0)  # always EOS
+            return logits, state
+
+        res = decode_loop(
+            jax.random.PRNGKey(0), step_fn, state=(),
+            first_token=jnp.array([0], jnp.int32), max_new_tokens=8,
+            eos_ids=(4,), sampler=SamplerConfig(temperature=0.0), min_tokens=3)
+        assert int(res.lengths[0]) >= 3

@@ -1,0 +1,75 @@
+"""Multi-head attention primitives (self / cross / cached-decode / GQA).
+
+Layout is (B, T, H, D) throughout — no head transposes; scores are einsums
+that XLA maps straight onto the MXU. Softmax in fp32. Masks are additive
+fp32 biases (0 / -inf) so padding, causality, and streaming chunk masks
+compose by addition.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
+
+
+def attend(q: jax.Array, k: jax.Array, v: jax.Array,
+           mask: jax.Array | None = None,
+           scale: float | None = None,
+           q_scaled: bool = False) -> jax.Array:
+    """q: (B, Tq, H, D), k/v: (B, Tk, Hkv, D) with H % Hkv == 0 (GQA).
+
+    mask: broadcastable to (B, H, Tq, Tk), additive fp32.
+    q_scaled: if True the caller already folded the scale into q and k
+    (Whisper applies (d/h)^-0.25 to both — package/STT/Whisper/Layers/
+    MultiHeadAttention.swift:85-135).
+    """
+    b, tq, h, d = q.shape
+    hkv = k.shape[2]
+    if not q_scaled:
+        s = (1.0 / math.sqrt(d)) if scale is None else scale
+        q = q * jnp.asarray(s, q.dtype)
+    if hkv != h:
+        groups = h // hkv
+        qg = q.reshape(b, tq, hkv, groups, d)
+        scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            # masks are head-broadcastable (B or 1, 1 or Hkv, Tq, Tk):
+            # insert the group axis.
+            scores = scores + mask[:, :, None]
+        w = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", w.astype(v.dtype), v)
+        return out.reshape(b, tq, h, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+
+
+def causal_mask(tq: int, tk: int, offset: int = 0) -> jax.Array:
+    """Additive causal mask (1, 1, tq, tk); query i attends keys <= i+offset."""
+    qi = jnp.arange(tq)[:, None] + offset
+    ki = jnp.arange(tk)[None, :]
+    return jnp.where(ki <= qi, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+
+def decode_mask(tk_max: int, pos: jax.Array, tq: int = 1) -> jax.Array:
+    """Mask for cached decode: new queries at absolute positions
+    pos..pos+tq-1 attend cache slots < pos+q_idx+1. (1,1,tq,tk_max)."""
+    qi = pos + jnp.arange(tq)[:, None]
+    ki = jnp.arange(tk_max)[None, :]
+    return jnp.where(ki <= qi, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+
+def padding_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    """(B,) valid lengths → additive key-padding mask (B, 1, 1, max_len)."""
+    ki = jnp.arange(max_len)[None, :]
+    return jnp.where(ki < lengths[:, None], 0.0, NEG_INF)[
+        :, None, None, :
+    ].astype(jnp.float32)

@@ -1,0 +1,214 @@
+"""Functional NN primitives over param dicts.
+
+Conventions:
+  - linear weights are stored PyTorch-layout (out_features, in_features) so
+    safetensors keys map 1:1; XLA picks the fast layout for `x @ w.T`.
+  - all sequence tensors are channels-last (B, T, C) / (T, C) — the
+    TPU-native layout (lane dim = features).
+  - conv1d weights are stored (kernel, in_ch, out_ch) = WIO; loaders
+    transpose from PyTorch's (out, in, k).
+  - quantized linears carry {"weight_q","scales","biases"} (group-wise
+    affine uint32-packed, MLX checkpoint format) and dispatch through
+    ops.quant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- init
+
+def init_linear(key, in_features: int, out_features: int, bias: bool = True,
+                dtype=jnp.float32) -> dict:
+    scale = 1.0 / math.sqrt(in_features)
+    k1, k2 = jax.random.split(key)
+    p = {"weight": jax.random.uniform(k1, (out_features, in_features), dtype,
+                                      -scale, scale)}
+    if bias:
+        p["bias"] = jax.random.uniform(k2, (out_features,), dtype, -scale, scale)
+    return p
+
+
+def init_embedding(key, vocab: int, dim: int, dtype=jnp.float32) -> dict:
+    return {"weight": jax.random.normal(key, (vocab, dim), dtype) * 0.02}
+
+
+def init_norm(dim: int, bias: bool = True, dtype=jnp.float32) -> dict:
+    p = {"weight": jnp.ones((dim,), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((dim,), dtype)
+    return p
+
+
+def init_conv1d(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
+                dtype=jnp.float32) -> dict:
+    scale = 1.0 / math.sqrt(in_ch * kernel)
+    k1, k2 = jax.random.split(key)
+    p = {"weight": jax.random.uniform(k1, (kernel, in_ch, out_ch), dtype, -scale, scale)}
+    if bias:
+        p["bias"] = jax.random.uniform(k2, (out_ch,), dtype, -scale, scale)
+    return p
+
+
+# ---------------------------------------------------------------- apply
+
+def linear(p: dict, x: jax.Array) -> jax.Array:
+    if "weight_q" in p:
+        from tpu_audio.ops import quant
+
+        return quant.quantized_linear(p, x)
+    y = x @ p["weight"].T.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def embedding(p: dict, ids: jax.Array) -> jax.Array:
+    if "weight_q" in p:
+        from tpu_audio.ops import quant
+
+        return quant.dequantize(p)[ids]
+    return p["weight"][ids]
+
+
+def embedding_as_linear(p: dict, x: jax.Array) -> jax.Array:
+    """Tied-embedding output head: logits = x @ E.T."""
+    if "weight_q" in p:
+        from tpu_audio.ops import quant
+
+        return x @ quant.dequantize(p).T.astype(x.dtype)
+    return x @ p["weight"].T.astype(x.dtype)
+
+
+def layer_norm(p: dict | None, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["weight"].astype(jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(p: dict, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y * p["weight"].astype(jnp.float32)).astype(x.dtype)
+
+
+def group_norm(p: dict, x: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
+    """x: (..., T, C) grouped over channels."""
+    *lead, t, c = x.shape
+    xf = x.astype(jnp.float32).reshape(*lead, t, num_groups, c // num_groups)
+    mu = jnp.mean(xf, axis=(-3, -1), keepdims=True)
+    var = jnp.var(xf, axis=(-3, -1), keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(*lead, t, c)
+    return (y * p["weight"] + p["bias"]).astype(x.dtype)
+
+
+def instance_norm(p: dict | None, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm1d over (B, T, C): normalize each channel over time."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-2, keepdims=True)
+    var = jnp.var(xf, axis=-2, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["weight"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def batch_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Inference-mode BatchNorm over the channel (last) axis using running stats."""
+    inv = jax.lax.rsqrt(p["running_var"].astype(jnp.float32) + eps)
+    y = (x.astype(jnp.float32) - p["running_mean"]) * inv
+    return (y * p["weight"] + p["bias"]).astype(x.dtype)
+
+
+def conv1d(p: dict, x: jax.Array, stride: int = 1, padding: int | tuple = 0,
+           dilation: int = 1, groups: int = 1) -> jax.Array:
+    """1-D convolution over (B, T, C_in) → (B, T', C_out); weight (K, I/g, O)."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    w = p["weight"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=(padding,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
+                     groups: int = 1) -> jax.Array:
+    """Transposed 1-D conv over (B, T, C_in); weight (K, I/g, O) — same WIO
+    orientation as conv1d; loaders map PyTorch's (I, O/g, K) via
+    transpose(2,0,1). out_len = (T-1)*stride - 2*padding + K."""
+    if groups != 1:
+        raise NotImplementedError("grouped transposed conv not needed yet")
+    w = p["weight"]
+    k = w.shape[0]
+    # Transposed conv = lhs-dilated conv with the kernel flipped along K.
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype)[::-1],
+        window_strides=(1,),
+        padding=((k - 1 - padding, k - 1 - padding),),
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def weight_norm_conv1d(p: dict, x: jax.Array, **kw) -> jax.Array:
+    """Weight-normalized conv1d: weight_v (K,I,O) + weight_g norm over (K,I)."""
+    v = p["weight_v"].astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+    w = (v / norm) * p["weight_g"].astype(jnp.float32)
+    q = {"weight": w.astype(x.dtype)}
+    if "bias" in p:
+        q["bias"] = p["bias"]
+    return conv1d(q, x, **kw)
+
+
+# ---------------------------------------------------------------- activations
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def snake(x: jax.Array, alpha: jax.Array, logscale: bool = False) -> jax.Array:
+    """Snake activation x + sin²(αx)/α (fp32-safe like the reference's
+    HiFiGAN Snake, package/Codec/S3Gen/HiFiGAN.swift:30-70). alpha: (C,),
+    x: (..., T, C)."""
+    a = alpha.astype(jnp.float32)
+    if logscale:
+        a = jnp.exp(a)
+    xf = x.astype(jnp.float32)
+    y = xf + jnp.sin(a * xf) ** 2 / (a + 1e-9)
+    return y.astype(x.dtype)
+
+
+def sinusoidal_positions(length: int, dim: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Whisper-style sinusoidal embeddings (length, dim), [sin | cos] halves."""
+    log_inc = np.log(max_timescale) / (dim // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(dim // 2))
+    ang = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)

@@ -1,0 +1,232 @@
+"""Decoder-only transformer family (Llama / Qwen2 / Qwen3 / GPT-2) as one
+configurable stack, built for XLA:
+
+  - layers run under lax.scan over stacked params (compile time independent
+    of depth), with the whole-stack KV cache carried and updated in place;
+  - prefill and decode are the same function at different static T;
+  - GQA, Llama-3-scaled RoPE, Qwen3 q/k-norm, GPT-2 learned positions.
+
+This one module backs the LLM cores of Orpheus (Llama-3B), OuteTTS
+(Llama-1B), Marvis (Llama backbone + depth decoder), Chatterbox T3 (Llama),
+Chatterbox Turbo (GPT-2 medium), CosyVoice2/3 (Qwen2-0.5B) and FunASR
+(Qwen3) — the reference implements each of these separately
+(e.g. package/TTS/Orpheus/BuildingBlocks/TransformerBlock.swift:145-244,
+package/STT/FunASR/Layers/Qwen3Model.swift:272).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from tpu_audio.nn import attention, layers, rope
+from tpu_audio.ops.kvcache import KVCache
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int | None = None
+    head_dim: int | None = None
+    hidden_dim: int = 0  # MLP inner dim
+    vocab_size: int = 0
+    rope_theta: float = 10000.0
+    rope_scaling: dict | None = None
+    norm_eps: float = 1e-5
+    attn_qkv_bias: bool = False  # Qwen2
+    attn_o_bias: bool = False
+    qk_norm: bool = False  # Qwen3
+    mlp: str = "swiglu"  # or "gelu"
+    norm: str = "rms"  # or "ln"
+    pos_emb: str = "rope"  # "rope" | "learned" | "none"
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.dim // self.n_heads
+
+    def inv_freq(self):
+        return rope.make_inv_freq(self.hd, self.rope_theta, self.rope_scaling)
+
+
+def _norm(cfg: TransformerConfig, p, x):
+    if cfg.norm == "rms":
+        return layers.rms_norm(p, x, cfg.norm_eps)
+    return layers.layer_norm(p, x, cfg.norm_eps)
+
+
+def _mlp(cfg: TransformerConfig, p, x):
+    if cfg.mlp == "swiglu":
+        return layers.linear(
+            p["down"], layers.silu(layers.linear(p["gate"], x)) * layers.linear(p["up"], x)
+        )
+    return layers.linear(p["fc2"], layers.gelu(layers.linear(p["fc1"], x)))
+
+
+def init_layer(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 8)
+    h, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    attn = {
+        "q": layers.init_linear(ks[0], cfg.dim, h * hd, cfg.attn_qkv_bias, dtype),
+        "k": layers.init_linear(ks[1], cfg.dim, kvh * hd, cfg.attn_qkv_bias, dtype),
+        "v": layers.init_linear(ks[2], cfg.dim, kvh * hd, cfg.attn_qkv_bias, dtype),
+        "o": layers.init_linear(ks[3], h * hd, cfg.dim, cfg.attn_o_bias, dtype),
+    }
+    if cfg.qk_norm:
+        attn["q_norm"] = layers.init_norm(hd, bias=False, dtype=dtype)
+        attn["k_norm"] = layers.init_norm(hd, bias=False, dtype=dtype)
+    if cfg.mlp == "swiglu":
+        mlp = {
+            "gate": layers.init_linear(ks[4], cfg.dim, cfg.hidden_dim, False, dtype),
+            "up": layers.init_linear(ks[5], cfg.dim, cfg.hidden_dim, False, dtype),
+            "down": layers.init_linear(ks[6], cfg.hidden_dim, cfg.dim, False, dtype),
+        }
+    else:
+        mlp = {
+            "fc1": layers.init_linear(ks[4], cfg.dim, cfg.hidden_dim, True, dtype),
+            "fc2": layers.init_linear(ks[5], cfg.hidden_dim, cfg.dim, True, dtype),
+        }
+    use_bias = cfg.norm == "ln"
+    return {
+        "attn": attn,
+        "mlp": mlp,
+        "ln1": layers.init_norm(cfg.dim, use_bias, dtype),
+        "ln2": layers.init_norm(cfg.dim, use_bias, dtype),
+    }
+
+
+def init_params(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
+    from tpu_audio.utils import pytree
+
+    keys = jax.random.split(key, cfg.n_layers + 3)
+    p = {
+        "embed": layers.init_embedding(keys[0], cfg.vocab_size, cfg.dim, dtype),
+        "layers": pytree.stack_layers(
+            [init_layer(keys[i + 1], cfg, dtype) for i in range(cfg.n_layers)]
+        ),
+        "norm": layers.init_norm(cfg.dim, cfg.norm == "ln", dtype),
+    }
+    if cfg.pos_emb == "learned":
+        p["pos_embed"] = layers.init_embedding(
+            keys[-2], cfg.max_position_embeddings, cfg.dim, dtype
+        )
+    if not cfg.tie_word_embeddings and cfg.vocab_size:
+        p["lm_head"] = layers.init_linear(keys[-1], cfg.dim, cfg.vocab_size, False, dtype)
+    return p
+
+
+def make_cache(cfg: TransformerConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    return KVCache.create(cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.hd, dtype)
+
+
+def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
+                   cache: KVCache, extra_mask: jax.Array | None = None
+                   ) -> tuple[jax.Array, KVCache]:
+    """Run the stack on embedded inputs x (B, T, D) writing into `cache` at
+    cache.pos. Returns (hidden (B, T, D), advanced cache).
+
+    extra_mask: optional additive (B, 1, T, S_max) bias composed onto the
+    causal decode mask (e.g. CFG-pair or prompt-padding masks).
+    """
+    b, t, _ = x.shape
+    s_max = cache.max_len
+    pos = cache.pos
+    positions = pos + jnp.arange(t)
+    mask = attention.decode_mask(s_max, pos, t)
+    if extra_mask is not None:
+        mask = mask + extra_mask
+    if cfg.pos_emb == "learned":
+        x = x + layers.embedding(params["pos_embed"], positions)[None]
+    inv_freq = cfg.inv_freq() if cfg.pos_emb == "rope" else None
+
+    h_, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+
+    def body(carry, xs):
+        x, kbuf, vbuf = carry
+        lp, li = xs
+        hn = _norm(cfg, lp["ln1"], x)
+        q = layers.linear(lp["attn"]["q"], hn).reshape(b, t, h_, hd)
+        k = layers.linear(lp["attn"]["k"], hn).reshape(b, t, kvh, hd)
+        v = layers.linear(lp["attn"]["v"], hn).reshape(b, t, kvh, hd)
+        if cfg.qk_norm:
+            q = layers.rms_norm(lp["attn"]["q_norm"], q, cfg.norm_eps)
+            k = layers.rms_norm(lp["attn"]["k_norm"], k, cfg.norm_eps)
+        if inv_freq is not None:
+            q = rope.apply_rope(q, positions, inv_freq)
+            k = rope.apply_rope(k, positions, inv_freq)
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k[None].astype(kbuf.dtype), (li, 0, pos, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v[None].astype(vbuf.dtype), (li, 0, pos, 0, 0))
+        kl = jax.lax.dynamic_index_in_dim(kbuf, li, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(vbuf, li, 0, keepdims=False)
+        o = attention.attend(q, kl.astype(q.dtype), vl.astype(q.dtype), mask)
+        x = x + layers.linear(lp["attn"]["o"], o.reshape(b, t, h_ * hd))
+        x = x + _mlp(cfg, lp["mlp"], _norm(cfg, lp["ln2"], x))
+        return (x, kbuf, vbuf), None
+
+    (x, kbuf, vbuf), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.n_layers)),
+    )
+    x = _norm(cfg, params["norm"], x)
+    return x, KVCache(k=kbuf, v=vbuf, pos=pos + t)
+
+
+def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
+            cache: KVCache, extra_mask: jax.Array | None = None
+            ) -> tuple[jax.Array, KVCache]:
+    """Token ids (B, T) → (logits (B, T, V), advanced cache)."""
+    x = layers.embedding(params["embed"], tokens)
+    h, cache = forward_hidden(params, cfg, x, cache, extra_mask)
+    return logits(params, cfg, h), cache
+
+
+def logits(params: dict, cfg: TransformerConfig, hidden: jax.Array) -> jax.Array:
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        return layers.embedding_as_linear(params["embed"], hidden)
+    return layers.linear(params["lm_head"], hidden)
+
+
+def encode(params: dict, cfg: TransformerConfig, x: jax.Array,
+           mask: jax.Array | None = None) -> jax.Array:
+    """Bidirectional (encoder) pass without cache: x (B, T, D) → (B, T, D).
+
+    Shares the same stacked-layer params; used for conformer-less encoder
+    stacks (e.g. the FunASR audio adaptor's transformer blocks).
+    """
+    b, t, _ = x.shape
+    h_, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    positions = jnp.arange(t)
+    inv_freq = cfg.inv_freq() if cfg.pos_emb == "rope" else None
+    if cfg.pos_emb == "learned":
+        x = x + layers.embedding(params["pos_embed"], positions)[None]
+
+    def body(x, lp):
+        hn = _norm(cfg, lp["ln1"], x)
+        q = layers.linear(lp["attn"]["q"], hn).reshape(b, t, h_, hd)
+        k = layers.linear(lp["attn"]["k"], hn).reshape(b, t, kvh, hd)
+        v = layers.linear(lp["attn"]["v"], hn).reshape(b, t, kvh, hd)
+        if cfg.qk_norm:
+            q = layers.rms_norm(lp["attn"]["q_norm"], q, cfg.norm_eps)
+            k = layers.rms_norm(lp["attn"]["k_norm"], k, cfg.norm_eps)
+        if inv_freq is not None:
+            q = rope.apply_rope(q, positions, inv_freq)
+            k = rope.apply_rope(k, positions, inv_freq)
+        o = attention.attend(q, k, v, mask)
+        x = x + layers.linear(lp["attn"]["o"], o.reshape(b, t, h_ * hd))
+        x = x + _mlp(cfg, lp["mlp"], _norm(cfg, lp["ln2"], x))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return _norm(cfg, params["norm"], x)

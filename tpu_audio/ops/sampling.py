@@ -1,0 +1,118 @@
+"""Traced, shape-static sampling ops.
+
+Every per-step trick the reference does in Swift host code (temperature /
+top-k / top-p / min-p, windowed repetition penalty, repetition-aware
+sampling, EOS rejection — e.g. package/TTS/OuteTTS/OuteTTS.swift:28-38,
+package/TTS/Orpheus/TTSEngine/OrpheusTTS.swift:259-348,
+package/TTS/CosyVoice2/LLM/Qwen2LM.swift:433-510) is re-expressed here as
+pure jnp ops so it runs inside the compiled token loop — no host round-trip
+per token.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    temperature: float = 1.0
+    top_k: int = 0  # 0 = off
+    top_p: float = 1.0
+    min_p: float = 0.0
+    repetition_penalty: float = 1.0
+    repetition_window: int = 64
+    # repetition-aware sampling (CosyVoice RAS): if the winning token occurred
+    # more than `ras_max_repeats` times in the last `ras_window` tokens,
+    # resample from the tail of the distribution.
+    ras: bool = False
+    ras_window: int = 10
+    ras_max_repeats: int = 2
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens whose cumulative mass *before* them is < p (always >= 1 token)
+    keep_sorted = (cum - probs) < p
+    kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_min_p(logits: jax.Array, min_p: float) -> jax.Array:
+    if min_p <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    cutoff = min_p * jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(probs < cutoff, NEG_INF, logits)
+
+
+def apply_repetition_penalty(logits: jax.Array, recent: jax.Array,
+                             penalty: float) -> jax.Array:
+    """recent: (B, W) token ids with -1 padding. Divides positive / multiplies
+    negative logits of recently seen tokens by `penalty`."""
+    if penalty == 1.0:
+        return logits
+    v = logits.shape[-1]
+    seen = jnp.zeros(logits.shape, dtype=jnp.bool_)
+    ids = jnp.clip(recent, 0, v - 1)
+    updates = (recent >= 0)
+    seen = seen.at[jnp.arange(logits.shape[0])[:, None], ids].max(updates)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def mask_tokens(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    """Additive suppression mask (V,) or (B, V): 0 = allowed, NEG_INF = banned."""
+    return logits + mask
+
+
+def sample(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
+           recent: jax.Array | None = None) -> jax.Array:
+    """logits (B, V) → token ids (B,). Greedy when temperature == 0."""
+    if cfg.repetition_penalty != 1.0 and recent is not None:
+        logits = apply_repetition_penalty(logits, recent, cfg.repetition_penalty)
+    if cfg.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / cfg.temperature
+    logits = apply_top_k(logits, cfg.top_k)
+    logits = apply_top_p(logits, cfg.top_p)
+    logits = apply_min_p(logits, cfg.min_p)
+    tok = jax.random.categorical(key, logits, axis=-1)
+    if cfg.ras and recent is not None:
+        tok = _ras_resample(key, logits, tok, recent, cfg)
+    return tok
+
+
+def _ras_resample(key, logits, tok, recent, cfg: SamplerConfig):
+    """CosyVoice repetition-aware sampling: if `tok` repeats too much in the
+    recent window, draw instead from the low-probability tail (top_k=1..all
+    replaced by a uniform-over-remaining draw as in Qwen2LM.swift:462-478)."""
+    window = recent[:, -cfg.ras_window:]
+    reps = jnp.sum(window == tok[:, None], axis=-1)
+    need_resample = reps > cfg.ras_max_repeats
+    k2 = jax.random.fold_in(key, 1)
+    # resample from the full softmax (temperature 1) excluding the repeated token
+    excl = logits.at[jnp.arange(logits.shape[0]), tok].set(NEG_INF)
+    alt = jax.random.categorical(k2, excl, axis=-1)
+    return jnp.where(need_resample, alt, tok)
+
+
+def update_recent(recent: jax.Array, token: jax.Array) -> jax.Array:
+    """Shift the (B, W) recent-token ring left and append token (B,)."""
+    return jnp.concatenate([recent[:, 1:], token[:, None]], axis=1)
