@@ -1,0 +1,225 @@
+"""Whisper stack tests on a tiny random-weight model.
+
+Real-checkpoint accuracy can't run in this zero-egress environment; these
+tests pin down everything that doesn't need trained weights: model shapes,
+KV-cache decode consistency, timestamp-rule enforcement, tokenizer special
+ids, segment parsing, quantization round-trip, and the full pipeline loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.models.whisper import model as wmodel
+from tpu_audio.models.whisper.config import WhisperConfig
+from tpu_audio.models.whisper.decoding import SegmentDecoder, compression_ratio
+from tpu_audio.models.whisper.pipeline import MelExtractor, WhisperPipeline
+from tpu_audio.models.whisper.tokenizer import BPE, WhisperTokenizer
+
+TINY = WhisperConfig(n_mels=80, n_audio_ctx=1500, n_audio_state=64,
+                     n_audio_head=4, n_audio_layer=2, n_vocab=51865,
+                     n_text_ctx=48, n_text_state=64, n_text_head=4,
+                     n_text_layer=2)
+
+
+def make_bpe() -> BPE:
+    """Byte-level-only BPE: every single byte is a token (enough to exercise
+    encode/decode and suppression-mask construction)."""
+    ranks = {bytes([i]): i for i in range(256)}
+    # add a couple of merges so BPE merging code runs
+    ranks[b" -"] = 256
+    ranks[b" '"] = 257
+    ranks[b"th"] = 258
+    ranks[b"the"] = 259
+    return BPE(ranks)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WhisperTokenizer(make_bpe(), multilingual=True, num_languages=99)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    params = wmodel.init_params(jax.random.PRNGKey(0), TINY)
+    return params
+
+
+class TestTokenizer:
+    def test_special_ids_multilingual_99(self, tok):
+        # reference values: WhisperTokenizer.swift:48-50
+        assert tok.eot == 50257
+        assert tok.sot == 50258
+        assert tok.transcribe == 50359
+        assert tok.translate == 50358
+        assert tok.timestamp_begin == 50364
+        assert tok.language_tokens["en"] == 50259
+
+    def test_special_ids_100_languages(self):
+        t = WhisperTokenizer(make_bpe(), multilingual=True, num_languages=100)
+        assert t.transcribe == 50360
+        assert t.timestamp_begin == 50365
+
+    def test_english_only(self):
+        t = WhisperTokenizer(make_bpe(), multilingual=False, num_languages=99)
+        assert t.eot == 50256
+        assert t.sot == 50257
+
+    def test_encode_decode_roundtrip(self, tok):
+        ids = tok.encode("the cat")
+        assert tok.decode(ids) == "the cat"
+        assert ids[0] == 259  # "the" merged
+
+    def test_sot_sequence(self, tok):
+        assert tok.sot_sequence("en", "transcribe") == [50258, 50259, 50359]
+        assert tok.sot_sequence("es", "translate") == [50258, 50262, 50358]
+
+    def test_decode_with_timestamps(self, tok):
+        s = tok.decode_with_timestamps([tok.timestamp_begin,
+                                        tok.timestamp_begin + 50])
+        assert s == "<|0.00|><|1.00|>"
+
+    def test_compression_ratio(self):
+        assert compression_ratio("a" * 100) > compression_ratio(
+            "the quick brown fox jumps over the lazy dog")
+
+
+class TestModel:
+    def test_encode_shape(self, tiny_model):
+        mel = jnp.zeros((1, 3000, 80))
+        feats = wmodel.encode(tiny_model, TINY, mel)
+        assert feats.shape == (1, 1500, 64)
+
+    def test_decode_cache_consistency(self, tiny_model):
+        feats = wmodel.encode(tiny_model, TINY,
+                              jax.random.normal(jax.random.PRNGKey(1),
+                                                (1, 3000, 80)) * 0.1)
+        tokens = jnp.array([[50258, 50259, 50359, 100, 200]], dtype=jnp.int32)
+        st = wmodel.init_state(tiny_model, TINY, feats)
+        full, _ = wmodel.decode_step(tiny_model, TINY, tokens, st)
+
+        st = wmodel.init_state(tiny_model, TINY, feats)
+        steps = []
+        for i in range(5):
+            lg, st = wmodel.decode_step(tiny_model, TINY, tokens[:, i:i+1], st)
+            steps.append(lg[:, 0])
+        np.testing.assert_allclose(np.asarray(full),
+                                   np.asarray(jnp.stack(steps, 1)), atol=2e-4)
+
+    def test_cross_qk_shapes(self, tiny_model):
+        feats = wmodel.encode(tiny_model, TINY, jnp.zeros((1, 3000, 80)))
+        tokens = jnp.zeros((1, 7), jnp.int32)
+        logits, qks = wmodel.forward_cross_qk(tiny_model, TINY, tokens, feats)
+        assert logits.shape == (1, 7, 51865)
+        assert qks.shape == (2, 1, 4, 7, 1500)
+
+
+class TestSegmentDecoder:
+    @pytest.fixture(scope="class")
+    def decoder(self, tiny_model, tok):
+        return SegmentDecoder(tiny_model, TINY, tok)
+
+    def test_greedy_decode_runs(self, decoder, tok):
+        mel = np.random.default_rng(0).standard_normal((3000, 80)).astype(np.float32) * 0.1
+        res = decoder.decode(mel, language="en", temperature=0.0)
+        assert isinstance(res.tokens, list)
+        assert 0 <= res.no_speech_prob <= 1
+        # timestamp rule: first generated token must be a timestamp within
+        # the initial window
+        if res.tokens:
+            assert res.tokens[0] >= tok.timestamp_begin
+            assert res.tokens[0] <= tok.timestamp_begin + 50
+
+    def test_timestamps_monotonic(self, decoder, tok):
+        mel = np.random.default_rng(1).standard_normal((3000, 80)).astype(np.float32) * 0.1
+        res = decoder.decode(mel, language="en", temperature=0.8)
+        ts = [t for t in res.tokens if t >= tok.timestamp_begin]
+        assert ts == sorted(ts)
+
+    def test_decode_deterministic_at_zero_temp(self, decoder):
+        mel = np.random.default_rng(2).standard_normal((3000, 80)).astype(np.float32) * 0.1
+        r1 = decoder.decode(mel, temperature=0.0)
+        r2 = decoder.decode(mel, temperature=0.0)
+        assert r1.tokens == r2.tokens
+
+    def test_no_timestamps_mode(self, decoder, tok):
+        mel = np.zeros((3000, 80), np.float32)
+        res = decoder.decode(mel, temperature=0.0, timestamps=False)
+        assert all(t < tok.timestamp_begin for t in res.tokens)
+
+    def test_detect_language(self, decoder, tok):
+        mel = np.zeros((3000, 80), np.float32)
+        lang, probs = decoder.detect_language(mel)
+        assert lang in probs
+        assert abs(sum(probs.values()) - 1.0) < 1e-3
+
+
+class TestMelExtractor:
+    def test_matches_frontend(self, rng):
+        from tpu_audio.ops import frontends
+
+        audio = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
+        ext = MelExtractor(80)
+        got = ext(audio, padding=480000)
+        ref = np.asarray(frontends.whisper_log_mel(
+            jnp.asarray(audio), n_mels=80, padding=480000))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+class TestPipeline:
+    def test_transcribe_runs_end_to_end(self, tiny_model, tok, rng):
+        pipe = WhisperPipeline(tiny_model, TINY, tok)
+        audio = (0.1 * np.sin(2 * np.pi * 440 *
+                              np.arange(16000 * 3) / 16000)).astype(np.float32)
+        res = pipe.transcribe(audio, language="en",
+                              temperature=(0.0,), timestamps=True)
+        assert res.duration == pytest.approx(3.0)
+        assert res.processing_time > 0
+        assert isinstance(res.text, str)
+        assert all(s.end >= s.start for s in res.segments)
+
+    def test_transcribe_no_fallback_path(self, tiny_model, tok):
+        pipe = WhisperPipeline(tiny_model, TINY, tok)
+        audio = np.zeros(16000, np.float32)
+        res = pipe.transcribe(audio, language="en", temperature=(0.0,),
+                              no_speech_threshold=None,
+                              condition_on_previous_text=False)
+        assert res.language == "en"
+
+
+class TestQuantization:
+    def test_roundtrip_accuracy(self, rng):
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((32, 128)).astype(np.float32)
+        for bits in (4, 8):
+            q = quant.quantize_array(w, bits=bits)
+            deq = np.asarray(quant.dequantize(
+                {k: jnp.asarray(v) for k, v in q.items()}))
+            err = np.abs(deq - w).max()
+            scale = (w.max() - w.min()) / ((1 << bits) - 1)
+            assert err <= scale * 0.51 + 1e-6
+
+    def test_quantized_linear(self, rng):
+        from tpu_audio.nn import layers
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((32, 128)).astype(np.float32) * 0.1
+        x = rng.standard_normal((3, 128)).astype(np.float32)
+        q = {k: jnp.asarray(v) for k, v in quant.quantize_array(w, bits=8).items()}
+        got = np.asarray(layers.linear(q, jnp.asarray(x)))
+        ref = x @ w.T
+        assert np.abs(got - ref).max() < 0.05
+
+    def test_quantize_tree(self, rng):
+        from tpu_audio.ops import quant
+        from tpu_audio.utils import pytree
+
+        tree = {"a": {"weight": jnp.asarray(rng.standard_normal((16, 64)),
+                                            jnp.float32)},
+                "b": {"weight": jnp.asarray(rng.standard_normal((3,)), jnp.float32)}}
+        qt = quant.quantize_tree(tree, bits=4)
+        assert "weight_q4" in qt["a"]
+        assert "weight" in qt["b"]  # 1-D leaf untouched

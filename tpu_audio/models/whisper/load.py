@@ -1,0 +1,127 @@
+"""Whisper checkpoint loading (mlx-community and HF-transformers layouts).
+
+Reference load path: package/STT/Whisper/WhisperModel.swift:144-214 —
+snapshot(repo) → config.json → safetensors → sanitize → optional quantized
+update. Key remaps cover:
+  - openai/mlx layout: encoder.blocks.N.attn.{query,key,value,out}, mlp1/2,
+    attn_ln/mlp_ln, decoder cross_attn..., token_embedding,
+    positional_embedding
+  - HF layout: model.encoder.layers.N.self_attn.{q,k,v,out}_proj, fc1/fc2,
+    self_attn_layer_norm, ...
+
+Conv weights: mlx stores (O, K, I) → transpose (1, 2, 0); HF/torch stores
+(O, I, K) → transpose (2, 1, 0); both land in this framework's (K, I, O).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.models.whisper.config import WhisperConfig
+from tpu_audio.models.whisper.tokenizer import WhisperTokenizer
+from tpu_audio.utils import hub, weights
+
+# default repos per size/quantization, mirroring the reference's model map
+REPOS = {
+    ("tiny", "fp16"): "mlx-community/whisper-tiny-mlx-fp32",
+    ("tiny", "q4"): "mlx-community/whisper-tiny-mlx-q4",
+    ("base", "fp16"): "mlx-community/whisper-base-mlx",
+    ("small", "fp16"): "mlx-community/whisper-small-mlx",
+    ("large-v3-turbo", "fp16"): "mlx-community/whisper-large-v3-turbo",
+    ("large-v3-turbo", "q4"): "mlx-community/whisper-large-v3-turbo-q4",
+}
+
+_MLX_RULES = [
+    (r"\.attn\.query\.", ".attn.q."),
+    (r"\.attn\.key\.", ".attn.k."),
+    (r"\.attn\.value\.", ".attn.v."),
+    (r"\.attn\.out\.", ".attn.o."),
+    (r"\.cross_attn\.query\.", ".cross_attn.q."),
+    (r"\.cross_attn\.key\.", ".cross_attn.k."),
+    (r"\.cross_attn\.value\.", ".cross_attn.v."),
+    (r"\.cross_attn\.out\.", ".cross_attn.o."),
+    (r"\.attn_ln\.", ".ln1."),
+    (r"\.cross_attn_ln\.", ".ln_cross."),
+    (r"\.mlp_ln\.", ".ln2."),
+    (r"\.mlp1\.", ".mlp.fc1."),
+    (r"\.mlp2\.", ".mlp.fc2."),
+]
+
+_HF_RULES = [
+    (r"^model\.", ""),
+    (r"^proj_out\.", "decoder.token_embedding."),
+    (r"encoder\.layers\.", "encoder.blocks."),
+    (r"decoder\.layers\.", "decoder.blocks."),
+    (r"\.self_attn\.q_proj\.", ".attn.q."),
+    (r"\.self_attn\.k_proj\.", ".attn.k."),
+    (r"\.self_attn\.v_proj\.", ".attn.v."),
+    (r"\.self_attn\.out_proj\.", ".attn.o."),
+    (r"\.encoder_attn\.q_proj\.", ".cross_attn.q."),
+    (r"\.encoder_attn\.k_proj\.", ".cross_attn.k."),
+    (r"\.encoder_attn\.v_proj\.", ".cross_attn.v."),
+    (r"\.encoder_attn\.out_proj\.", ".cross_attn.o."),
+    (r"\.self_attn_layer_norm\.", ".ln1."),
+    (r"\.encoder_attn_layer_norm\.", ".ln_cross."),
+    (r"\.final_layer_norm\.", ".ln2."),
+    (r"encoder\.layer_norm\.", "encoder.ln_post."),
+    (r"decoder\.layer_norm\.", "decoder.ln."),
+    (r"decoder\.embed_tokens\.", "decoder.token_embedding."),
+    (r"decoder\.embed_positions\.weight", "decoder.positional_embedding"),
+]
+
+
+def load(model: str = "tiny", quantization: str = "fp16",
+         repo: str | None = None, dtype=jnp.float32):
+    """Returns (params, config, tokenizer, pipeline-ready)."""
+    repo = repo or REPOS.get((model, quantization), REPOS.get((model, "fp16")))
+    if repo is None:
+        raise ValueError(f"no repo known for whisper {model}/{quantization}")
+    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
+                                        "*.tiktoken"])
+    cfg = WhisperConfig.from_dict(weights.load_config_json(path))
+    flat = weights.load_safetensors_dir(path)
+
+    is_hf = any(k.startswith(("model.encoder", "model.decoder")) for k in flat)
+    rules = _HF_RULES if is_hf else _MLX_RULES
+
+    def conv_fix(v):
+        if v.ndim == 3:
+            return v.transpose(2, 1, 0) if is_hf else v.transpose(1, 2, 0)
+        return v
+
+    flat = weights.apply_rules(
+        flat, rules,
+        transforms={r"encoder\.conv[12]\.weight": conv_fix},
+        drop=[r"\.rotary_emb\.", r"alignment_heads"])
+    # quantized checkpoints: map mlx "weight"+".scales"/".biases" triples
+    flat = _fold_quantized(flat)
+
+    from tpu_audio.utils import pytree
+
+    tree = weights.stack_numbered_layers(flat, "encoder.blocks")
+    tree = weights.stack_numbered_layers(pytree.flatten(tree), "decoder.blocks")
+    params = weights.to_device(tree, dtype=dtype)
+
+    tok = WhisperTokenizer.load(path, multilingual=cfg.is_multilingual,
+                                num_languages=cfg.num_languages)
+    return params, cfg, tok
+
+
+def _fold_quantized(flat: dict) -> dict:
+    """MLX quantized checkpoints store weight (packed u32) + scales + biases
+    under the same prefix; rename packed weight per bit width."""
+    out = dict(flat)
+    for k in list(flat):
+        if k.endswith(".scales"):
+            prefix = k[: -len(".scales")]
+            wkey = prefix + ".weight"
+            if wkey in out and out[wkey].dtype == np.uint32:
+                packed = out.pop(wkey)
+                in_features = out[k].shape[-1] * 64  # group size 64
+                per = packed.shape[-1] and in_features // packed.shape[-1]
+                bits = 32 // per
+                out[f"{prefix}.weight_q{bits}"] = packed
+    return out

@@ -1,0 +1,252 @@
+"""Whisper encoder/decoder as pure functions over param trees.
+
+Architecture (reference: package/STT/Whisper/Layers/AudioEncoder.swift:16-96,
+TextDecoder.swift:17-97, MultiHeadAttention.swift:85-135):
+  encoder: conv1(k3,s1,p1)+gelu → conv2(k3,s2,p1)+gelu → +sinusoids →
+           pre-norm blocks → ln_post
+  decoder: tok_emb + learned pos_emb → blocks [self-attn(KV cache),
+           cross-attn(precomputed enc K/V), mlp] → ln → logits = h @ E.T
+  attention scale (d/h)^-0.25 applied to BOTH q and k before the product.
+
+TPU decisions: decoder layers run under lax.scan with the self-attn cache
+carried in place (see nn/transformer.py); cross K/V are computed once per
+segment, stacked (L, ...), and reused every decode step; cross-attention
+softmax weights (for DTW word timing) are captured by a separate
+forward_cross_qk entry point so the hot decode path never materializes them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from tpu_audio.models.whisper.config import WhisperConfig
+from tpu_audio.nn import attention, layers
+from tpu_audio.ops.kvcache import KVCache
+from tpu_audio.utils import pytree
+
+
+# ------------------------------------------------------------------ init
+
+def _init_attn(key, dim, bias=True, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": layers.init_linear(ks[0], dim, dim, True, dtype),
+        "k": layers.init_linear(ks[1], dim, dim, False, dtype),
+        "v": layers.init_linear(ks[2], dim, dim, True, dtype),
+        "o": layers.init_linear(ks[3], dim, dim, True, dtype),
+    }
+
+
+def _init_block(key, dim, cross: bool, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    p = {
+        "attn": _init_attn(ks[0], dim, dtype=dtype),
+        "ln1": layers.init_norm(dim, dtype=dtype),
+        "mlp": {
+            "fc1": layers.init_linear(ks[1], dim, dim * 4, True, dtype),
+            "fc2": layers.init_linear(ks[2], dim * 4, dim, True, dtype),
+        },
+        "ln2": layers.init_norm(dim, dtype=dtype),
+    }
+    if cross:
+        p["cross_attn"] = _init_attn(ks[3], dim, dtype=dtype)
+        p["ln_cross"] = layers.init_norm(dim, dtype=dtype)
+    return p
+
+
+def init_params(key, cfg: WhisperConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, cfg.n_audio_layer + cfg.n_text_layer + 5)
+    enc_blocks = [_init_block(ks[i], cfg.n_audio_state, False, dtype)
+                  for i in range(cfg.n_audio_layer)]
+    dec_blocks = [_init_block(ks[cfg.n_audio_layer + i], cfg.n_text_state, True, dtype)
+                  for i in range(cfg.n_text_layer)]
+    return {
+        "encoder": {
+            "conv1": layers.init_conv1d(ks[-5], cfg.n_mels, cfg.n_audio_state, 3, dtype=dtype),
+            "conv2": layers.init_conv1d(ks[-4], cfg.n_audio_state, cfg.n_audio_state, 3, dtype=dtype),
+            "blocks": pytree.stack_layers(enc_blocks),
+            "ln_post": layers.init_norm(cfg.n_audio_state, dtype=dtype),
+        },
+        "decoder": {
+            "token_embedding": layers.init_embedding(ks[-3], cfg.n_vocab, cfg.n_text_state, dtype),
+            "positional_embedding": jax.random.normal(
+                ks[-2], (cfg.n_text_ctx, cfg.n_text_state), dtype) * 0.02,
+            "blocks": pytree.stack_layers(dec_blocks),
+            "ln": layers.init_norm(cfg.n_text_state, dtype=dtype),
+        },
+    }
+
+
+# ------------------------------------------------------------------ attention
+
+def _heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def _self_attention(p, x, n_heads, mask=None):
+    d = x.shape[-1]
+    scale = (d // n_heads) ** -0.25
+    q = _heads(layers.linear(p["q"], x), n_heads) * scale
+    k = _heads(layers.linear(p["k"], x), n_heads) * scale
+    v = _heads(layers.linear(p["v"], x), n_heads)
+    o = attention.attend(q, k, v, mask, q_scaled=True)
+    return layers.linear(p["o"], o.reshape(x.shape))
+
+
+# ------------------------------------------------------------------ encoder
+
+def encode(params: dict, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """mel (B, 3000, n_mels) → audio features (B, 1500, D)."""
+    p = params["encoder"]
+    x = layers.gelu(layers.conv1d(p["conv1"], mel, stride=1, padding=1))
+    x = layers.gelu(layers.conv1d(p["conv2"], x, stride=2, padding=1))
+    pos = layers.sinusoidal_positions(cfg.n_audio_ctx, cfg.n_audio_state)
+    x = x + jnp.asarray(pos, x.dtype)
+
+    def body(x, bp):
+        x = x + _self_attention(bp["attn"], layers.layer_norm(bp["ln1"], x),
+                                cfg.n_audio_head)
+        h = layers.layer_norm(bp["ln2"], x)
+        x = x + layers.linear(bp["mlp"]["fc2"],
+                              layers.gelu(layers.linear(bp["mlp"]["fc1"], h)))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, p["blocks"])
+    return layers.layer_norm(p["ln_post"], x)
+
+
+# ------------------------------------------------------------------ decoder
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DecoderState:
+    cache: KVCache  # self-attention cache (L, B, n_text_ctx, H, hd)
+    cross_k: jax.Array  # (L, B, 1500, H, hd), already scaled by (d/h)^-0.25
+    cross_v: jax.Array
+
+
+def precompute_cross_kv(params: dict, cfg: WhisperConfig,
+                        audio_features: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Project encoder output into per-layer cross K/V once per segment."""
+    h = cfg.n_text_head
+    scale = (cfg.n_text_state // h) ** -0.25
+
+    def body(_, bp):
+        k = _heads(layers.linear(bp["cross_attn"]["k"], audio_features), h) * scale
+        v = _heads(layers.linear(bp["cross_attn"]["v"], audio_features), h)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, params["decoder"]["blocks"])
+    return ks, vs
+
+
+def init_state(params: dict, cfg: WhisperConfig, audio_features: jax.Array,
+               batch: int = 1, dtype=jnp.float32) -> DecoderState:
+    ck, cv = precompute_cross_kv(params, cfg, audio_features)
+    cache = KVCache.create(cfg.n_text_layer, batch, cfg.n_text_ctx,
+                           cfg.n_text_head, cfg.n_text_state // cfg.n_text_head,
+                           dtype=dtype)
+    return DecoderState(cache=cache, cross_k=ck, cross_v=cv)
+
+
+def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
+                state: DecoderState) -> tuple[jax.Array, DecoderState]:
+    """tokens (B, T) fed at positions state.cache.pos.. → (logits (B, T, V),
+    state). Same function serves prefill (T=n_init) and decode (T=1)."""
+    p = params["decoder"]
+    b, t = tokens.shape
+    h, d = cfg.n_text_head, cfg.n_text_state
+    hd = d // h
+    scale = hd ** -0.25
+    pos = state.cache.pos
+
+    x = layers.embedding(p["token_embedding"], tokens)
+    pe = jax.lax.dynamic_slice(p["positional_embedding"], (pos, 0),
+                               (t, d))
+    x = x + pe[None].astype(x.dtype)
+    mask = attention.decode_mask(state.cache.max_len, pos, t)
+
+    def body(carry, xs):
+        x, kbuf, vbuf = carry
+        bp, ck, cv, li = xs
+        # self-attention with cache
+        hn = layers.layer_norm(bp["ln1"], x)
+        q = _heads(layers.linear(bp["attn"]["q"], hn), h) * scale
+        k = _heads(layers.linear(bp["attn"]["k"], hn), h) * scale
+        v = _heads(layers.linear(bp["attn"]["v"], hn), h)
+        kbuf = jax.lax.dynamic_update_slice(kbuf, k[None].astype(kbuf.dtype),
+                                            (li, 0, pos, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(vbuf, v[None].astype(vbuf.dtype),
+                                            (li, 0, pos, 0, 0))
+        kl = jax.lax.dynamic_index_in_dim(kbuf, li, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(vbuf, li, 0, keepdims=False)
+        o = attention.attend(q, kl.astype(q.dtype), vl.astype(q.dtype), mask,
+                             q_scaled=True)
+        x = x + layers.linear(bp["attn"]["o"], o.reshape(b, t, d))
+        # cross-attention (K/V precomputed)
+        hn = layers.layer_norm(bp["ln_cross"], x)
+        qc = _heads(layers.linear(bp["cross_attn"]["q"], hn), h) * scale
+        oc = attention.attend(qc, ck.astype(qc.dtype), cv.astype(qc.dtype),
+                              q_scaled=True)
+        x = x + layers.linear(bp["cross_attn"]["o"], oc.reshape(b, t, d))
+        # mlp
+        hn = layers.layer_norm(bp["ln2"], x)
+        x = x + layers.linear(bp["mlp"]["fc2"],
+                              layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+        return (x, kbuf, vbuf), None
+
+    (x, kbuf, vbuf), _ = jax.lax.scan(
+        body, (x, state.cache.k, state.cache.v),
+        (p["blocks"], state.cross_k, state.cross_v,
+         jnp.arange(cfg.n_text_layer)),
+    )
+    x = layers.layer_norm(p["ln"], x)
+    logits = layers.embedding_as_linear(p["token_embedding"], x)
+    new_cache = KVCache(k=kbuf, v=vbuf, pos=pos + t)
+    return logits, DecoderState(cache=new_cache, cross_k=state.cross_k,
+                                cross_v=state.cross_v)
+
+
+def forward_cross_qk(params: dict, cfg: WhisperConfig, tokens: jax.Array,
+                     audio_features: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Full-sequence decoder pass that also returns cross-attention softmax
+    weights for word-timing DTW: (logits (B,T,V), qk (L, B, H, T, 1500)).
+
+    Kept separate from the decode hot path — reference computes crossQK on
+    every decode (TextDecoder.swift:17-97); here it's only run for the
+    word-timestamp pass over already-sampled tokens.
+    """
+    p = params["decoder"]
+    b, t = tokens.shape
+    h, d = cfg.n_text_head, cfg.n_text_state
+    scale = (d // h) ** -0.25
+    ck, cv = precompute_cross_kv(params, cfg, audio_features)
+
+    x = layers.embedding(p["token_embedding"], tokens)
+    x = x + p["positional_embedding"][None, :t].astype(x.dtype)
+    mask = attention.causal_mask(t, t)
+
+    def body(x, xs):
+        bp, ckl, cvl = xs
+        x = x + _self_attention(bp["attn"], layers.layer_norm(bp["ln1"], x),
+                                h, mask)
+        hn = layers.layer_norm(bp["ln_cross"], x)
+        qc = _heads(layers.linear(bp["cross_attn"]["q"], hn), h) * scale
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qc, ckl.astype(qc.dtype),
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(scores, axis=-1)
+        oc = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cvl.dtype), cvl)
+        x = x + layers.linear(bp["cross_attn"]["o"], oc.reshape(b, t, d))
+        hn = layers.layer_norm(bp["ln2"], x)
+        x = x + layers.linear(bp["mlp"]["fc2"],
+                              layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+        return x, scores  # raw scores; timing soft-maxes after head selection
+
+    x, qks = jax.lax.scan(body, x, (p["blocks"], ck, cv))
+    x = layers.layer_norm(p["ln"], x)
+    logits = layers.embedding_as_linear(p["token_embedding"], x)
+    return logits, qks

@@ -58,7 +58,7 @@ def init_conv1d(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
 # ---------------------------------------------------------------- apply
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
-    if "weight_q" in p:
+    if "weight" not in p:
         from tpu_audio.ops import quant
 
         return quant.quantized_linear(p, x)
@@ -69,7 +69,7 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 
 
 def embedding(p: dict, ids: jax.Array) -> jax.Array:
-    if "weight_q" in p:
+    if "weight" not in p:
         from tpu_audio.ops import quant
 
         return quant.dequantize(p)[ids]
@@ -78,7 +78,7 @@ def embedding(p: dict, ids: jax.Array) -> jax.Array:
 
 def embedding_as_linear(p: dict, x: jax.Array) -> jax.Array:
     """Tied-embedding output head: logits = x @ E.T."""
-    if "weight_q" in p:
+    if "weight" not in p:
         from tpu_audio.ops import quant
 
         return x @ quant.dequantize(p).T.astype(x.dtype)

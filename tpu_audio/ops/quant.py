@@ -1,0 +1,106 @@
+"""Weight-only group-affine quantization (MLX checkpoint format).
+
+The reference loads mlx-community 4/8-bit checkpoints whose linear weights
+are packed uint32 with per-group scales/biases (group 64, affine:
+w = scale * q + bias — package/STT/Whisper/WhisperModel.swift:190-196).
+This module unpacks/packs that exact format so those checkpoints load
+directly, and provides the dequantizing matmul used by nn.layers.linear
+when a param dict carries quantized leaves.
+
+Param-dict convention (all leaves are arrays, so trees stack cleanly for
+lax.scan-over-layers): {"weight_q4" | "weight_q8": packed uint32 (O, I/per),
+"scales": (O, I/G), "biases": (O, I/G)} — bit width lives in the key name,
+group size G is inferred from the shapes.
+
+The XLA path dequantizes then matmuls (XLA fuses the dequant into the GEMM
+prologue); a fused Pallas kernel can replace quantized_linear for decode
+shapes where HBM bandwidth on the weight matrix dominates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QKEYS = ("weight_q4", "weight_q8")
+
+
+def is_quantized(p: dict) -> bool:
+    return any(k in p for k in QKEYS)
+
+
+def unpack_uint32(packed: jax.Array, bits: int) -> jax.Array:
+    """(O, I*bits/32) uint32 → (O, I) int32 values in [0, 2^bits)."""
+    per = 32 // bits
+    shifts = jnp.arange(per, dtype=jnp.uint32) * bits
+    vals = (packed[..., None] >> shifts) & ((1 << bits) - 1)
+    return vals.reshape(*packed.shape[:-1], packed.shape[-1] * per).astype(jnp.int32)
+
+
+def pack_uint32(vals: np.ndarray, bits: int) -> np.ndarray:
+    per = 32 // bits
+    vals = vals.astype(np.uint32).reshape(*vals.shape[:-1], -1, per)
+    shifts = (np.arange(per, dtype=np.uint32) * bits)[None, None]
+    return (vals << shifts).sum(axis=-1, dtype=np.uint32)
+
+
+def dequantize(p: dict) -> jax.Array:
+    """Quantized param dict → (O, I) float32 weight."""
+    bits = 4 if "weight_q4" in p else 8
+    packed = p["weight_q4"] if bits == 4 else p["weight_q8"]
+    q = unpack_uint32(packed, bits).astype(jnp.float32)
+    o, i = q.shape[-2:]
+    group = i // p["scales"].shape[-1]
+    scales = jnp.repeat(p["scales"].astype(jnp.float32), group, axis=-1)
+    biases = jnp.repeat(p["biases"].astype(jnp.float32), group, axis=-1)
+    return q * scales + biases
+
+
+def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
+    w = dequantize(p).astype(x.dtype)
+    y = x @ w.T
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def quantize_array(w: np.ndarray, bits: int = 4, group: int = 64) -> dict:
+    """fp weight (O, I) → quantized param dict (numpy leaves)."""
+    o, i = w.shape
+    assert i % group == 0, f"in_features {i} not divisible by group {group}"
+    wg = w.reshape(o, i // group, group).astype(np.float32)
+    wmax = wg.max(axis=-1)
+    wmin = wg.min(axis=-1)
+    levels = (1 << bits) - 1
+    scales = np.maximum((wmax - wmin) / levels, 1e-8)
+    biases = wmin
+    q = np.clip(np.round((wg - biases[..., None]) / scales[..., None]),
+                0, levels).astype(np.uint32)
+    return {
+        f"weight_q{bits}": pack_uint32(q.reshape(o, i), bits),
+        "scales": scales.astype(np.float32),
+        "biases": biases.astype(np.float32),
+    }
+
+
+def quantize_tree(tree: dict, bits: int = 4, group: int = 64,
+                  predicate=None) -> dict:
+    """Quantize every eligible 2-D "weight" leaf in a param tree (returns a
+    new tree). predicate(path, arr) can veto individual leaves (e.g. keep
+    embeddings or small projections in fp)."""
+    from tpu_audio.utils import pytree
+
+    flat = pytree.flatten(tree)
+    out = {}
+    for k, v in flat.items():
+        if (k.endswith(".weight") and hasattr(v, "ndim") and v.ndim == 2
+                and v.shape[1] % group == 0
+                and (predicate is None or predicate(k, v))):
+            qd = quantize_array(np.asarray(v, np.float32), bits, group)
+            prefix = k[: -len(".weight")]
+            for qk, qv in qd.items():
+                out[f"{prefix}.{qk}"] = jnp.asarray(qv)
+        else:
+            out[k] = v
+    return pytree.unflatten(out)
