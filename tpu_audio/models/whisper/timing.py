@@ -152,7 +152,10 @@ def find_alignment(params, cfg, tokenizer, mel: np.ndarray,
     matrix = w.mean(axis=0)
     matrix = matrix[len(sot_seq): -1]  # rows for generated tokens
 
-    text_indices, time_indices = dtw(-matrix)
+    from tpu_audio import native
+
+    text_indices, time_indices = (native.dtw(-matrix) if native.available()
+                                  else dtw(-matrix))
 
     words, word_tokens = split_tokens_on_spaces(tokenizer, text_tokens + [tokenizer.eot])
     if len(words) == 0:

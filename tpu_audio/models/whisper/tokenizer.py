@@ -48,6 +48,14 @@ class BPE:
         self.ranks = ranks
         self.id_to_bytes = {v: k for k, v in ranks.items()}
         self.pat = _regex.compile(_GPT2_PAT)
+        self._native = None
+        try:  # C++ merge core (native/tpuaudio.cpp) when built
+            from tpu_audio import native as _native_mod
+
+            if _native_mod.available():
+                self._native = _native_mod.NativeBPE(ranks)
+        except Exception:
+            self._native = None
 
     @staticmethod
     def from_tiktoken_file(path: str) -> "BPE":
@@ -84,9 +92,11 @@ class BPE:
         return out
 
     def encode(self, text: str) -> list[int]:
+        merge = (self._native.encode_piece if self._native is not None
+                 else self._bpe_merge)
         ids: list[int] = []
         for piece in self.pat.findall(text):
-            ids.extend(self._bpe_merge(piece.encode("utf-8")))
+            ids.extend(merge(piece.encode("utf-8")))
         return ids
 
     def decode_bytes(self, ids) -> bytes:

@@ -93,6 +93,9 @@ def load_audio(path: str, target_rate: int | None = None) -> tuple[np.ndarray, i
     x, rate = read_wav(path)
     x = to_mono(x)
     if target_rate is not None and rate != target_rate:
-        x = resample(x, rate, target_rate)
+        from tpu_audio import native
+
+        x = (native.resample(x, rate, target_rate) if native.available()
+             else resample(x, rate, target_rate))
         rate = target_rate
     return x, rate
