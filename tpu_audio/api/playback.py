@@ -1,0 +1,132 @@
+"""Playback controller: generation-task lifecycle + streaming sinks.
+
+TPU-native analogue of the reference's TTSPlaybackController
+(package/Protocols/TTSPlaybackController.swift:28-228 —
+createGenerationStream/playStream/collectStream + cancellation) and
+AudioSamplePlayer (package/Audio/AudioSamplePlayer.swift:10-284 —
+30 ms slice enqueue with prebuffer, volume boost 1.25, clip at 0.98).
+
+There is no AVAudioEngine on a TPU host; playback is a sink abstraction:
+the ring-buffer sink (native SPSC buffer) stands in for the audio-device
+queue, and a file sink writes WAV progressively.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from tpu_audio.api.tts import AudioChunk, GenerationStopped, TTSGenerationResult
+from tpu_audio.api.results import AudioResult
+from tpu_audio.utils import constants
+from tpu_audio.utils.logging import get_logger
+
+_log = get_logger("audio")
+
+
+class RingBufferSink:
+    """Streams 30 ms slices into the native SPSC ring buffer with volume
+    boost + clipping, like AudioSamplePlayer.enqueue."""
+
+    def __init__(self, sample_rate: int, capacity_seconds: float = 30.0):
+        from tpu_audio.native import RingBuffer
+
+        self.sample_rate = sample_rate
+        self.slice_size = int(sample_rate * 0.030)
+        self.ring = RingBuffer(int(sample_rate * capacity_seconds))
+        self.total_written = 0
+
+    def write(self, chunk: AudioChunk) -> None:
+        samples = np.clip(chunk.samples * constants.VOLUME_BOOST_FACTOR,
+                          -constants.MAX_SAMPLE_VALUE,
+                          constants.MAX_SAMPLE_VALUE).astype(np.float32)
+        for i in range(0, len(samples), self.slice_size):
+            piece = samples[i: i + self.slice_size]
+            written = 0
+            while written < len(piece):
+                written += self.ring.write(piece[written:])
+                if written < len(piece):
+                    time.sleep(0.005)  # backpressure: consumer drains
+        self.total_written += len(samples)
+
+    def read(self, n: int) -> np.ndarray:
+        return self.ring.read(n)
+
+    def close(self) -> None:
+        pass
+
+
+class FileSink:
+    """Accumulates chunks and writes one WAV on close."""
+
+    def __init__(self, path: str, sample_rate: int):
+        self.path = path
+        self.sample_rate = sample_rate
+        self._parts: list[np.ndarray] = []
+
+    def write(self, chunk: AudioChunk) -> None:
+        self._parts.append(np.asarray(chunk.samples, np.float32))
+
+    def close(self) -> str:
+        from tpu_audio.utils.audio_io import write_wav
+
+        samples = (np.concatenate(self._parts) if self._parts
+                   else np.zeros(0, np.float32))
+        write_wav(self.path, samples, self.sample_rate, dtype="int16")
+        return self.path
+
+
+class NullSink:
+    def write(self, chunk: AudioChunk) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class PlaybackController:
+    """Owns one generation 'task': runs the engine's streaming generator,
+    fans chunks into a sink, tracks first-audio latency, supports stop()."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.time_to_first_audio: float | None = None
+        self._thread: threading.Thread | None = None
+
+    def play_stream(self, text: str, sink=None, **kw) -> TTSGenerationResult:
+        sink = sink or RingBufferSink(self.engine.sample_rate)
+        engine = self.engine
+        engine._stop_flag.clear()
+        engine.is_generating = True
+        engine.is_playing = True
+        parts: list[np.ndarray] = []
+        t0 = time.perf_counter()
+        n_chunks = 0
+        try:
+            for chunk in engine.generate_streaming(text, **kw):
+                if self.time_to_first_audio is None:
+                    self.time_to_first_audio = time.perf_counter() - t0
+                sink.write(chunk)
+                parts.append(np.asarray(chunk.samples, np.float32))
+                n_chunks += 1
+        except GenerationStopped:
+            _log.info("generation stopped by user")
+        finally:
+            engine.is_generating = False
+            engine.is_playing = False
+            sink.close()
+        gen_time = time.perf_counter() - t0
+        engine.generation_time = gen_time
+        samples = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        return TTSGenerationResult(
+            audio=AudioResult(samples=samples, sample_rate=engine.sample_rate,
+                              processing_time=gen_time),
+            chunks=n_chunks, generation_time=gen_time)
+
+    def collect_stream(self, text: str, **kw) -> AudioResult:
+        return self.engine.generate(text, **kw)
+
+    def stop(self) -> None:
+        self.engine.stop()
