@@ -1,0 +1,112 @@
+"""SNAC codec + Orpheus generation tests on tiny random models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.codecs import snac
+from tpu_audio.models.orpheus import model as omodel
+from tpu_audio.models.orpheus.engine import OrpheusEngine
+from tpu_audio.nn import transformer
+from tpu_audio.ops.sampling import SamplerConfig
+
+TINY_SNAC = snac.SNACConfig(decoder_dim=64, decoder_rates=(4, 4, 2, 2),
+                            latent_dim=32, codebook_size=64, codebook_dim=4,
+                            vq_strides=(4, 2, 1))
+
+TINY_LM = transformer.TransformerConfig(
+    dim=64, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=128,
+    vocab_size=omodel.CODE_OFFSET + 7 * omodel.CODEBOOK_SIZE,
+    tie_word_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def snac_params():
+    return snac.init_params(jax.random.PRNGKey(0), TINY_SNAC)
+
+
+class TestSNAC:
+    def test_decode_shape(self, snac_params, rng):
+        frames = 6  # stride-1 frames
+        codes = [
+            jnp.asarray(rng.integers(0, 64, (1, frames // 4 * 1 + 1))[..., : frames // 4 + (frames % 4 > 0)], jnp.int32),
+            jnp.asarray(rng.integers(0, 64, (1, frames // 2)), jnp.int32),
+            jnp.asarray(rng.integers(0, 64, (1, frames)), jnp.int32),
+        ]
+        # use consistent frame counts: 8 stride-1 frames → 2/4/8
+        codes = [jnp.asarray(rng.integers(0, 64, (1, 2)), jnp.int32),
+                 jnp.asarray(rng.integers(0, 64, (1, 4)), jnp.int32),
+                 jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)]
+        audio = snac.decode_codes(snac_params, TINY_SNAC, codes)
+        assert audio.shape == (1, 8 * TINY_SNAC.hop)
+        assert np.isfinite(np.asarray(audio)).all()
+        assert np.abs(np.asarray(audio)).max() <= 1.0  # tanh output
+
+    def test_embed_codes_strides(self, snac_params):
+        codes = [jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 4), jnp.int32),
+                 jnp.zeros((1, 8), jnp.int32)]
+        z = snac.model.embed_codes(snac_params, TINY_SNAC, codes)
+        assert z.shape == (1, 8, TINY_SNAC.latent_dim)
+
+
+class TestParseFrames:
+    def test_layer_assignment(self):
+        base = omodel.CODE_OFFSET
+        cb = omodel.CODEBOOK_SIZE
+        frame = [base + 1, base + cb + 2, base + 2 * cb + 3, base + 3 * cb + 4,
+                 base + 4 * cb + 5, base + 5 * cb + 6, base + 6 * cb + 7]
+        tokens = [omodel.AUDIO_MARKER] + frame + [omodel.END_TOKEN]
+        l1, l2, l3 = omodel.parse_frames(tokens)
+        assert list(l1) == [1]
+        assert list(l2) == [2, 5]
+        assert list(l3) == [3, 4, 6, 7]
+
+    def test_partial_frame_trimmed(self):
+        base = omodel.CODE_OFFSET
+        tokens = [base + i for i in range(10)]  # 10 tokens → 1 frame of 7
+        l1, l2, l3 = omodel.parse_frames(tokens)
+        assert len(l1) == 1 and len(l2) == 2 and len(l3) == 4
+
+    def test_respects_last_marker(self):
+        base = omodel.CODE_OFFSET
+        tokens = ([base + 1] * 7 + [omodel.AUDIO_MARKER] + [base] * 7)
+        l1, _, _ = omodel.parse_frames(tokens)
+        assert list(l1) == [0]
+
+
+class TestCausalLMGenerator:
+    def test_left_pad_bucketing_is_exact(self):
+        """Same prompt through two bucket sizes → same greedy tokens."""
+        params = transformer.init_params(jax.random.PRNGKey(0), TINY_LM)
+        prompt = list(range(10, 30))
+        g1 = omodel.CausalLMGenerator(params, TINY_LM, max_cache=128)
+        out1 = g1.generate(prompt, sampler=SamplerConfig(temperature=0.0),
+                           eos_ids=(1,), max_new=12, bucket=32)
+        out2 = g1.generate(prompt, sampler=SamplerConfig(temperature=0.0),
+                           eos_ids=(1,), max_new=12, bucket=64)
+        assert out1 == out2
+
+    def test_generation_stops_on_eos(self):
+        params = transformer.init_params(jax.random.PRNGKey(1), TINY_LM)
+        g = omodel.CausalLMGenerator(params, TINY_LM, max_cache=128)
+        out = g.generate([5, 6, 7], sampler=SamplerConfig(temperature=0.0),
+                         eos_ids=(1,), max_new=16)
+        assert len(out) <= 16
+
+
+class TestOrpheusEngine:
+    def test_end_to_end_random_weights(self):
+        lm_params = transformer.init_params(jax.random.PRNGKey(2), TINY_LM)
+        snac_params = snac.init_params(jax.random.PRNGKey(3), TINY_SNAC)
+        eng = OrpheusEngine.from_params(lm_params, TINY_LM, snac_params,
+                                        TINY_SNAC, max_cache=256)
+        result = eng.generate("Hello there.", max_new_tokens=64)
+        # random weights rarely emit valid code tokens; just require the
+        # pipeline to complete with finite audio (possibly empty)
+        assert result.sample_rate == 24000
+        assert np.isfinite(result.samples).all()
+
+    def test_voices_and_tags(self):
+        assert "tara" in OrpheusEngine.voices
+        assert "<laugh>" in OrpheusEngine.expression_tags

@@ -1,0 +1,116 @@
+"""Orpheus TTS engine: 8 voices + expression tags, sentence streaming.
+
+Reference: package/TTS/Orpheus/OrpheusEngine.swift:9-28 (voices + tags
+<laugh> <chuckle> <sigh> <cough> <sniffle> <groan> <yawn> <gasp>),
+TTSEngine/OrpheusTTS.swift (per-sentence loop, temp 0.6 / topP 0.8).
+Repos: mlx-community/orpheus-3b-0.1-ft-4bit + mlx-community/snac_24khz.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.api.tts import AudioChunk, StreamingGranularity, TTSEngineBase
+from tpu_audio.codecs import snac
+from tpu_audio.models.orpheus import model as omodel
+from tpu_audio.models.orpheus.model import (CausalLMGenerator, build_prompt_ids,
+                                            parse_frames)
+from tpu_audio.ops.sampling import SamplerConfig
+from tpu_audio.utils import text as textutils
+from tpu_audio.utils.tokenizer import load_tokenizer
+
+LLM_REPO = "mlx-community/orpheus-3b-0.1-ft-4bit"
+SNAC_REPO = "mlx-community/snac_24khz"
+
+
+class OrpheusEngine(TTSEngineBase):
+    sample_rate = omodel.SAMPLE_RATE
+    supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
+    voices = omodel.VOICES
+    expression_tags = omodel.EXPRESSION_TAGS
+
+    def __init__(self, voice: str = "tara", temperature: float = 0.6,
+                 top_p: float = 0.8):
+        super().__init__()
+        self.voice = voice
+        self.temperature = temperature
+        self.top_p = top_p
+        self.lm: CausalLMGenerator | None = None
+        self.snac_params = None
+        self.snac_cfg = snac.SNACConfig()
+        self.tokenizer = None
+        self._snac_fns = {}
+
+    def load(self, progress_handler=None) -> None:
+        if self.is_loaded:
+            return
+        from tpu_audio.models.orpheus import load as oload
+
+        lm_params, cfg, tok, snac_params, snac_cfg = oload.load()
+        self.lm = CausalLMGenerator(lm_params, cfg,
+                                    max_cache=2048, pad_id=omodel.PAD_TOKEN)
+        self.tokenizer = tok
+        self.snac_params = snac_params
+        self.snac_cfg = snac_cfg
+        self.is_loaded = True
+
+    @classmethod
+    def from_params(cls, lm_params, cfg, snac_params,
+                    snac_cfg=None, max_cache: int = 512) -> "OrpheusEngine":
+        eng = cls()
+        eng.lm = CausalLMGenerator(lm_params, cfg, max_cache=max_cache,
+                                   pad_id=omodel.PAD_TOKEN)
+        eng.snac_params = snac_params
+        eng.snac_cfg = snac_cfg or snac.SNACConfig()
+        eng.tokenizer = load_tokenizer(None)
+        eng.is_loaded = True
+        return eng
+
+    # ---------------------------------------------------------------- synthesis
+
+    def _decode_snac(self, layers_: list[np.ndarray]) -> np.ndarray:
+        frames = len(layers_[0])
+        if frames == 0:
+            return np.zeros(0, np.float32)
+        bucket = max(8, -(-frames // 8) * 8)
+        if bucket not in self._snac_fns:
+            self._snac_fns[bucket] = jax.jit(
+                lambda p, c0, c1, c2, k: snac.decode_codes(
+                    p, self.snac_cfg, [c0, c1, c2], k))
+        fn = self._snac_fns[bucket]
+        pad = bucket - frames
+        c = [np.pad(l, (0, pad * s)) for l, s in
+             zip(layers_, (1, 2, 4))]
+        audio = fn(self.snac_params, jnp.asarray(c[0][None]),
+                   jnp.asarray(c[1][None]), jnp.asarray(c[2][None]),
+                   jax.random.PRNGKey(0))
+        # one 7-token frame = 4 stride-1 latent frames × hop samples
+        valid = frames * self.snac_cfg.vq_strides[0] * self.snac_cfg.hop
+        return np.asarray(audio[0][:valid], np.float32)
+
+    def generate_streaming(self, text: str,
+                           granularity: StreamingGranularity | None = None,
+                           max_new_tokens: int = omodel.MAX_TOKENS,
+                           **kw) -> Iterator[AudioChunk]:
+        if self.lm is None:
+            self.load()
+        sampler = SamplerConfig(
+            temperature=self.temperature, top_p=self.top_p,
+            repetition_penalty=1.3,
+            repetition_window=omodel.REPETITION_WINDOW)
+        sentences = textutils.split_into_sentences(text)
+        for si, sentence in enumerate(sentences):
+            self._check_stopped()
+            prompt = f"{self.voice}: {sentence}"
+            ids = build_prompt_ids(self.tokenizer.encode(prompt))
+            generated = self.lm.generate(
+                ids, sampler=sampler, eos_ids=(omodel.END_TOKEN,),
+                max_new=max_new_tokens, seed=si)
+            layers_ = parse_frames(generated)
+            audio = self._decode_snac(layers_)
+            yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
+                             text=sentence, is_final=si == len(sentences) - 1)

@@ -1,0 +1,152 @@
+"""Orpheus TTS: Llama-3B LLM emitting 7-token SNAC frames.
+
+Reference: package/TTS/Orpheus/TTSEngine/OrpheusTTS.swift:52-508 — special
+tokens 128257..128266, double-buffered host decode loop with repetition
+penalty 1.3 over a 20-token window, 7-token frames parsed into 3 SNAC
+layers. Here the whole token loop runs on device (ops/decoding.decode_loop)
+and frame parsing is a host reshape.
+
+Prompt-length bucketing uses LEFT padding with masked-out key slots: RoPE
+attention depends only on position differences, so shifting all real tokens
+right by the pad amount is numerically identical to an unpadded run — one
+compiled executable serves a whole bucket of prompt lengths exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.nn import transformer
+from tpu_audio.ops.decoding import decode_loop
+from tpu_audio.ops.sampling import SamplerConfig
+
+SAMPLE_RATE = 24000
+MAX_TOKENS = 1200
+START_TOKEN = 128259
+END_TOKEN = 128258
+PAD_TOKEN = 128263
+AUDIO_START_TOKEN = 128261
+AUDIO_END_TOKEN = 128262
+VOICE_PREFIX_TOKEN = 128260
+TEXT_END_TOKEN = 128009
+CODE_OFFSET = 128266
+AUDIO_MARKER = 128257
+CODEBOOK_SIZE = 4096
+REPETITION_WINDOW = 20
+
+VOICES = ["tara", "leah", "jess", "leo", "dan", "mia", "zac", "zoe"]
+EXPRESSION_TAGS = ["<laugh>", "<chuckle>", "<sigh>", "<cough>", "<sniffle>",
+                   "<groan>", "<yawn>", "<gasp>"]
+
+# Llama-3.2-3B architecture (orpheus-3b-0.1-ft)
+LLAMA_3B = transformer.TransformerConfig(
+    dim=3072, n_layers=28, n_heads=24, n_kv_heads=8, head_dim=128,
+    hidden_dim=8192, vocab_size=156940, rope_theta=500000.0,
+    rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                  "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                  "original_max_position_embeddings": 8192},
+    norm_eps=1e-5, tie_word_embeddings=True)
+
+
+def build_prompt_ids(text_ids: list[int]) -> list[int]:
+    """[start] + text + [text_end, voice_prefix] (OrpheusTokenizer.
+    prepareInputIds, OrpheusTokenizer.swift:101-150)."""
+    return [START_TOKEN] + list(text_ids) + [TEXT_END_TOKEN, VOICE_PREFIX_TOKEN]
+
+
+class CausalLMGenerator:
+    """Compiled prefill+decode over nn/transformer for any Llama-family
+    config; shared by Orpheus, OuteTTS, Chatterbox T3 and CosyVoice LMs.
+
+    One executable per (prompt bucket, max_new, sampler) combination.
+    """
+
+    def __init__(self, params, cfg: transformer.TransformerConfig,
+                 max_cache: int = 2048, pad_id: int = 0,
+                 cache_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.max_cache = max_cache
+        self.pad_id = pad_id
+        self._fns = {}
+
+    def _fn(self, prompt_pad: int, max_new: int, sampler: SamplerConfig,
+            eos_ids: tuple):
+        key_ = (prompt_pad, max_new, sampler, eos_ids)
+        if key_ in self._fns:
+            return self._fns[key_]
+        cfg = self.cfg
+
+        def run(params, prompt, pad_amount, key):
+            cache = transformer.make_cache(cfg, 1, self.max_cache)
+            # left-padded prompt: mask key slots < pad_amount everywhere
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+            logits, cache = transformer.forward(params, cfg, prompt[None],
+                                                cache, extra_mask=extra)
+            first_logits = logits[0, -1].astype(jnp.float32)
+
+            def step(tok, cache):
+                lg, cache = transformer.forward(params, cfg, tok, cache,
+                                                extra_mask=extra)
+                return lg[:, -1].astype(jnp.float32), cache
+
+            from tpu_audio.ops import sampling as S
+
+            k1, k2 = jax.random.split(key)
+            fl = first_logits[None]
+            if sampler.temperature == 0.0:
+                first = jnp.argmax(fl, axis=-1).astype(jnp.int32)
+            else:
+                fl = S.apply_top_k(fl / sampler.temperature, sampler.top_k)
+                fl = S.apply_top_p(fl, sampler.top_p)
+                fl = S.apply_min_p(fl, sampler.min_p)
+                first = jax.random.categorical(k1, fl, axis=-1).astype(jnp.int32)
+
+            res = decode_loop(k2, step, cache, first, max_new - 1,
+                              eos_ids=eos_ids, sampler=sampler,
+                              pad_id=self.pad_id)
+            return first, res.tokens, res.lengths
+
+        fn = jax.jit(run)
+        self._fns[key_] = fn
+        return fn
+
+    def generate(self, prompt_ids: list[int], *, sampler: SamplerConfig,
+                 eos_ids: tuple, max_new: int, seed: int = 0,
+                 bucket: int = 32) -> list[int]:
+        """Returns generated ids (EOS excluded unless it was the first)."""
+        n = len(prompt_ids)
+        pad = -(-n // bucket) * bucket
+        prompt = np.full(pad, self.pad_id, np.int32)
+        prompt[pad - n:] = prompt_ids
+        fn = self._fn(pad, max_new, sampler, tuple(eos_ids))
+        first, tokens, lengths = fn(self.params, jnp.asarray(prompt),
+                                    jnp.int32(pad - n),
+                                    jax.random.PRNGKey(seed))
+        first = int(first[0])
+        if first in eos_ids:
+            return []
+        return [first] + [int(t) for t in
+                          np.asarray(tokens[0][: int(lengths[0])])]
+
+
+def parse_frames(tokens: list[int]) -> list[np.ndarray]:
+    """7-token frames → 3 SNAC layers (OrpheusTTS.parseOutput:472-508)."""
+    if AUDIO_MARKER in tokens:
+        tokens = tokens[len(tokens) - tokens[::-1].index(AUDIO_MARKER):]
+    toks = [t - CODE_OFFSET for t in tokens
+            if t != END_TOKEN and t >= CODE_OFFSET]
+    n = len(toks) // 7 * 7
+    toks = np.asarray(toks[:n], np.int64).reshape(-1, 7)
+    l1 = toks[:, 0]
+    l2 = np.stack([toks[:, 1] - CODEBOOK_SIZE,
+                   toks[:, 4] - 4 * CODEBOOK_SIZE], 1).reshape(-1)
+    l3 = np.stack([toks[:, 2] - 2 * CODEBOOK_SIZE,
+                   toks[:, 3] - 3 * CODEBOOK_SIZE,
+                   toks[:, 5] - 5 * CODEBOOK_SIZE,
+                   toks[:, 6] - 6 * CODEBOOK_SIZE], 1).reshape(-1)
+    clip = lambda a: np.clip(a, 0, CODEBOOK_SIZE - 1).astype(np.int32)
+    return [clip(l1), clip(l2), clip(l3)]

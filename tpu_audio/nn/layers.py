@@ -212,3 +212,28 @@ def sinusoidal_positions(length: int, dim: int, max_timescale: float = 10000.0) 
     inv = np.exp(-log_inc * np.arange(dim // 2))
     ang = np.arange(length)[:, None] * inv[None, :]
     return np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)
+
+
+def masked_instance_norm(x: jax.Array, valid_len, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm1d over (B, T, C) using only the first `valid_len` frames
+    for the statistics. Required for static-shape padded synthesis: stats
+    over the padded tail would otherwise change every valid frame."""
+    xf = x.astype(jnp.float32)
+    t = x.shape[-2]
+    mask = (jnp.arange(t) < valid_len)[None, :, None].astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+    mu = jnp.sum(xf * mask, axis=-2, keepdims=True) / n
+    var = jnp.sum(((xf - mu) ** 2) * mask, axis=-2, keepdims=True) / n
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * mask).astype(x.dtype)
+
+
+def zero_pad_tail(x: jax.Array, valid_len) -> jax.Array:
+    """Zero frames at and beyond valid_len along axis -2 of (B, T, C)."""
+    t = x.shape[-2]
+    mask = (jnp.arange(t) < valid_len)[None, :, None]
+    return jnp.where(mask, x, 0)
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope)

@@ -47,3 +47,23 @@ def bilstm(p: dict, x: jax.Array) -> jax.Array:
     fwd = lstm(p["fwd"], x)
     bwd = lstm(p["bwd"], x, reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def masked_bilstm(p: dict, x: jax.Array, valid_len) -> jax.Array:
+    """BiLSTM over (B, T, C) where only the first valid_len frames are real.
+
+    The backward direction must start from the LAST VALID frame, not the
+    padded tail (zero inputs still move the hidden state through the
+    biases), so the valid region is index-reversed with a gather before and
+    after the backward scan. Output frames past valid_len are zeroed.
+    """
+    b, t, _ = x.shape
+    ar = jnp.arange(t)
+    mask = (ar < valid_len)[None, :, None]
+    fwd = lstm(p["fwd"], x)
+    flip_idx = jnp.where(ar < valid_len, valid_len - 1 - ar, ar)
+    x_flipped = x[:, flip_idx]
+    bwd_flipped = lstm(p["bwd"], x_flipped)
+    bwd = bwd_flipped[:, flip_idx]
+    out = jnp.concatenate([fwd, bwd], axis=-1)
+    return jnp.where(mask, out, 0)
