@@ -16,6 +16,11 @@ Public entry points mirror the reference factories
 
 __version__ = "0.1.0"
 
+from tpu_audio.utils.runtime import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache
+
 _LAZY = {
     "STT": "tpu_audio.api.stt",
     "TTS": "tpu_audio.api.tts",

@@ -23,6 +23,8 @@ class ByteFallbackTokenizer:
     def decode(self, ids) -> str:
         return bytes(int(i) % 256 for i in ids).decode("utf-8", "replace")
 
+    decode_raw = decode
+
 
 class HFTokenizer:
     def __init__(self, path: str):
@@ -36,6 +38,11 @@ class HFTokenizer:
 
     def decode(self, ids) -> str:
         return self._tok.decode(list(map(int, ids)), skip_special_tokens=True)
+
+    def decode_raw(self, ids) -> str:
+        """Decode KEEPING special tokens (needed to extract <|c1_N|>-style
+        audio-code tokens from generated streams)."""
+        return self._tok.decode(list(map(int, ids)), skip_special_tokens=False)
 
 
 def load_tokenizer(model_dir: str | None):
