@@ -1,0 +1,104 @@
+"""Mimi codec + Marvis dual-transformer tests on tiny random models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.codecs import mimi
+from tpu_audio.models.marvis import model as mmodel
+from tpu_audio.models.marvis.engine import MarvisEngine
+from tpu_audio.nn import transformer
+
+TINY_MIMI = mimi.MimiConfig(dimension=32, n_filters=4, ratios=(4, 3, 2),
+                            t_layers=2, t_heads=4, t_ff=64, n_q=4, bins=16,
+                            q_dim=8)
+
+TINY_MARVIS = mmodel.MarvisConfig(
+    backbone=transformer.TransformerConfig(dim=32, n_layers=2, n_heads=4,
+                                           n_kv_heads=2, hidden_dim=64),
+    decoder=transformer.TransformerConfig(dim=16, n_layers=1, n_heads=2,
+                                          n_kv_heads=2, hidden_dim=32),
+    text_vocab_size=300, audio_vocab_size=32, n_codebooks=4)
+
+
+@pytest.fixture(scope="module")
+def mimi_params():
+    return mimi.init_params(jax.random.PRNGKey(0), TINY_MIMI)
+
+
+@pytest.fixture(scope="module")
+def marvis_params():
+    return mmodel.init_params(jax.random.PRNGKey(1), TINY_MARVIS)
+
+
+class TestMimi:
+    def test_encode_decode_shapes(self, mimi_params, rng):
+        hop = TINY_MIMI.hop  # 4*3*2*2 = 48
+        audio = jnp.asarray(rng.standard_normal((1, hop * 6)), jnp.float32)
+        codes = mimi.encode(mimi_params, TINY_MIMI, audio)
+        assert codes.shape == (1, TINY_MIMI.n_q, 6)
+        assert np.asarray(codes).min() >= 0
+        assert np.asarray(codes).max() < TINY_MIMI.bins
+        recon = mimi.decode(mimi_params, TINY_MIMI, codes)
+        assert recon.shape == (1, hop * 6)
+        assert np.isfinite(np.asarray(recon)).all()
+
+    def test_decode_fewer_codebooks(self, mimi_params, rng):
+        codes = jnp.asarray(rng.integers(0, 16, (1, 2, 5)), jnp.int32)
+        recon = mimi.decode(mimi_params, TINY_MIMI, codes)
+        assert recon.shape == (1, TINY_MIMI.hop * 5)
+
+    def test_causal_streaming_equivalence(self, mimi_params, rng):
+        """Causality: decoding a prefix gives the same audio as the prefix
+        of decoding the whole sequence."""
+        codes = jnp.asarray(rng.integers(0, 16, (1, 4, 8)), jnp.int32)
+        full = np.asarray(mimi.decode(mimi_params, TINY_MIMI, codes))
+        part = np.asarray(mimi.decode(mimi_params, TINY_MIMI, codes[:, :, :5]))
+        np.testing.assert_allclose(part[0], full[0, : part.shape[1]],
+                                   atol=1e-4)
+
+
+class TestMarvis:
+    def test_frame_step_shapes(self, marvis_params):
+        cfg = TINY_MARVIS
+        k = cfg.n_codebooks
+        tokens = jnp.zeros((1, 5, k + 1), jnp.int32)
+        mask = jnp.ones((1, 5, k + 1), jnp.bool_)
+        cache = transformer.make_cache(cfg.backbone, 1, 32, dtype=jnp.float32)
+        frame, cache2 = mmodel.frame_step(
+            marvis_params, cfg, tokens, mask, cache, jax.random.PRNGKey(0),
+            max_codebooks=k, temperature=0.9, top_k=8)
+        assert frame.shape == (1, k)
+        assert int(cache2.pos) == 5
+        assert np.asarray(frame).min() >= 0
+        assert np.asarray(frame).max() < cfg.audio_vocab_size
+
+    def test_fewer_codebooks(self, marvis_params):
+        cfg = TINY_MARVIS
+        tokens = jnp.zeros((1, 3, cfg.n_codebooks + 1), jnp.int32)
+        mask = jnp.ones_like(tokens, dtype=jnp.bool_)
+        cache = transformer.make_cache(cfg.backbone, 1, 16, dtype=jnp.float32)
+        frame, _ = mmodel.frame_step(
+            marvis_params, cfg, tokens, mask, cache, jax.random.PRNGKey(1),
+            max_codebooks=2, temperature=0.0, top_k=0)
+        assert frame.shape == (1, 2)
+
+    def test_engine_end_to_end(self, marvis_params, mimi_params):
+        eng = MarvisEngine.from_params(marvis_params, TINY_MARVIS,
+                                       mimi_params, TINY_MIMI, max_frames=6)
+        eng.quality = "low"  # 8 codebooks, clipped to the model's 4
+        assert eng.n_codebooks == 4
+        res = eng.generate("Hello.")
+        assert res.sample_rate == 24000
+        assert np.isfinite(res.samples).all()
+
+    def test_engine_streaming_chunks(self, marvis_params, mimi_params):
+        from tpu_audio.api.tts import StreamingGranularity
+
+        eng = MarvisEngine.from_params(marvis_params, TINY_MARVIS,
+                                       mimi_params, TINY_MIMI, max_frames=8)
+        eng.quality = "low"
+        chunks = list(eng.generate_streaming(
+            "Hi.", granularity=StreamingGranularity.FRAME))
+        assert chunks[-1].is_final

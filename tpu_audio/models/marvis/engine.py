@@ -1,0 +1,208 @@
+"""Marvis TTS engine: frame-granularity streaming via Mimi.
+
+Reference: package/TTS/Marvis/MarvisTTS.swift:25-523 + MarvisEngine.swift —
+text prompt "[speaker]text" in the (K+1)-th frame column, per-sentence
+frame loop with zero-frame EOS, 12.5 tok/s streaming interval, quality
+levels low/8 medium/16 high/24 max/32 codebooks. Repos:
+Marvis-AI/marvis-tts-{100m,250m}-v0.2-MLX-6bit + kyutai Mimi weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.api.tts import AudioChunk, StreamingGranularity, TTSEngineBase
+from tpu_audio.codecs import mimi
+from tpu_audio.models.marvis import model as mmodel
+from tpu_audio.nn import transformer
+from tpu_audio.utils import constants
+from tpu_audio.utils import text as textutils
+from tpu_audio.utils.tokenizer import load_tokenizer
+
+REPOS = {"100m": "Marvis-AI/marvis-tts-100m-v0.2-MLX-6bit",
+         "250m": "Marvis-AI/marvis-tts-250m-v0.2-MLX-6bit"}
+
+
+class MarvisEngine(TTSEngineBase):
+    sample_rate = 24000
+    supported_streaming_granularities = (StreamingGranularity.SENTENCE,
+                                         StreamingGranularity.FRAME)
+    default_streaming_granularity = StreamingGranularity.FRAME
+
+    def __init__(self, quality: str = "high", model: str = "250m",
+                 speaker: int = 0, temperature: float = 0.9, top_k: int = 50):
+        super().__init__()
+        self.quality = quality
+        self.model_size = model
+        self.speaker = speaker
+        self.temperature = temperature
+        self.top_k = top_k
+        self.params = None
+        self.cfg = mmodel.MarvisConfig()
+        self.mimi_params = None
+        self.mimi_cfg = mimi.MimiConfig()
+        self.tokenizer = None
+        self._frame_fns = {}
+        self._mimi_fns = {}
+        self.max_frames = 512  # 40 s cap per sentence
+
+    @property
+    def n_codebooks(self) -> int:
+        return min(constants.MARVIS_CODEBOOKS[self.quality],
+                   self.cfg.n_codebooks)
+
+    def load(self, progress_handler=None) -> None:
+        if self.is_loaded:
+            return
+        from tpu_audio.models.marvis import load as mload
+
+        (self.params, self.cfg, self.tokenizer,
+         self.mimi_params, self.mimi_cfg) = mload.load(REPOS[self.model_size])
+        self.is_loaded = True
+
+    @classmethod
+    def from_params(cls, params, cfg, mimi_params, mimi_cfg,
+                    tokenizer=None, max_frames: int = 64) -> "MarvisEngine":
+        eng = cls()
+        eng.params = params
+        eng.cfg = cfg
+        eng.mimi_params = mimi_params
+        eng.mimi_cfg = mimi_cfg
+        eng.tokenizer = tokenizer or load_tokenizer(None)
+        eng.max_frames = max_frames
+        eng.is_loaded = True
+        return eng
+
+    # ---------------------------------------------------------------- internals
+
+    def _fns(self, prompt_pad: int, k: int):
+        key_ = (prompt_pad, k)
+        if key_ in self._frame_fns:
+            return self._frame_fns[key_]
+        cfg = self.cfg
+        kk = cfg.n_codebooks
+
+        step = functools.partial(mmodel.frame_step, cfg=cfg, max_codebooks=k,
+                                 temperature=self.temperature,
+                                 top_k=self.top_k)
+
+        @jax.jit
+        def prefill(params, tokens, mask, pad_amount, key):
+            cache = transformer.make_cache(cfg.backbone, 1,
+                                           prompt_pad + self.max_frames + 8,
+                                           dtype=jnp.float32)
+            slot = jnp.arange(cache.max_len)
+            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+            frame, cache = step(params, tokens=tokens, mask=mask,
+                                bb_cache=cache, key=key, extra_mask=extra)
+            return frame, cache, extra
+
+        @jax.jit
+        def frame_fn(params, frame, cache, extra, key):
+            tokens = jnp.concatenate(
+                [frame, jnp.zeros((1, 1), jnp.int32)], axis=-1)[:, None, :]
+            mask = jnp.concatenate(
+                [jnp.ones((1, 1, frame.shape[-1]), jnp.bool_),
+                 jnp.zeros((1, 1, 1), jnp.bool_)], axis=-1)
+            # pad mask/tokens to K+1 columns
+            pad_cols = kk - frame.shape[-1]
+            if pad_cols:
+                tokens = jnp.concatenate(
+                    [tokens[..., :-1],
+                     jnp.zeros((1, 1, pad_cols), jnp.int32),
+                     tokens[..., -1:]], axis=-1)
+                mask = jnp.concatenate(
+                    [mask[..., :-1], jnp.zeros((1, 1, pad_cols), jnp.bool_),
+                     mask[..., -1:]], axis=-1)
+            return step(params, tokens=tokens, mask=mask, bb_cache=cache,
+                        key=key, extra_mask=extra)
+
+        self._frame_fns[key_] = (prefill, frame_fn)
+        return self._frame_fns[key_]
+
+    def _tokenize_text(self, text: str):
+        """Frame rows for the text prompt: id in the last column."""
+        k = self.cfg.n_codebooks
+        ids = self.tokenizer.encode(f"[{self.speaker}]{text}")
+        t = len(ids)
+        tokens = np.zeros((t, k + 1), np.int32)
+        tokens[:, -1] = ids
+        mask = np.zeros((t, k + 1), bool)
+        mask[:, -1] = True
+        return tokens, mask
+
+    def _decode_frames(self, frames: np.ndarray) -> np.ndarray:
+        """(T, K_used) codes → audio; pad codebooks beyond K_used with 0."""
+        t = frames.shape[0]
+        if t == 0:
+            return np.zeros(0, np.float32)
+        bucket = -(-t // 8) * 8
+        key_ = (bucket, frames.shape[1])
+        if key_ not in self._mimi_fns:
+            self._mimi_fns[key_] = jax.jit(
+                lambda p, c: mimi.decode(p, self.mimi_cfg, c))
+        codes = np.zeros((1, frames.shape[1], bucket), np.int32)
+        codes[0, :, :t] = frames.T
+        audio = self._mimi_fns[key_](self.mimi_params, jnp.asarray(codes))
+        return np.asarray(audio[0][: t * self.mimi_cfg.hop], np.float32)
+
+    # ---------------------------------------------------------------- synthesis
+
+    def generate_streaming(self, text: str,
+                           granularity: StreamingGranularity | None = None,
+                           **kw) -> Iterator[AudioChunk]:
+        if self.params is None:
+            self.load()
+        granularity = granularity or self.default_streaming_granularity
+        k = self.n_codebooks
+        stream_frames = constants.streaming_interval_tokens(
+            constants.DEFAULT_STREAMING_INTERVAL) or 6
+
+        sentences = textutils.split_into_sentences(text)
+        for si, sentence in enumerate(sentences):
+            self._check_stopped()
+            tokens, mask = self._tokenize_text(sentence)
+            n = tokens.shape[0]
+            pad = -(-n // 32) * 32
+            tok_pad = np.zeros((1, pad, tokens.shape[1]), np.int32)
+            mask_pad = np.zeros((1, pad, tokens.shape[1]), bool)
+            tok_pad[0, pad - n:] = tokens
+            mask_pad[0, pad - n:] = mask
+
+            prefill, frame_fn = self._fns(pad, k)
+            key = jax.random.PRNGKey(si)
+            key, sub = jax.random.split(key)
+            frame, cache, extra = prefill(self.params, jnp.asarray(tok_pad),
+                                          jnp.asarray(mask_pad),
+                                          jnp.int32(pad - n), sub)
+            frames = []
+            pending = []
+            for fi in range(self.max_frames):
+                f_host = np.asarray(frame[0])
+                if np.all(f_host == 0):
+                    break
+                frames.append(f_host)
+                pending.append(f_host)
+                if granularity == StreamingGranularity.FRAME and \
+                        len(pending) >= stream_frames:
+                    audio = self._decode_frames(np.stack(pending))
+                    pending = []
+                    yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
+                                     text=sentence, is_final=False)
+                key, sub = jax.random.split(key)
+                frame, cache = frame_fn(self.params, jnp.asarray(f_host[None]),
+                                        cache, extra, sub)
+
+            if granularity == StreamingGranularity.FRAME:
+                tail = pending
+            else:
+                tail = frames
+            audio = self._decode_frames(np.stack(tail)) if tail else \
+                np.zeros(0, np.float32)
+            yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
+                             text=sentence, is_final=si == len(sentences) - 1)

@@ -1,0 +1,125 @@
+"""Marvis TTS (CSM-style dual transformer + Mimi codec).
+
+Reference: package/TTS/Marvis/Models/MarvisModel.swift:365-587 — a Llama
+backbone predicts codebook 0 from summed text+audio frame embeddings; a
+small depth decoder (fresh KV cache per frame) predicts codebooks 1..K-1
+autoregressively, with per-codebook output heads (audio_head tensor).
+Frames are (K+1)-wide: K audio codebooks + 1 text column, masked per row.
+
+TPU design: one compiled `frame_step` generates a complete K-codebook frame
+(backbone step + unrolled depth loop) with the backbone cache carried
+in/out; the sentence loop feeds frames back until the zero-frame EOS.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.nn import layers, transformer
+from tpu_audio.ops import sampling
+from tpu_audio.ops.kvcache import KVCache
+
+# marvis-tts-250m flavors (Models/MarvisLlamaBackbone.swift / config.json)
+BACKBONE_250M = transformer.TransformerConfig(
+    dim=1024, n_layers=16, n_heads=16, n_kv_heads=8, hidden_dim=4096,
+    rope_theta=500000.0,
+    rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                  "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                  "original_max_position_embeddings": 8192})
+DECODER_250M = transformer.TransformerConfig(
+    dim=1024, n_layers=4, n_heads=8, n_kv_heads=2, hidden_dim=4096,
+    rope_theta=500000.0)
+
+
+@dataclass(frozen=True)
+class MarvisConfig:
+    backbone: transformer.TransformerConfig = BACKBONE_250M
+    decoder: transformer.TransformerConfig = DECODER_250M
+    text_vocab_size: int = 128256
+    audio_vocab_size: int = 2048
+    n_codebooks: int = 32
+    sample_rate: int = 24000
+    frame_rate: float = 12.5
+
+
+def init_params(key, cfg: MarvisConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 8)
+    bb = transformer.init_params(ks[0], cfg.backbone, dtype)
+    dec = transformer.init_params(ks[1], cfg.decoder, dtype)
+    return {
+        "backbone": bb,
+        "decoder": dec,
+        "text_embeddings": layers.init_embedding(
+            ks[2], cfg.text_vocab_size, cfg.backbone.dim, dtype),
+        "audio_embeddings": layers.init_embedding(
+            ks[3], cfg.audio_vocab_size * cfg.n_codebooks, cfg.backbone.dim,
+            dtype),
+        "projection": layers.init_linear(ks[4], cfg.backbone.dim,
+                                         cfg.decoder.dim, False, dtype),
+        "codebook0_head": layers.init_linear(ks[5], cfg.backbone.dim,
+                                             cfg.audio_vocab_size, False, dtype),
+        "audio_head": jax.random.normal(
+            ks[6], (cfg.n_codebooks - 1, cfg.decoder.dim,
+                    cfg.audio_vocab_size), dtype) * 0.02,
+    }
+
+
+def embed_frame_tokens(params, cfg: MarvisConfig, tokens: jax.Array,
+                       mask: jax.Array) -> jax.Array:
+    """tokens (B, T, K+1) int32, mask (B, T, K+1) → summed embeds (B, T, D).
+
+    Column K is the text id; columns 0..K-1 are audio codes offset by
+    codebook index into the combined audio embedding table."""
+    k = cfg.n_codebooks
+    audio_ids = tokens[..., :k] + (jnp.arange(k) * cfg.audio_vocab_size)
+    audio_emb = layers.embedding(params["audio_embeddings"], audio_ids)
+    text_emb = layers.embedding(params["text_embeddings"], tokens[..., k])
+    embeds = jnp.concatenate([audio_emb, text_emb[..., None, :]], axis=-2)
+    return jnp.sum(embeds * mask[..., None].astype(embeds.dtype), axis=-2)
+
+
+def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
+               bb_cache: KVCache, key, *, max_codebooks: int,
+               temperature: float = 0.9, top_k: int = 50,
+               extra_mask=None):
+    """Generate one K-codebook frame. tokens (B, T, K+1) is the new input
+    (prompt at prefill, previous frame afterwards). Returns
+    (frame (B, max_codebooks), advanced bb_cache)."""
+    h = embed_frame_tokens(params, cfg, tokens, mask)
+    h, bb_cache = transformer.forward_hidden(params["backbone"], cfg.backbone,
+                                             h, bb_cache, extra_mask)
+    last_h = h[:, -1]  # (B, D)
+    b = last_h.shape[0]
+
+    def sample(k_, logits):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lg = sampling.apply_top_k(logits.astype(jnp.float32) / temperature,
+                                  top_k)
+        return jax.random.categorical(k_, lg, axis=-1).astype(jnp.int32)
+
+    keys = jax.random.split(key, max_codebooks)
+    c0 = sample(keys[0], layers.linear(params["codebook0_head"], last_h))
+    c0_embed = layers.embedding(params["audio_embeddings"], c0[:, None])
+
+    samples = [c0]
+    # depth decoder: fresh cache, sequence [h, c0_emb, c1_emb, ...]
+    dec_cache = transformer.make_cache(cfg.decoder, b, cfg.n_codebooks + 1,
+                                       dtype=last_h.dtype)
+    curr = jnp.concatenate([last_h[:, None], c0_embed], axis=1)
+    for i in range(1, max_codebooks):
+        dh, dec_cache = transformer.forward_hidden(
+            params["decoder"], cfg.decoder,
+            layers.linear(params["projection"], curr), dec_cache)
+        w = params["audio_head"][i - 1]
+        ci_logits = dh[:, -1] @ w.astype(dh.dtype)
+        ci = sample(keys[i], ci_logits)
+        samples.append(ci)
+        curr = layers.embedding(
+            params["audio_embeddings"],
+            (ci + i * cfg.audio_vocab_size)[:, None])
+    return jnp.stack(samples, axis=1), bb_cache

@@ -109,12 +109,13 @@ def init_params(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
 
     keys = jax.random.split(key, cfg.n_layers + 3)
     p = {
-        "embed": layers.init_embedding(keys[0], cfg.vocab_size, cfg.dim, dtype),
         "layers": pytree.stack_layers(
             [init_layer(keys[i + 1], cfg, dtype) for i in range(cfg.n_layers)]
         ),
         "norm": layers.init_norm(cfg.dim, cfg.norm == "ln", dtype),
     }
+    if cfg.vocab_size:
+        p["embed"] = layers.init_embedding(keys[0], cfg.vocab_size, cfg.dim, dtype)
     if cfg.pos_emb == "learned":
         p["pos_embed"] = layers.init_embedding(
             keys[-2], cfg.max_position_embeddings, cfg.dim, dtype

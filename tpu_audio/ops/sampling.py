@@ -36,7 +36,7 @@ class SamplerConfig:
 
 
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
-    if k <= 0:
+    if k <= 0 or k >= logits.shape[-1]:
         return logits
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
