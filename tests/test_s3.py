@@ -1,0 +1,144 @@
+"""S3 stack tests: tokenizer FSQ, HiFT vocoder, flow matching, conformer,
+CAMPPlus, end-to-end token2wav on tiny random models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.codecs import s3tokenizer
+from tpu_audio.codecs.s3gen import campplus, conformer, flow, hift
+from tpu_audio.codecs.s3gen import model as s3gen
+
+TINY_TOK = s3tokenizer.S3TokenizerConfig(
+    n_mels=16, n_audio_state=64, n_audio_head=4, n_audio_layer=2)
+
+TINY_HIFT = hift.HiFTConfig(in_channels=16, base_channels=32,
+                            upsample_rates=(4, 3), upsample_kernels=(8, 7),
+                            source_resblock_kernels=(7, 11),
+                            source_resblock_dilations=((1, 3, 5), (1, 3, 5)),
+                            resblock_kernels=(3,),
+                            resblock_dilations=((1, 3, 5),))
+
+TINY_CONF = conformer.ConformerConfig(input_size=32, output_size=32,
+                                      heads=4, linear_units=64, num_blocks=2,
+                                      num_up_blocks=1)
+
+TINY_EST = flow.EstimatorConfig(in_channels=16 * 4, out_channels=16,
+                                channels=32, n_blocks=1, num_mid_blocks=2,
+                                num_heads=4)
+
+TINY_CAMP = campplus.CAMPPlusConfig(feat_dim=16, embedding_size=24,
+                                    growth_rate=8, bn_size=2,
+                                    init_channels=16, blocks=(2, 2),
+                                    kernels=(3, 3), dilations=(1, 2))
+
+
+class TestS3Tokenizer:
+    def test_quantize_shapes_and_range(self, rng):
+        params = s3tokenizer.init_params(jax.random.PRNGKey(0), TINY_TOK)
+        mel = jnp.asarray(rng.standard_normal((1, 40, 16)), jnp.float32)
+        codes, code_len = s3tokenizer.quantize(params, TINY_TOK, mel,
+                                               jnp.asarray([40]))
+        assert codes.shape == (1, 10)  # stride 4 total
+        assert int(code_len[0]) == 10
+        c = np.asarray(codes)
+        assert c.min() >= 0 and c.max() < 6561
+
+    def test_fsq_determinism(self, rng):
+        params = s3tokenizer.init_params(jax.random.PRNGKey(1), TINY_TOK)
+        h = jnp.asarray(rng.standard_normal((1, 5, 64)), jnp.float32)
+        c1 = s3tokenizer.model.fsq_encode(params, h)
+        c2 = s3tokenizer.model.fsq_encode(params, h)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+class TestHiFT:
+    def test_generate_shapes(self, rng):
+        params = hift.init_params(jax.random.PRNGKey(0), TINY_HIFT)
+        mel = jnp.asarray(rng.standard_normal((1, 20, 16)) * 0.1, jnp.float32)
+        audio, source = hift.generate(params, TINY_HIFT, mel,
+                                      jax.random.PRNGKey(1))
+        assert audio.shape == (1, 20 * TINY_HIFT.upsample_scale)
+        assert np.abs(np.asarray(audio)).max() <= TINY_HIFT.audio_limit + 1e-5
+        assert source.shape[1] == 20 * TINY_HIFT.upsample_scale
+
+    def test_source_cache_continuity(self, rng):
+        params = hift.init_params(jax.random.PRNGKey(0), TINY_HIFT)
+        mel = jnp.asarray(rng.standard_normal((1, 12, 16)) * 0.1, jnp.float32)
+        _, source = hift.generate(params, TINY_HIFT, mel, jax.random.PRNGKey(1))
+        audio2, _ = hift.generate(params, TINY_HIFT, mel, jax.random.PRNGKey(2),
+                                  cache_source=source[:, :100])
+        assert np.isfinite(np.asarray(audio2)).all()
+
+
+class TestConformer:
+    def test_forward_upsamples(self, rng):
+        params = conformer.init_params(jax.random.PRNGKey(0), TINY_CONF)
+        x = jnp.asarray(rng.standard_normal((1, 12, 32)), jnp.float32)
+        y, lens = conformer.forward(params, TINY_CONF, x, jnp.asarray([10]))
+        assert y.shape == (1, 24, 32)
+        assert int(lens[0]) == 20
+
+    def test_rel_shift(self):
+        x = jnp.arange(2 * 5 * 9, dtype=jnp.float32).reshape(1, 2, 5, 9)
+        out = conformer._rel_shift(x)
+        assert out.shape == (1, 2, 5, 5)
+        # row i should start at position (T-1-i) of the rel axis
+        np.testing.assert_array_equal(np.asarray(out[0, 0, 0, :2]),
+                                      np.asarray(x[0, 0, 0, 4:6]))
+
+
+class TestFlow:
+    def test_estimator_shapes(self, rng):
+        params = flow.init_estimator(jax.random.PRNGKey(0), TINY_EST)
+        x = jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+        v = flow.estimator_forward(params, TINY_EST, x, jnp.asarray([10, 8]),
+                                   x, jnp.asarray([0.5, 0.5]),
+                                   spks=jnp.zeros((2, 16)),
+                                   cond=jnp.zeros((2, 10, 16)))
+        assert v.shape == (2, 10, 16)
+        assert np.isfinite(np.asarray(v)).all()
+
+    def test_cfm_integration(self, rng):
+        params = flow.init_estimator(jax.random.PRNGKey(0), TINY_EST)
+        cfm_cfg = flow.CFMConfig(n_timesteps=2)
+        mu = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+        mel = flow.cfm_inference(params, TINY_EST, cfm_cfg, mu,
+                                 jnp.asarray([8]), jnp.zeros((1, 16)),
+                                 jnp.zeros((1, 8, 16)), jax.random.PRNGKey(2))
+        assert mel.shape == (1, 8, 16)
+        assert np.isfinite(np.asarray(mel)).all()
+
+
+class TestCAMPPlus:
+    def test_embed_shape(self, rng):
+        params = campplus.init_params(jax.random.PRNGKey(0), TINY_CAMP)
+        fbank = jnp.asarray(rng.standard_normal((1, 120, 16)), jnp.float32)
+        emb = campplus.embed(params, TINY_CAMP, fbank)
+        assert emb.shape == (1, 24)
+        assert np.isfinite(np.asarray(emb)).all()
+
+
+class TestS3GenEndToEnd:
+    def test_token2wav(self, rng):
+        cfg = s3gen.S3GenConfig(
+            vocab_size=64, input_dim=32, spk_dim=24, mel_dim=16,
+            conformer=TINY_CONF, estimator=TINY_EST,
+            cfm=flow.CFMConfig(n_timesteps=2), hift=TINY_HIFT,
+            campplus=TINY_CAMP)
+        params = s3gen.init_params(jax.random.PRNGKey(0), cfg)
+        tokens = jnp.asarray(rng.integers(0, 64, (1, 10)), jnp.int32)
+        prompt_tokens = jnp.asarray(rng.integers(0, 64, (1, 4)), jnp.int32)
+        prompt_mel = jnp.asarray(rng.standard_normal((1, 8, 16)) * 0.1,
+                                 jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((1, 24)), jnp.float32)
+        audio, start, valid = s3gen.token2wav(
+            params, cfg, tokens, jnp.asarray([10]), prompt_tokens,
+            jnp.asarray([4]), prompt_mel, jnp.asarray([8]), emb,
+            jax.random.PRNGKey(3))
+        ups = cfg.hift.upsample_scale
+        assert audio.shape == (1, 28 * ups)  # (4+10)*2 mel frames
+        assert int(start) == 8 * ups
+        assert int(valid) == 20 * ups
+        assert np.isfinite(np.asarray(audio)).all()

@@ -1,0 +1,232 @@
+"""HiFT-Net vocoder: mel → F0 → harmonic NSF source → iSTFT synthesis.
+
+Reference: package/Codec/S3Gen/HiFiGAN.swift:380-624 + F0Predictor.swift —
+ConvRNN F0 predictor (5× conv k3 + ELU → |linear|), SourceModuleHnNSF
+harmonic sine source, source-STFT fusion into the upsample stack
+(rates 8/5/3 kernels 16/11/7 for the 24 kHz S3Gen build — S3Gen.swift:
+250-257), magnitude/phase head, iSTFT n_fft 16 hop 4, ±0.99 clip.
+Source cache in/out supports glitch-free streaming.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.nn import layers
+from tpu_audio.ops import windows
+
+
+@dataclass(frozen=True)
+class HiFTConfig:
+    in_channels: int = 80
+    base_channels: int = 512
+    nb_harmonics: int = 8
+    sampling_rate: int = 24000
+    nsf_alpha: float = 0.1
+    nsf_sigma: float = 0.003
+    nsf_voiced_threshold: float = 10.0
+    upsample_rates: tuple = (8, 5, 3)
+    upsample_kernels: tuple = (16, 11, 7)
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+    resblock_kernels: tuple = (3, 7, 11)
+    resblock_dilations: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    source_resblock_kernels: tuple = (7, 7, 11)
+    source_resblock_dilations: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    lrelu_slope: float = 0.1
+    audio_limit: float = 0.99
+
+    @property
+    def upsample_scale(self) -> int:
+        s = self.istft_hop
+        for r in self.upsample_rates:
+            s *= r
+        return s  # samples per mel frame (480)
+
+
+# ------------------------------------------------------------------ init
+
+def _res_block_init(ks, ch, kernel, dils, dtype):
+    return {
+        "convs1": {str(i): layers.init_conv1d(next(ks), ch, ch, kernel,
+                                              dtype=dtype)
+                   for i in range(len(dils))},
+        "convs2": {str(i): layers.init_conv1d(next(ks), ch, ch, kernel,
+                                              dtype=dtype)
+                   for i in range(len(dils))},
+    }
+
+
+def init_params(key, cfg: HiFTConfig, dtype=jnp.float32) -> dict:
+    ks = iter(jax.random.split(key, 128))
+    bc = cfg.base_channels
+    nfft = cfg.istft_n_fft
+    p = {
+        "m_source": {"l_linear": layers.init_linear(
+            next(ks), cfg.nb_harmonics + 1, 1, True, dtype)},
+        "conv_pre": layers.init_conv1d(next(ks), cfg.in_channels, bc, 7,
+                                       dtype=dtype),
+        "ups": {}, "source_downs": {}, "source_resblocks": {},
+        "resblocks": {},
+        "conv_post": layers.init_conv1d(next(ks), bc // (1 << len(cfg.upsample_rates)),
+                                        nfft + 2, 7, dtype=dtype),
+        "f0_predictor": {
+            "condnet": {str(i): layers.init_conv1d(
+                next(ks), cfg.in_channels if i == 0 else 512, 512, 3,
+                dtype=dtype) for i in range(5)},
+            "classifier": layers.init_linear(next(ks), 512, 1, True, dtype),
+        },
+    }
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        p["ups"][str(i)] = layers.init_conv1d(
+            next(ks), bc // (1 << i), bc // (1 << (i + 1)), k, dtype=dtype)
+    # source downsample rates: cumulative products of reversed rates
+    down_rates = [1] + list(reversed(cfg.upsample_rates))[:-1]
+    cum = []
+    c = 1
+    for r in down_rates:
+        c *= r
+        cum.append(c)
+    for i, u in enumerate(reversed(cum)):
+        ch = bc // (1 << (i + 1))
+        if u == 1:
+            p["source_downs"][str(i)] = layers.init_conv1d(
+                next(ks), nfft + 2, ch, 1, dtype=dtype)
+        else:
+            p["source_downs"][str(i)] = layers.init_conv1d(
+                next(ks), nfft + 2, ch, u * 2, dtype=dtype)
+        p["source_resblocks"][str(i)] = _res_block_init(
+            ks, ch, cfg.source_resblock_kernels[i],
+            cfg.source_resblock_dilations[i], dtype)
+    for i in range(len(cfg.upsample_rates)):
+        ch = bc // (1 << (i + 1))
+        for j, (k, d) in enumerate(zip(cfg.resblock_kernels,
+                                       cfg.resblock_dilations)):
+            p["resblocks"][str(i * len(cfg.resblock_kernels) + j)] = \
+                _res_block_init(ks, ch, k, d, dtype)
+    return p
+
+
+# ------------------------------------------------------------------ forward
+
+def _res_block(p, x, kernel, dilations, slope):
+    for i, d in enumerate(dilations):
+        i_ = str(i)
+        xt = jax.nn.leaky_relu(x, slope)
+        xt = layers.conv1d(p["convs1"][i_], xt,
+                           padding=(kernel * d - d) // 2, dilation=d)
+        xt = jax.nn.leaky_relu(xt, slope)
+        xt = layers.conv1d(p["convs2"][i_], xt, padding=(kernel - 1) // 2)
+        x = x + xt
+    return x
+
+
+def f0_predict(p, mel: jax.Array) -> jax.Array:
+    """mel (B, T, 80) → F0 (B, T)."""
+    x = mel
+    for i in range(5):
+        x = jax.nn.elu(layers.conv1d(p["condnet"][str(i)], x, padding=1))
+    return jnp.abs(layers.linear(p["classifier"], x))[..., 0]
+
+
+def sine_source(p, cfg: HiFTConfig, f0_up: jax.Array, key) -> jax.Array:
+    """f0 upsampled to sample rate (B, T, 1) → merged harmonic source
+    (SourceModuleHnNSF, HiFiGAN.swift:141-255). Unlike Kokoro's SineGen,
+    phases integrate directly at sample rate."""
+    harmonics = jnp.arange(1, cfg.nb_harmonics + 2, dtype=jnp.float32)
+    fn = f0_up * harmonics[None, None, :] / cfg.sampling_rate
+    k1, k2 = jax.random.split(key)
+    rad = jnp.cumsum(fn % 1.0, axis=1)
+    rand_ini = jax.random.uniform(k1, (f0_up.shape[0], cfg.nb_harmonics + 1))
+    rand_ini = rand_ini.at[:, 0].set(0.0)
+    sines = jnp.sin(2 * jnp.pi * (rad + rand_ini[:, None, :]))
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)
+    noise_amp = uv * cfg.nsf_sigma + (1 - uv) * cfg.nsf_alpha / 3
+    noise = noise_amp * jax.random.normal(k2, sines.shape)
+    sine_waves = sines * cfg.nsf_alpha * uv + noise
+    return jnp.tanh(layers.linear(p["l_linear"], sine_waves))
+
+
+def _stft(x: jax.Array, n_fft: int, hop: int):
+    """Real/imag STFT with centered reflect padding (stftHiFiGAN)."""
+    from tpu_audio.ops import stft as stft_ops
+
+    win = windows.hann(n_fft, periodic=True)
+    spec = stft_ops.stft_complex(x, win, n_fft, hop, center=True)
+    return jnp.real(spec), jnp.imag(spec)  # (B, frames, K)
+
+
+def _istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int):
+    win = jnp.asarray(windows.hann(n_fft, periodic=True))
+    spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win
+    b, nf, _ = frames.shape
+    out_len = (nf - 1) * hop + n_fft
+    idx = (np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    out = jnp.zeros((b, out_len), frames.dtype).at[:, idx].add(
+        frames.reshape(b, -1))
+    wsq = jnp.zeros((out_len,), frames.dtype).at[idx].add(
+        jnp.tile(win * win, nf))
+    out = out / jnp.maximum(wsq, 1e-11)
+    return out[:, n_fft // 2: out_len - n_fft // 2]
+
+
+def decode(params, cfg: HiFTConfig, mel: jax.Array, source: jax.Array):
+    """mel (B, T, 80) + source (B, T*480) → waveform (B, T*480)."""
+    sr, si_ = _stft(source, cfg.istft_n_fft, cfg.istft_hop)
+    s_stft = jnp.concatenate([sr, si_], axis=-1)  # (B, frames, n_fft+2)
+
+    x = layers.conv1d(params["conv_pre"], mel, padding=3)
+    n_up = len(cfg.upsample_rates)
+    nk = len(cfg.resblock_kernels)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        x = jax.nn.leaky_relu(x, cfg.lrelu_slope)
+        x = layers.conv_transpose1d(params["ups"][str(i)], x, stride=u,
+                                    padding=(k - u) // 2)
+        if i == n_up - 1:
+            x = jnp.concatenate([x[:, 1:2], x], axis=1)  # reflect pad left 1
+        # source fusion
+        sd = params["source_downs"][str(i)]
+        down_k = sd["weight"].shape[0]
+        if down_k == 1:
+            si = layers.conv1d(sd, s_stft)
+        else:
+            stride = down_k // 2
+            si = layers.conv1d(sd, s_stft, stride=stride, padding=stride // 2)
+        si = _res_block(params["source_resblocks"][str(i)], si,
+                        cfg.source_resblock_kernels[i],
+                        cfg.source_resblock_dilations[i], cfg.lrelu_slope)
+        t = min(x.shape[1], si.shape[1])
+        x = x[:, :t] + si[:, :t]
+        xs = None
+        for j in range(nk):
+            r = _res_block(params["resblocks"][str(i * nk + j)], x,
+                           cfg.resblock_kernels[j], cfg.resblock_dilations[j],
+                           cfg.lrelu_slope)
+            xs = r if xs is None else xs + r
+        x = xs / nk
+    x = jax.nn.leaky_relu(x, cfg.lrelu_slope)
+    x = layers.conv1d(params["conv_post"], x, padding=3)
+    k = cfg.istft_n_fft // 2 + 1
+    mag = jnp.exp(x[..., :k])
+    phase = jnp.sin(x[..., k:])
+    audio = _istft(mag, phase, cfg.istft_n_fft, cfg.istft_hop)
+    return jnp.clip(audio, -cfg.audio_limit, cfg.audio_limit)
+
+
+def generate(params, cfg: HiFTConfig, mel: jax.Array, key,
+             cache_source: jax.Array | None = None):
+    """Full vocoder pass (HiFiGAN.swift:595-619): returns (audio, source)
+    where source can be cached and re-injected for streaming continuity."""
+    f0 = f0_predict(params["f0_predictor"], mel)
+    f0_up = jnp.repeat(f0[..., None], cfg.upsample_scale, axis=1)
+    source = sine_source(params["m_source"], cfg, f0_up, key)[..., 0]
+    if cache_source is not None and cache_source.shape[1] > 0:
+        n = cache_source.shape[1]
+        source = jnp.concatenate([cache_source, source[:, n:]], axis=1)
+    audio = decode(params, cfg, mel, source)
+    return audio, source
