@@ -1,0 +1,108 @@
+"""CosyVoice2 tests: LM generation, modes, voice conversion, engine e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.codecs import s3tokenizer
+from tpu_audio.codecs.s3gen import campplus, conformer, flow, hift
+from tpu_audio.codecs.s3gen import model as s3gen
+from tpu_audio.models.cosyvoice2 import lm as lm_mod
+from tpu_audio.models.cosyvoice2.engine import CosyVoice2Engine
+from tpu_audio.nn import transformer
+
+TINY_QWEN = transformer.TransformerConfig(
+    dim=48, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
+    vocab_size=400, attn_qkv_bias=True, tie_word_embeddings=True)
+
+TINY_LM = lm_mod.CosyLMConfig(qwen=TINY_QWEN, llm_input_size=48,
+                              speech_token_size=60)
+
+
+@pytest.fixture(scope="module")
+def lm_params():
+    return lm_mod.init_params(jax.random.PRNGKey(0), TINY_LM)
+
+
+def tiny_s3():
+    cfg = s3gen.S3GenConfig(
+        vocab_size=64, input_dim=32, spk_dim=24, mel_dim=16,
+        conformer=conformer.ConformerConfig(input_size=32, output_size=32,
+                                            heads=4, linear_units=64,
+                                            num_blocks=1, num_up_blocks=1),
+        estimator=flow.EstimatorConfig(in_channels=64, out_channels=16,
+                                       channels=32, n_blocks=1,
+                                       num_mid_blocks=1, num_heads=4),
+        cfm=flow.CFMConfig(n_timesteps=2),
+        hift=hift.HiFTConfig(in_channels=16, base_channels=32,
+                             upsample_rates=(4, 3), upsample_kernels=(8, 7),
+                             source_resblock_kernels=(7, 11),
+                             source_resblock_dilations=((1, 3, 5), (1, 3, 5)),
+                             resblock_kernels=(3,),
+                             resblock_dilations=((1, 3, 5),)),
+        campplus=campplus.CAMPPlusConfig(feat_dim=80, embedding_size=24,
+                                         growth_rate=8, bn_size=2,
+                                         init_channels=16, blocks=(2,),
+                                         kernels=(3,), dilations=(1,)))
+    return cfg, s3gen.init_params(jax.random.PRNGKey(1), cfg)
+
+
+class TestCosyLM:
+    def test_generate_basic(self, lm_params):
+        gen = lm_mod.CosyLMGenerator(lm_params, TINY_LM, max_cache=256)
+        out = gen.generate([5, 6, 7, 8], [], [1, 2, 3], seed=0, max_new=16)
+        assert all(0 <= t < TINY_LM.speech_token_size for t in out)
+
+    def test_min_len_enforced(self, lm_params):
+        gen = lm_mod.CosyLMGenerator(lm_params, TINY_LM, max_cache=256)
+        text = list(range(10, 16))  # 6 tokens → min_len 12
+        out = gen.generate(text, [], [], seed=3, max_new=64)
+        assert len(out) >= int(len(text) * TINY_LM.min_token_text_ratio) - 1
+
+    def test_prompt_conditioning_changes_output(self, lm_params):
+        gen = lm_mod.CosyLMGenerator(lm_params, TINY_LM, max_cache=256)
+        o1 = gen.generate([5, 6, 7], [], [1, 2, 3], seed=0, max_new=16)
+        o2 = gen.generate([5, 6, 7], [], [40, 41, 42], seed=0, max_new=16)
+        assert o1 != o2  # random weights: different prompts → different paths
+
+
+class TestEngine:
+    def test_zero_shot_e2e(self, lm_params):
+        s3_cfg, s3_params = tiny_s3()
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice2Engine.from_params(
+            lm_params, TINY_LM, s3_params, s3_cfg, tok_params, tok_cfg,
+            max_cache=256)
+        res = eng.generate("Hello.")
+        assert res.sample_rate == 24000
+        assert np.isfinite(res.samples).all()
+
+    def test_prepare_conditionals_and_vc(self, lm_params, rng):
+        s3_cfg, s3_params = tiny_s3()
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice2Engine.from_params(
+            lm_params, TINY_LM, s3_params, s3_cfg, tok_params, tok_cfg,
+            max_cache=256)
+        audio = (0.1 * np.sin(np.linspace(0, 400 * np.pi, 16000))).astype(np.float32)
+        spk = eng.prepare_conditionals(audio, 16000, ref_text="reference")
+        assert spk.embedding.shape == (1, 24)
+        assert len(spk.speech_tokens) > 0
+        # voice conversion path
+        out = eng.voice_conversion(audio, 16000)
+        assert np.isfinite(out).all() and len(out) > 0
+
+    def test_instruct_mode(self, lm_params):
+        s3_cfg, s3_params = tiny_s3()
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice2Engine.from_params(
+            lm_params, TINY_LM, s3_params, s3_cfg, tok_params, tok_cfg,
+            max_cache=256)
+        res = eng.generate("Hi.", mode="instruct", instruct_text="speak slowly")
+        assert np.isfinite(res.samples).all()

@@ -144,7 +144,8 @@ class ChatterboxEngine(TTSEngineBase):
         t3_cond_tokens = s3_tokens(enc_16)
 
         # S3Gen reference: 50 Hz mel of 24 kHz prompt + CAMPPlus x-vector
-        prompt_mel = frontends.s3gen_mel(jnp.asarray(dec_24)).T[None]
+        prompt_mel = frontends.s3gen_mel(jnp.asarray(dec_24),
+                                 n_mels=self.s3gen_cfg.mel_dim).T[None]
         fbank = frontends.kaldi_fbank(jnp.asarray(ref16))
         fbank = fbank - jnp.mean(fbank, axis=0, keepdims=True)
         embedding = s3gen.embed_ref_mel(self.s3gen_params, self.s3gen_cfg,

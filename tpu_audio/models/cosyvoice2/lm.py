@@ -1,0 +1,168 @@
+"""CosyVoice2 LM: Qwen2-0.5B text→speech-token generator.
+
+Reference: package/TTS/CosyVoice2/LLM/Qwen2LM.swift:248-510 — input
+[sos | prompt_text+text (Qwen2 embeddings) | task_id | prompt speech
+embeddings], speech head of size 6561+3, EOS = 6561 rejected below
+min_len = 2×text_len (via logit masking here instead of the reference's
+≤100 rejection trials), max_len = 20×text_len, repetition-aware sampling
+(top-k 25 nucleus; resample when the winner repeats >2× in the last 10).
+
+Bucketing uses the roll-packed layout (see chatterbox/t3.py): all real
+content stays contiguous so RoPE makes padded decode exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.nn import layers, transformer
+from tpu_audio.ops import sampling
+from tpu_audio.ops.decoding import decode_loop
+from tpu_audio.ops.sampling import SamplerConfig
+
+QWEN2_05B = transformer.TransformerConfig(
+    dim=896, n_layers=24, n_heads=14, n_kv_heads=2, hidden_dim=4864,
+    vocab_size=151936, rope_theta=1000000.0, attn_qkv_bias=True,
+    norm_eps=1e-6, tie_word_embeddings=True)
+
+
+@dataclass(frozen=True)
+class CosyLMConfig:
+    qwen: transformer.TransformerConfig = QWEN2_05B
+    llm_input_size: int = 896
+    speech_token_size: int = 6561
+    sos_eos: int = 0
+    task_id: int = 1
+    fill_token: int = 2
+    min_token_text_ratio: float = 2.0
+    max_token_text_ratio: float = 20.0
+
+    @property
+    def eos_id(self) -> int:
+        return self.speech_token_size
+
+
+RAS_SAMPLER = SamplerConfig(temperature=1.0, top_k=25, top_p=0.8,
+                            ras=True, ras_window=10, ras_max_repeats=2)
+
+
+def init_params(key, cfg: CosyLMConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4)
+    return {
+        "llm": transformer.init_params(ks[0], cfg.qwen, dtype),
+        "llm_embedding": layers.init_embedding(ks[1], 2, cfg.llm_input_size,
+                                               dtype),
+        "llm_decoder": layers.init_linear(ks[2], cfg.llm_input_size,
+                                          cfg.speech_token_size + 3, True,
+                                          dtype),
+        "speech_embedding": layers.init_embedding(
+            ks[3], cfg.speech_token_size + 3, cfg.llm_input_size, dtype),
+    }
+
+
+class CosyLMGenerator:
+    def __init__(self, params, cfg: CosyLMConfig, max_cache: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.max_cache = max_cache
+        self._fns = {}
+
+    def _fn(self, text_pad: int, speech_pad: int, max_new: int,
+            sampler: SamplerConfig, min_tokens_flag: bool):
+        key_ = (text_pad, speech_pad, max_new, sampler, min_tokens_flag)
+        if key_ in self._fns:
+            return self._fns[key_]
+        cfg = self.cfg
+        qcfg = cfg.qwen
+
+        def run(params, text_tokens, n_text, speech_tokens, n_speech,
+                min_len, key):
+            d = cfg.llm_input_size
+            text_e = layers.embedding(params["llm"]["embed"],
+                                      text_tokens[None]).astype(jnp.float32)
+            speech_e = layers.embedding(params["speech_embedding"],
+                                        speech_tokens[None])
+            sos = params["llm_embedding"]["weight"][cfg.sos_eos][None, None]
+            task = params["llm_embedding"]["weight"][cfg.task_id][None, None]
+
+            total = 2 + text_pad + speech_pad
+            x = jnp.zeros((1, total, d), sos.dtype)
+            x = jax.lax.dynamic_update_slice(x, sos, (0, 0, 0))
+            x = jax.lax.dynamic_update_slice(x, text_e.astype(x.dtype),
+                                             (0, 1, 0))
+            x = jax.lax.dynamic_update_slice(x, task, (0, 1 + n_text, 0))
+            x = jax.lax.dynamic_update_slice(x, speech_e.astype(x.dtype),
+                                             (0, 2 + n_text, 0))
+            n_real = 2 + n_text + n_speech
+            shift = total - n_real
+            x = jnp.roll(x, shift, axis=1)
+
+            cache = transformer.make_cache(qcfg, 1, self.max_cache)
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot < shift, -1e30, 0.0)[None, None, None, :]
+            hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
+                                                       cache, extra)
+            first_logits = layers.linear(params["llm_decoder"],
+                                         hidden[:, -1]).astype(jnp.float32)
+
+            def step(tok, cache):
+                emb = layers.embedding(params["speech_embedding"], tok)
+                h, cache = transformer.forward_hidden(params["llm"], qcfg,
+                                                      emb, cache, extra)
+                return layers.linear(params["llm_decoder"],
+                                     h[:, -1]).astype(jnp.float32), cache
+
+            def processor(logits, i, recent):
+                # reject EOS below min_len by masking (Qwen2LM.samplingIds)
+                vocab = jnp.arange(logits.shape[-1])
+                below = i + 1 < min_len
+                return jnp.where(below & (vocab >= cfg.speech_token_size)[None, :],
+                                 -1e30, logits)
+
+            k1, k2 = jax.random.split(key)
+            fl = processor(first_logits, jnp.asarray(0), None)
+            first = sampling.sample(k1, fl, sampler,
+                                    jnp.full((1, 64), -1, jnp.int32))
+            first = first.astype(jnp.int32)
+
+            res = decode_loop(k2, step, cache, first, max_new - 1,
+                              eos_ids=(cfg.eos_id,), sampler=sampler,
+                              logit_processor=processor, pad_id=cfg.eos_id)
+            return first, res.tokens, res.lengths
+
+        fn = jax.jit(run)
+        self._fns[key_] = fn
+        return fn
+
+    def generate(self, text_ids: list[int], prompt_text_ids: list[int],
+                 prompt_speech_tokens: list[int], *, seed: int = 0,
+                 sampler: SamplerConfig = RAS_SAMPLER,
+                 max_new: int | None = None) -> list[int]:
+        cfg = self.cfg
+        full_text = list(prompt_text_ids) + list(text_ids)
+        n_t, n_s = len(full_text), len(prompt_speech_tokens)
+        t_pad = max(32, -(-n_t // 32) * 32)
+        s_pad = max(32, -(-n_s // 32) * 32)
+        text = np.zeros(t_pad, np.int32)
+        text[:n_t] = full_text
+        speech = np.zeros(s_pad, np.int32)
+        speech[:n_s] = prompt_speech_tokens
+
+        n_gen_text = len(text_ids)
+        min_len = int(n_gen_text * cfg.min_token_text_ratio)
+        max_len = max_new or max(8, int(n_gen_text * cfg.max_token_text_ratio))
+        max_len = -(-max_len // 32) * 32
+
+        fn = self._fn(t_pad, s_pad, max_len, sampler, True)
+        first, tokens, lengths = fn(
+            self.params, jnp.asarray(text), jnp.int32(n_t),
+            jnp.asarray(speech), jnp.int32(n_s), jnp.int32(min_len),
+            jax.random.PRNGKey(seed))
+        out = [int(first[0])] + [int(t) for t in
+                                 np.asarray(tokens[0][: int(lengths[0])])]
+        # drop EOS/fill specials (the loop already stops at EOS)
+        return [t for t in out if t < cfg.speech_token_size]

@@ -1,0 +1,65 @@
+"""CosyVoice2 checkpoint loading (mlx-community/CosyVoice2-0.5B-4bit).
+
+Weight groups: llm.* (Qwen2 + llm_embedding/llm_decoder/speech_embedding),
+flow.* (conformer encoder + estimator), hift.* vocoder, campplus.*.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+
+from tpu_audio.codecs import s3tokenizer
+from tpu_audio.codecs.s3gen import model as s3gen
+from tpu_audio.models.cosyvoice2 import lm as lm_mod
+from tpu_audio.nn import load_llama
+from tpu_audio.utils import hub, pytree, weights
+from tpu_audio.utils.tokenizer import load_tokenizer
+
+REPO = "mlx-community/CosyVoice2-0.5B-4bit"
+S3TOK_REPO = "mlx-community/S3TokenizerV2"
+
+
+def load(repo: str = REPO):
+    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
+                                        "tokenizer.json"])
+    flat = weights.load_safetensors_dir(path)
+
+    lm_flat = {}
+    s3_flat = {}
+    for k, v in flat.items():
+        if k.startswith(("llm.", "llm_", "speech_embedding.")):
+            lm_flat[re.sub(r"^llm\.llm\.", "llm.", k)] = v
+        elif k.startswith("flow."):
+            s3_flat[k[len("flow."):]] = v
+        elif k.startswith("hift."):
+            s3_flat["mel2wav." + k[len("hift."):]] = v
+        elif k.startswith("campplus."):
+            s3_flat["speaker_encoder." + k[len("campplus."):]] = v
+
+    # Qwen2 backbone under llm.*
+    inner = {k[len("llm."):]: v for k, v in lm_flat.items()
+             if k.startswith("llm.")}
+    rest = {k: v for k, v in lm_flat.items() if not k.startswith("llm.")}
+    llm_tree = load_llama.convert_llama(inner)
+    lm_params = {"llm": llm_tree, **pytree.unflatten(rest)}
+    lm_params = weights.to_device(lm_params)
+
+    out = {}
+    for k, v in s3_flat.items():
+        if v.ndim == 3:
+            v = v.transpose(2, 1, 0)
+            if re.search(r"\.(ups|convT|up_layer)\.", k):
+                v = v.transpose(0, 2, 1)
+        out[k] = v
+    s3_params = weights.to_device(pytree.unflatten(out))
+
+    tok_path = hub.snapshot(S3TOK_REPO, matching=["*.safetensors",
+                                                  "config.json"])
+    tok_params = weights.to_device(pytree.unflatten(
+        weights.load_safetensors_dir(tok_path)))
+
+    return (lm_params, lm_mod.CosyLMConfig(), s3_params, s3gen.S3GenConfig(),
+            tok_params, s3tokenizer.S3TokenizerConfig(),
+            load_tokenizer(path))
