@@ -217,11 +217,11 @@ def estimator_forward(params, cfg: EstimatorConfig, x, mask_len, mu, t,
     return layers.conv1d(params["final_proj"], h * mask) * mask
 
 
-def cfm_inference(params, est_cfg: EstimatorConfig, cfm: CFMConfig,
-                  mu, mask_len, spks, cond, key, streaming: bool = False,
-                  n_timesteps: int | None = None):
-    """ConditionalCFM.forward: noise → Euler CFG integration → mel
-    (B, T, 80). mu (B, T, 80) encoder output; cond = prompt-mel scaffold."""
+def cfm_solve(estimator_fn, cfm: CFMConfig, mu, mask_len, spks, cond, key,
+              streaming: bool = False, n_timesteps: int | None = None):
+    """Generic CFG Euler solver: estimator_fn(x, mask_len, mu, t, spks,
+    cond, streaming) → velocity. Used by the Matcha U-Net (here) and
+    CosyVoice3's DiT estimator."""
     n_steps = n_timesteps or cfm.n_timesteps
     b, t, d = mu.shape
     z = jax.random.normal(key, (b, t, d), mu.dtype)
@@ -245,10 +245,22 @@ def cfm_inference(params, est_cfg: EstimatorConfig, cfm: CFMConfig,
         cond_in = (jnp.concatenate([cond, zero_cond], axis=0)
                    if cond is not None else None)
         len_in = jnp.concatenate([mask_len, mask_len], axis=0)
-        v = estimator_forward(params, est_cfg, x_in, len_in, mu_in, t_in,
-                              spk_in, cond_in, streaming)
+        v = estimator_fn(x_in, len_in, mu_in, t_in, spk_in, cond_in,
+                         streaming)
         v_c, v_u = v[:b], v[b:]
         v_cfg = (1.0 + rate) * v_c - rate * v_u
         return x + dt * v_cfg
 
     return jax.lax.fori_loop(0, n_steps, step, z)
+
+
+def cfm_inference(params, est_cfg: EstimatorConfig, cfm: CFMConfig,
+                  mu, mask_len, spks, cond, key, streaming: bool = False,
+                  n_timesteps: int | None = None):
+    """ConditionalCFM.forward with the Matcha causal U-Net estimator."""
+    def est(x, ml, mu_, t, spks_, cond_, stream):
+        return estimator_forward(params, est_cfg, x, ml, mu_, t, spks_,
+                                 cond_, stream)
+
+    return cfm_solve(est, cfm, mu, mask_len, spks, cond, key, streaming,
+                     n_timesteps)

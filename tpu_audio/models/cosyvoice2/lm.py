@@ -166,3 +166,146 @@ class CosyLMGenerator:
                                  np.asarray(tokens[0][: int(lengths[0])])]
         # drop EOS/fill specials (the loop already stops at EOS)
         return [t for t in out if t < cfg.speech_token_size]
+
+
+class CosyLMStreamer:
+    """Chunked resumable generation for token-granularity streaming
+    (CosyVoice3's inferenceStreamAsync — LLM/CosyVoice3LM.swift:243-579).
+
+    One compiled prefill + one compiled fixed-size chunk decoder; the KV
+    cache and last token carry across chunks on device.
+    """
+
+    def __init__(self, gen: CosyLMGenerator, chunk: int = 25):
+        self.gen = gen
+        self.chunk = chunk
+        self._prefill_fns = {}
+        self._chunk_fns = {}
+
+    def _prefill(self, text_pad: int, speech_pad: int):
+        key_ = (text_pad, speech_pad)
+        if key_ in self._prefill_fns:
+            return self._prefill_fns[key_]
+        cfg = self.gen.cfg
+        qcfg = cfg.qwen
+
+        def run(params, text_tokens, n_text, speech_tokens, n_speech):
+            d = cfg.llm_input_size
+            text_e = layers.embedding(params["llm"]["embed"], text_tokens[None])
+            speech_e = layers.embedding(params["speech_embedding"],
+                                        speech_tokens[None])
+            sos = params["llm_embedding"]["weight"][cfg.sos_eos][None, None]
+            task = params["llm_embedding"]["weight"][cfg.task_id][None, None]
+            total = 2 + text_pad + speech_pad
+            x = jnp.zeros((1, total, d), sos.dtype)
+            x = jax.lax.dynamic_update_slice(x, sos, (0, 0, 0))
+            x = jax.lax.dynamic_update_slice(x, text_e.astype(x.dtype), (0, 1, 0))
+            x = jax.lax.dynamic_update_slice(x, task, (0, 1 + n_text, 0))
+            x = jax.lax.dynamic_update_slice(x, speech_e.astype(x.dtype),
+                                             (0, 2 + n_text, 0))
+            shift = total - (2 + n_text + n_speech)
+            x = jnp.roll(x, shift, axis=1)
+            cache = transformer.make_cache(qcfg, 1, self.gen.max_cache)
+            slot = jnp.arange(self.gen.max_cache)
+            extra = jnp.where(slot < shift, -1e30, 0.0)[None, None, None, :]
+            hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
+                                                       cache, extra)
+            logits = layers.linear(params["llm_decoder"],
+                                   hidden[:, -1]).astype(jnp.float32)
+            return logits, cache, extra
+
+        fn = jax.jit(run)
+        self._prefill_fns[key_] = fn
+        return fn
+
+    def _chunk_fn(self, sampler: SamplerConfig):
+        if sampler in self._chunk_fns:
+            return self._chunk_fns[sampler]
+        cfg = self.gen.cfg
+        qcfg = cfg.qwen
+        chunk = self.chunk
+
+        def run(params, first_logits, cache, extra, produced, min_len,
+                first_chunk, key):
+            def step(tok, state):
+                cache, used_first = state
+                emb = layers.embedding(params["speech_embedding"], tok)
+                h, cache = transformer.forward_hidden(params["llm"], qcfg,
+                                                      emb, cache, extra)
+                lg = layers.linear(params["llm_decoder"],
+                                   h[:, -1]).astype(jnp.float32)
+                return lg, (cache, used_first)
+
+            def processor(logits, i, recent):
+                vocab = jnp.arange(logits.shape[-1])
+                below = produced + i + 1 < min_len
+                return jnp.where(below & (vocab >= cfg.speech_token_size)[None],
+                                 -1e30, logits)
+
+            k1, k2 = jax.random.split(key)
+            # the first token of the FIRST chunk comes from prefill logits
+            fl = processor(first_logits, jnp.asarray(0), None)
+            first = sampling.sample(k1, fl, sampler,
+                                    jnp.full((1, 64), -1, jnp.int32)
+                                    ).astype(jnp.int32)
+            res = decode_loop(k2, step, (cache, True), first, chunk - 1,
+                              eos_ids=(cfg.eos_id,), sampler=sampler,
+                              logit_processor=processor, pad_id=cfg.eos_id)
+            cache, _ = res.last_state
+            tokens = jnp.concatenate([first, res.tokens[0]])
+            n = 1 + res.lengths[0]
+            finished = jnp.any(res.tokens[0] == cfg.eos_id) | (
+                first[0] == cfg.eos_id)
+            # next chunk's "prefill logits": recompute from last valid token
+            last_tok = jnp.where(finished, first,
+                                 tokens[jnp.maximum(n - 1, 0)][None])
+            emb = layers.embedding(params["speech_embedding"], last_tok[None])
+            h, cache2 = transformer.forward_hidden(params["llm"], qcfg, emb,
+                                                   cache, extra)
+            next_logits = layers.linear(params["llm_decoder"],
+                                        h[:, -1]).astype(jnp.float32)
+            return tokens, n, finished, next_logits, cache2
+
+        fn = jax.jit(run)
+        self._chunk_fns[sampler] = fn
+        return fn
+
+    def stream(self, text_ids, prompt_text_ids, prompt_speech_tokens, *,
+               sampler: SamplerConfig = RAS_SAMPLER, seed: int = 0,
+               max_new: int | None = None):
+        """Yields lists of speech tokens (≤ chunk each) as they are decoded."""
+        cfg = self.gen.cfg
+        full_text = list(prompt_text_ids) + list(text_ids)
+        n_t, n_s = len(full_text), len(prompt_speech_tokens)
+        t_pad = max(32, -(-n_t // 32) * 32)
+        s_pad = max(32, -(-n_s // 32) * 32)
+        text = np.zeros(t_pad, np.int32)
+        text[:n_t] = full_text
+        speech = np.zeros(s_pad, np.int32)
+        speech[:n_s] = prompt_speech_tokens
+
+        min_len = int(len(text_ids) * cfg.min_token_text_ratio)
+        max_len = max_new or max(8, int(len(text_ids)
+                                        * cfg.max_token_text_ratio))
+        logits, cache, extra = self._prefill(t_pad, s_pad)(
+            self.gen.params, jnp.asarray(text), jnp.int32(n_t),
+            jnp.asarray(speech), jnp.int32(n_s))
+        chunk_fn = self._chunk_fn(sampler)
+        key = jax.random.PRNGKey(seed)
+        produced = 0
+        first_chunk = True
+        while produced < max_len:
+            key, sub = jax.random.split(key)
+            tokens, n, finished, logits, cache = chunk_fn(
+                self.gen.params, logits, cache, extra,
+                jnp.int32(produced), jnp.int32(min_len),
+                first_chunk, sub)
+            n = int(n)
+            toks = [int(t) for t in np.asarray(tokens[:n])
+                    if t < cfg.speech_token_size]
+            produced += n
+            if toks:
+                yield toks
+            if bool(finished):
+                break
+            first_chunk = False

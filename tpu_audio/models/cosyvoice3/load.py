@@ -1,0 +1,57 @@
+"""CosyVoice3 checkpoint loading (mlx-community/Fun-CosyVoice3-0.5B-2512-4bit
++ S3TokenizerV3 — Config/CosyVoice3Config.swift:442)."""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+
+from tpu_audio.codecs import s3tokenizer
+from tpu_audio.models.cosyvoice2 import lm as lm_mod
+from tpu_audio.models.cosyvoice3 import model as cv3
+from tpu_audio.nn import load_llama
+from tpu_audio.utils import hub, pytree, weights
+from tpu_audio.utils.tokenizer import load_tokenizer
+
+REPO = "mlx-community/Fun-CosyVoice3-0.5B-2512-4bit"
+S3TOK_V3_REPO = "mlx-community/S3TokenizerV3"
+
+
+def load(repo: str = REPO):
+    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
+                                        "tokenizer.json"])
+    flat = weights.load_safetensors_dir(path)
+
+    lm_flat, flow_flat = {}, {}
+    for k, v in flat.items():
+        if k.startswith(("llm.", "llm_", "speech_embedding.")):
+            lm_flat[re.sub(r"^llm\.llm\.", "llm.", k)] = v
+        elif k.startswith("flow."):
+            flow_flat[k[len("flow."):]] = v
+        elif k.startswith("hift."):
+            flow_flat["mel2wav." + k[len("hift."):]] = v
+
+    inner = {k[len("llm."):]: v for k, v in lm_flat.items()
+             if k.startswith("llm.")}
+    rest = {k: v for k, v in lm_flat.items() if not k.startswith("llm.")}
+    lm_params = weights.to_device(
+        {"llm": load_llama.convert_llama(inner), **pytree.unflatten(rest)})
+
+    out = {}
+    for k, v in flow_flat.items():
+        if v.ndim == 3:
+            v = v.transpose(2, 1, 0)
+            if re.search(r"\.(ups|convT|up_layer)\.", k):
+                v = v.transpose(0, 2, 1)
+        out[k] = v
+    flow_params = weights.to_device(pytree.unflatten(out))
+
+    tok_path = hub.snapshot(S3TOK_V3_REPO, matching=["*.safetensors",
+                                                     "config.json"])
+    tok_params = weights.to_device(pytree.unflatten(
+        weights.load_safetensors_dir(tok_path)))
+
+    return (lm_params, lm_mod.CosyLMConfig(), flow_params,
+            cv3.CV3FlowConfig(), tok_params,
+            s3tokenizer.S3TokenizerConfig(), load_tokenizer(path))
