@@ -1,0 +1,87 @@
+"""Fun-ASR tests: SANM encoder, adaptor, prompt merge, engine e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.api.stt_funasr import (FunASREngine, build_prompt_text,
+                                      clean_output)
+from tpu_audio.models.funasr import model as fmodel
+from tpu_audio.nn import transformer
+
+TINY = fmodel.FunASRConfig(
+    encoder=fmodel.SenseVoiceConfig(input_dim=560, encoder_dim=32,
+                                    num_heads=4, ffn_dim=64,
+                                    num_encoders0=1, num_encoders=2,
+                                    num_tp_encoders=1, kernel_size=5),
+    adaptor=fmodel.AdaptorConfig(encoder_dim=32, downsample_rate=2,
+                                 ffn_dim=64, llm_dim=48, n_layer=1,
+                                 attention_heads=4),
+    llm=transformer.TransformerConfig(dim=48, n_layers=2, n_heads=4,
+                                      n_kv_heads=2, hidden_dim=96,
+                                      vocab_size=300, qk_norm=True,
+                                      tie_word_embeddings=True))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return fmodel.init_params(jax.random.PRNGKey(0), TINY)
+
+
+class TestEncoder:
+    def test_encode_shapes(self, params, rng):
+        feats = jnp.asarray(rng.standard_normal((1, 20, 560)), jnp.float32)
+        out = fmodel.encode(params["encoder"], TINY.encoder, feats,
+                            jnp.asarray([18]))
+        assert out.shape == (1, 20, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_adaptor_downsamples(self, params, rng):
+        x = jnp.asarray(rng.standard_normal((1, 20, 32)), jnp.float32)
+        out, lens = fmodel.adapt(params["adaptor"], TINY.adaptor, x,
+                                 jnp.asarray([18]))
+        assert out.shape == (1, 10, 48)
+        assert int(lens[0]) == 9
+
+
+class TestPrompt:
+    def test_build_prompt(self):
+        pre, post = build_prompt_text("transcribe", "en")
+        assert pre.endswith("<|startofspeech|>")
+        assert post.startswith("<|endofspeech|>")
+        assert "English" in pre
+
+    def test_translate_prompt(self):
+        pre, _ = build_prompt_text("translate", target_language="es")
+        assert "Spanish" in pre
+
+    def test_clean_output(self):
+        assert clean_output("hello<|im_end|> world") == "hello world"
+
+
+class TestGenerator:
+    def test_generate(self, params, rng):
+        gen = fmodel.FunASRGenerator(params, TINY, max_cache=256)
+        feats = rng.standard_normal((20, 560)).astype(np.float32)
+        out = gen.generate([1, 2, 3], [4, 5], feats, eos_ids=(7,),
+                           max_new=12)
+        assert all(t != 7 for t in out)
+        assert len(out) <= 12
+
+
+class TestEngine:
+    def test_transcribe_e2e(self, params, rng):
+        eng = FunASREngine.from_params(params, TINY, max_cache=768)
+        audio = (0.1 * np.sin(np.linspace(0, 400 * np.pi, 16000))).astype(np.float32)
+        res = eng.transcribe(audio, max_new_tokens=8)
+        assert res.duration == pytest.approx(1.0)
+        assert isinstance(res.text, str)
+
+    def test_translate_and_streaming(self, params, rng):
+        eng = FunASREngine.from_params(params, TINY, max_cache=768)
+        audio = np.zeros(8000, np.float32)
+        res = eng.translate(audio, target_language="es", max_new_tokens=8)
+        assert isinstance(res.text, str)
+        chunks = list(eng.transcribe_streaming(audio, max_new_tokens=8))
+        assert len(chunks) >= 1

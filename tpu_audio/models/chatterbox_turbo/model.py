@@ -1,0 +1,183 @@
+"""Chatterbox Turbo: GPT-2-medium T3 + meanflow few-step S3Gen.
+
+Reference: package/TTS/ChatterboxTurbo/T3/T3Turbo.swift:17-120 (GPT-2
+24L×1024 backbone, linear speaker projection — no perceiver, no emotion,
+no CFG) and S3Gen/FlowMatching/CBTFlowMatching.swift:51-74 (meanflow:
+distilled few-step Euler WITHOUT classifier-free guidance), silence token
+4299 (S3GenTurbo.swift:19). Repos: mlx-community/Chatterbox-TTS-Turbo-*.
+
+GPT-2's learned absolute positions are not shift-invariant, so instead of
+the roll trick the generator feeds explicit position ids: padded slots get
+position 0 and are masked; real slots get their true positions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.codecs.s3gen import flow as s3flow
+from tpu_audio.nn import layers, transformer
+from tpu_audio.ops import sampling
+from tpu_audio.ops.kvcache import KVCache
+
+GPT2_MEDIUM = transformer.TransformerConfig(
+    dim=1024, n_layers=24, n_heads=16, n_kv_heads=16, hidden_dim=4096,
+    mlp="gelu", norm="ln", pos_emb="none",  # positions added manually
+    max_position_embeddings=8192)
+
+SILENCE_TOKEN = 4299
+
+
+@dataclass(frozen=True)
+class T3TurboConfig:
+    gpt2: transformer.TransformerConfig = GPT2_MEDIUM
+    text_tokens_dict_size: int = 50276
+    speech_tokens_dict_size: int = 8194
+    start_speech_token: int = 6561
+    stop_speech_token: int = 6562
+    speaker_embed_size: int = 256
+    max_positions: int = 8192
+
+
+def init_params(key, cfg: T3TurboConfig, dtype=jnp.float32) -> dict:
+    ks = iter(jax.random.split(key, 12))
+    d = cfg.gpt2.dim
+    return {
+        "tfmr": transformer.init_params(next(ks), cfg.gpt2, dtype),
+        "wpe": layers.init_embedding(next(ks), cfg.max_positions, d, dtype),
+        "text_emb": layers.init_embedding(next(ks), cfg.text_tokens_dict_size,
+                                          d, dtype),
+        "speech_emb": layers.init_embedding(
+            next(ks), cfg.speech_tokens_dict_size, d, dtype),
+        "speech_head": layers.init_linear(next(ks), d,
+                                          cfg.speech_tokens_dict_size, False,
+                                          dtype),
+        "cond_enc": {"spkr_enc": layers.init_linear(
+            next(ks), cfg.speaker_embed_size, d, True, dtype)},
+    }
+
+
+@dataclass(frozen=True)
+class TurboSampler:
+    temperature: float = 0.8
+    top_p: float = 0.95
+    min_p: float = 0.05
+    repetition_penalty: float = 1.2
+
+
+class T3TurboGenerator:
+    def __init__(self, params, cfg: T3TurboConfig, max_cache: int = 2048):
+        self.params = params
+        self.cfg = cfg
+        self.max_cache = max_cache
+        self._fns = {}
+
+    def _fn(self, text_pad: int, max_new: int, sampler: TurboSampler):
+        key_ = (text_pad, max_new, sampler)
+        if key_ in self._fns:
+            return self._fns[key_]
+        cfg = self.cfg
+        gcfg = cfg.gpt2
+
+        def run(params, spk_emb, text_tokens, n_text, key):
+            d = gcfg.dim
+            cond = layers.linear(params["cond_enc"]["spkr_enc"],
+                                 spk_emb)[:, None, :]
+            text_e = layers.embedding(params["text_emb"], text_tokens[None])
+            bos = layers.embedding(params["speech_emb"],
+                                   jnp.full((1, 1), cfg.start_speech_token))
+            total = 1 + text_pad + 1
+            x = jnp.concatenate([cond, text_e, jnp.zeros_like(bos)], axis=1)
+            x = jax.lax.dynamic_update_slice(x, bos, (0, 1 + n_text, 0))
+            # explicit learned positions (0 for padded slots, masked anyway)
+            slots = jnp.arange(total)
+            pos = jnp.clip(slots, 0, n_text + 1)
+            x = x + layers.embedding(params["wpe"], pos)[None]
+            n_real = 2 + n_text
+
+            cache = transformer.make_cache(gcfg, 1, self.max_cache)
+            slot = jnp.arange(self.max_cache)
+            # mask text-pad slots [1+n_text+1, total) — the bos slot was
+            # written at 1+n_text and the garbage follows it
+            extra = jnp.where((slot >= n_real) & (slot < total), -1e30,
+                              0.0)[None, None, None, :]
+            hidden, cache = transformer.forward_hidden(params["tfmr"], gcfg,
+                                                       x, cache, extra)
+            last = jax.lax.dynamic_index_in_dim(hidden[0], n_real - 1, 0,
+                                                keepdims=False)
+            first_logits = layers.linear(params["speech_head"],
+                                         last).astype(jnp.float32)[None]
+
+            def body(c):
+                i, buf, last_tok, cache, finished, recent, key = c
+                emb = layers.embedding(params["speech_emb"],
+                                       last_tok[None, None])
+                p = jnp.clip(n_text + 2 + i, 0, cfg.max_positions - 1)
+                emb = emb + params["wpe"]["weight"][p][None, None]
+                h, cache = transformer.forward_hidden(params["tfmr"], gcfg,
+                                                      emb, cache, extra)
+                logits = layers.linear(params["speech_head"],
+                                       h[0, -1]).astype(jnp.float32)[None]
+                tok, key = _select(logits, recent, key)
+                buf = buf.at[i].set(tok)
+                finished = finished | (tok == cfg.stop_speech_token)
+                recent = jnp.concatenate([recent[1:], tok[None]])
+                return (i + 1, buf, tok, cache, finished, recent, key)
+
+            def _select(logits, recent, key):
+                lg = sampling.apply_repetition_penalty(
+                    logits, recent[None], sampler.repetition_penalty)[0]
+                lg = lg / sampler.temperature
+                lg = sampling.apply_top_p(lg[None], sampler.top_p)[0]
+                lg = sampling.apply_min_p(lg[None], sampler.min_p)[0]
+                key, sub = jax.random.split(key)
+                return jax.random.categorical(sub, lg).astype(jnp.int32), key
+
+            tok0, key = _select(first_logits,
+                                jnp.full((64,), -1, jnp.int32), key)
+            buf = jnp.full((max_new,), cfg.stop_speech_token, jnp.int32)
+            buf = buf.at[0].set(tok0)
+            carry = (jnp.asarray(1, jnp.int32), buf, tok0, cache,
+                     tok0 == cfg.stop_speech_token,
+                     jnp.full((64,), -1, jnp.int32).at[-1].set(tok0), key)
+            i, buf, *_ = jax.lax.while_loop(
+                lambda c: (c[0] < max_new) & ~c[4], body, carry)
+            return buf, i
+
+        fn = jax.jit(run)
+        self._fns[key_] = fn
+        return fn
+
+    def generate(self, spk_emb, text_tokens: list[int], *,
+                 sampler: TurboSampler = TurboSampler(), max_new: int = 600,
+                 seed: int = 0) -> list[int]:
+        n = len(text_tokens)
+        pad = -(-max(n, 1) // 32) * 32
+        toks = np.zeros(pad, np.int32)
+        toks[:n] = text_tokens
+        fn = self._fn(pad, max_new, sampler)
+        buf, count = fn(self.params, spk_emb, jnp.asarray(toks),
+                        jnp.int32(n), jax.random.PRNGKey(seed))
+        out = [int(t) for t in np.asarray(buf[: int(count)])]
+        return [t for t in out if t < self.cfg.start_speech_token]
+
+
+def meanflow_inference(estimator_fn, mu, mask_len, spks, cond, key,
+                       n_timesteps: int = 2):
+    """CBT meanflow: few-step Euler WITHOUT CFG
+    (CBTFlowMatching.swift:51-74)."""
+    b, t, d = mu.shape
+    z = jax.random.normal(key, (b, t, d), mu.dtype)
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+
+    def step(i, x):
+        dt = t_span[i + 1] - t_span[i]
+        tt = jnp.full((b,), t_span[i], mu.dtype)
+        v = estimator_fn(x, mask_len, mu, tt, spks, cond, False)
+        return x + dt * v
+
+    return jax.lax.fori_loop(0, n_timesteps, step, z)
