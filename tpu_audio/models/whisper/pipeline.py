@@ -47,16 +47,32 @@ class MelExtractor:
 
     def __init__(self, n_mels: int):
         self.n_mels = n_mels
+        from tpu_audio.ops.pallas import fused_mel
 
-        @jax.jit
-        def chunk_power_mel(x):  # x: (CHUNK_SAMPLES + 2*200,)
-            power = stft.stft_power(x, windows.hann(N_FFT), N_FFT, HOP,
-                                    center=False)
-            fb = jnp.asarray(mel_filters.slaney(SAMPLE_RATE, N_FFT, n_mels,
-                                                fmax=8000.0))
-            return jnp.matmul(power, fb.T, precision=jax.lax.Precision.HIGHEST)
+        if fused_mel.is_supported():
+            # fused Pallas kernel: window+DFT+power+mel+log in one pass
+            pad_frames = -(-(N_FRAMES + 1) // fused_mel.BLOCK_FRAMES) \
+                * fused_mel.BLOCK_FRAMES
+            extra = ((pad_frames - 1) * HOP + N_FFT) - (CHUNK_SAMPLES + 2 * 200)
 
-        self._chunk_fn = chunk_power_mel
+            @jax.jit
+            def chunk_log_mel(x):
+                xp = jnp.pad(x, (0, extra))
+                return fused_mel.fused_log_mel(xp, n_mels=n_mels)
+
+            self._chunk_fn = chunk_log_mel
+        else:
+            @jax.jit
+            def chunk_log_mel(x):  # x: (CHUNK_SAMPLES + 2*200,)
+                power = stft.stft_power(x, windows.hann(N_FFT), N_FFT, HOP,
+                                        center=False)
+                fb = jnp.asarray(mel_filters.slaney(SAMPLE_RATE, N_FFT,
+                                                    n_mels, fmax=8000.0))
+                mel = jnp.matmul(power, fb.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return jnp.log10(jnp.maximum(mel, 1e-10))
+
+            self._chunk_fn = chunk_log_mel
 
     def __call__(self, audio: np.ndarray, padding: int = CHUNK_SAMPLES) -> np.ndarray:
         """audio (T,) 16 kHz → normalized log-mel (total_frames, n_mels) with
@@ -76,8 +92,7 @@ class MelExtractor:
             seg = jnp.asarray(padded[c * CHUNK_SAMPLES: c * CHUNK_SAMPLES
                                      + CHUNK_SAMPLES + 2 * margin])
             mels.append(np.asarray(self._chunk_fn(seg))[:N_FRAMES])
-        mel = np.concatenate(mels, axis=0)[:total_frames]
-        log_spec = np.log10(np.maximum(mel, 1e-10))
+        log_spec = np.concatenate(mels, axis=0)[:total_frames]
         log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
         return ((log_spec + 4.0) / 4.0).astype(np.float32)
 
