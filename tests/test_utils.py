@@ -148,3 +148,16 @@ class TestProviders:
         langs = Language.all()
         assert len(langs) == 100
         assert Language("en").name == "English"
+
+
+class TestRecorder:
+    def test_push_pull(self):
+        from tpu_audio.utils.recorder import AudioRecorder
+
+        rec = AudioRecorder(target_rate=16000)
+        rec.push(np.zeros(24000, np.float32), sample_rate=24000)  # resamples
+        assert abs(rec.duration - 1.0) < 0.01
+        chunk = rec.pull(0.5)
+        assert chunk is not None and len(chunk) == 8000
+        assert rec.pull(1.0) is None
+        assert len(rec.drain()) > 0

@@ -223,3 +223,17 @@ class TestQuantization:
         qt = quant.quantize_tree(tree, bits=4)
         assert "weight_q4" in qt["a"]
         assert "weight" in qt["b"]  # 1-D leaf untouched
+
+
+class TestQuantizedEmbedding:
+    def test_dequantize_rows_matches_full(self, rng):
+        import jax.numpy as jnp
+
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((64, 128)).astype(np.float32)
+        q = {k: jnp.asarray(v) for k, v in quant.quantize_array(w, bits=4).items()}
+        ids = jnp.asarray([3, 17, 63])
+        rows = np.asarray(quant.dequantize_rows(q, ids))
+        full = np.asarray(quant.dequantize(q))[np.asarray(ids)]
+        np.testing.assert_allclose(rows, full, atol=1e-6)

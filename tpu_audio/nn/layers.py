@@ -72,7 +72,7 @@ def embedding(p: dict, ids: jax.Array) -> jax.Array:
     if "weight" not in p:
         from tpu_audio.ops import quant
 
-        return quant.dequantize(p)[ids]
+        return quant.dequantize_rows(p, ids)
     return p["weight"][ids]
 
 

@@ -57,6 +57,18 @@ def dequantize(p: dict) -> jax.Array:
     return q * scales + biases
 
 
+def dequantize_rows(p: dict, ids: jax.Array) -> jax.Array:
+    """Gather-then-dequantize for quantized embedding tables: unpacks only
+    the gathered rows instead of the whole table."""
+    bits = 4 if "weight_q4" in p else 8
+    packed = (p["weight_q4"] if bits == 4 else p["weight_q8"])[ids]
+    q = unpack_uint32(packed, bits).astype(jnp.float32)
+    group = q.shape[-1] // p["scales"].shape[-1]
+    scales = jnp.repeat(p["scales"][ids].astype(jnp.float32), group, axis=-1)
+    biases = jnp.repeat(p["biases"][ids].astype(jnp.float32), group, axis=-1)
+    return q * scales + biases
+
+
 def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
     w = dequantize(p).astype(x.dtype)
     y = x @ w.T
