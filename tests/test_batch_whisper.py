@@ -1,0 +1,46 @@
+"""Batched Whisper decode: parity with the single-segment decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_audio.models.whisper import batch as wbatch
+from tpu_audio.models.whisper import model as wmodel
+from tpu_audio.models.whisper.config import WhisperConfig
+from tpu_audio.models.whisper.decoding import SegmentDecoder
+from tpu_audio.models.whisper.tokenizer import BPE, WhisperTokenizer
+
+TINY = WhisperConfig(n_audio_state=64, n_audio_head=4, n_audio_layer=2,
+                     n_text_state=64, n_text_head=4, n_text_layer=2,
+                     n_text_ctx=32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = wmodel.init_params(jax.random.PRNGKey(0), TINY)
+    tok = WhisperTokenizer(BPE({bytes([i]): i for i in range(256)}), True, 99)
+    return params, tok
+
+
+class TestBatchDecoder:
+    def test_matches_single_segment(self, setup, rng):
+        params, tok = setup
+        dec = wbatch.BatchSegmentDecoder(params, TINY, tok, batch_size=4,
+                                         compute_dtype=jnp.float32)
+        mels = rng.standard_normal((4, 3000, 80)).astype(np.float32) * 0.1
+        batch_res = dec.decode_batch(mels, temperature=0.0)
+
+        single = SegmentDecoder(params, TINY, tok)
+        for r in range(4):
+            ref = single.decode(mels[r], temperature=0.0)
+            assert batch_res[r].tokens == ref.tokens, f"row {r} diverged"
+
+    def test_transcribe_windows_multi_clip(self, setup):
+        params, tok = setup
+        texts = wbatch.transcribe_windows(
+            params, TINY, tok,
+            [np.zeros(16000 * 2, np.float32), np.zeros(16000 * 35, np.float32)],
+            batch_size=4, temperature=0.0)
+        assert len(texts) == 2
+        assert all(isinstance(t, str) for t in texts)
