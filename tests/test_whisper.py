@@ -237,3 +237,26 @@ class TestQuantizedEmbedding:
         rows = np.asarray(quant.dequantize_rows(q, ids))
         full = np.asarray(quant.dequantize(q))[np.asarray(ids)]
         np.testing.assert_allclose(rows, full, atol=1e-6)
+
+
+class TestWordTimestamps:
+    def test_pipeline_word_timestamps(self, tiny_model, tok, rng):
+        pipe = WhisperPipeline(tiny_model, TINY, tok)
+        audio = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+        res = pipe.transcribe(audio, language="en", temperature=(0.0,),
+                              word_timestamps=True,
+                              condition_on_previous_text=False)
+        for seg in res.segments:
+            for w in seg.words or []:
+                assert w.end >= w.start >= 0
+                assert 0 <= w.probability <= 1
+
+    def test_find_alignment_counts(self, tiny_model, tok, rng):
+        from tpu_audio.models.whisper import timing
+
+        mel = rng.standard_normal((3000, 80)).astype(np.float32) * 0.1
+        text_tokens = tok.encode("the cat sat here")
+        words, counts = timing.find_alignment(
+            tiny_model, TINY, tok, mel, text_tokens, "en", 3000)
+        assert len(words) == len(counts)
+        assert sum(counts) <= len(text_tokens) + 1

@@ -20,6 +20,22 @@ from tpu_audio.models.whisper import model as wmodel
 AUDIO_TIME_PER_TOKEN = 0.02
 MEDFILT_WIDTH = 7
 
+_QK_FNS: dict = {}
+
+
+def _qk_fn(cfg, token_pad: int):
+    key = (id(cfg), token_pad)
+    if key not in _QK_FNS:
+        @jax.jit
+        def run(params, mel_dev, tok_dev):
+            feats = wmodel.encode(params, cfg, mel_dev[None])
+            logits, qks = wmodel.forward_cross_qk(params, cfg, tok_dev[None],
+                                                  feats)
+            return logits, qks
+
+        _QK_FNS[key] = run
+    return _QK_FNS[key]
+
 
 def default_alignment_heads(cfg) -> list[tuple[int, int]]:
     """Without checkpoint metadata, use all heads of the top half of the
@@ -117,27 +133,30 @@ def find_alignment(params, cfg, tokenizer, mel: np.ndarray,
                    text_tokens: list[int], language: str,
                    num_frames: int,
                    alignment_heads: list[tuple[int, int]] | None = None,
-                   decoder=None) -> list[Word]:
-    """Align text tokens to audio frames for one 30 s segment."""
+                   decoder=None) -> tuple[list[Word], list[int]]:
+    """Align text tokens to audio frames for one 30 s segment.
+
+    Returns (words, tokens_per_word) so callers can redistribute words to
+    segments by token counts."""
     if not text_tokens:
-        return []
+        return [], []
     heads = alignment_heads or default_alignment_heads(cfg)
     sot_seq = tokenizer.sot_sequence(language, "transcribe")
     tokens = [*sot_seq, tokenizer.no_timestamps, *text_tokens, tokenizer.eot]
 
-    @jax.jit
-    def run(params, mel_dev, tok_dev):
-        feats = wmodel.encode(params, cfg, mel_dev[None])
-        logits, qks = wmodel.forward_cross_qk(params, cfg, tok_dev[None], feats)
-        return logits, qks
-
-    logits, qks = run(params, jnp.asarray(mel, jnp.float32),
-                      jnp.asarray(tokens, jnp.int32))
-    logits = np.asarray(logits[0], np.float32)  # (T, V)
-    qks = np.asarray(qks, np.float32)  # (L, B, H, T, 1500)
+    # bucket token length so the cross-QK forward compiles once per bucket
+    # (trailing EOT padding only adds ignored rows)
+    n = len(tokens)
+    pad = -(-n // 32) * 32
+    padded = tokens + [tokenizer.eot] * (pad - n)
+    fn = _qk_fn(cfg, pad)
+    logits, qks = fn(params, jnp.asarray(mel, jnp.float32),
+                     jnp.asarray(padded, jnp.int32))
+    logits = np.asarray(logits[0, :n], np.float32)  # (T, V)
+    qks = np.asarray(qks[:, :, :, :n], np.float32)  # (L, B, H, T, 1500)
 
     # token probabilities for the sampled text tokens
-    sampled_logits = logits[len(sot_seq): -1, : tokenizer.eot]
+    sampled_logits = logits[len(sot_seq): n - 1, : tokenizer.eot]
     probs = _softmax(sampled_logits)
     text_token_probs = [float(probs[i, t])
                         for i, t in enumerate(tokens[len(sot_seq) + 1: -1])]
@@ -159,7 +178,7 @@ def find_alignment(params, cfg, tokenizer, mel: np.ndarray,
 
     words, word_tokens = split_tokens_on_spaces(tokenizer, text_tokens + [tokenizer.eot])
     if len(words) == 0:
-        return []
+        return [], []
     word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
 
     jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
@@ -174,6 +193,7 @@ def find_alignment(params, cfg, tokenizer, mel: np.ndarray,
     # probabilities: mean over each word's token span
     spans = np.pad(np.cumsum([len(t) for t in word_tokens]), (1, 0))
     out = []
+    counts = []
     for i, (word, toks) in enumerate(zip(words, word_tokens)):
         if toks[0] >= tokenizer.eot:
             continue
@@ -183,7 +203,8 @@ def find_alignment(params, cfg, tokenizer, mel: np.ndarray,
             if spans[i] < len(text_token_probs) else 1.0
         out.append(Word(word=word, start=float(start_times[i]),
                         end=float(end_times[i]), probability=p))
-    return out
+        counts.append(len(toks))
+    return out, counts
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
@@ -201,28 +222,58 @@ def add_word_timestamps(segments, *, params, cfg, tokenizer, mel, language,
         return
     text_tokens = [t for seg in segments for t in seg.tokens if t < tokenizer.eot]
     num_frames = mel.shape[0]
-    words = find_alignment(params, cfg, tokenizer, mel, text_tokens,
-                           language, num_frames, decoder=decoder)
-    _merge_punctuations(words, prepend_punctuations, append_punctuations)
+    words, counts = find_alignment(params, cfg, tokenizer, mel, text_tokens,
+                                   language, num_frames, decoder=decoder)
+    # punctuation merging can fuse words; track counts alongside
+    merged = _merge_punctuations_with_counts(words, counts,
+                                             prepend_punctuations,
+                                             append_punctuations)
 
-    # distribute words back to segments by token counts
+    # distribute words back to segments by cumulative TOKEN counts
     wi = 0
+    consumed_tokens = 0
+    boundary = 0
     for seg in segments:
-        n_text = len([t for t in seg.tokens if t < tokenizer.eot])
+        boundary += len([t for t in seg.tokens if t < tokenizer.eot])
         seg_words = []
-        consumed = 0
-        while wi < len(words) and consumed < n_text:
-            w = words[wi]
+        while wi < len(merged) and consumed_tokens < boundary:
+            w, n_tok = merged[wi]
             seg_words.append(Word(word=w.word,
                                   start=round(time_offset + w.start, 3),
                                   end=round(time_offset + w.end, 3),
                                   probability=w.probability))
-            consumed += 1  # approximation: one word advances at least 1 token
+            consumed_tokens += n_tok
             wi += 1
         seg.words = seg_words
         if seg_words:
             seg.start = seg_words[0].start
             seg.end = seg_words[-1].end
+
+
+def _merge_punctuations_with_counts(words: list[Word], counts: list[int],
+                                    prepended: str, appended: str):
+    """Fuse punctuation-only words into neighbors, summing token counts."""
+    pairs = [[w, c] for w, c in zip(words, counts)]
+    i = len(pairs) - 2
+    while i >= 0:
+        w = pairs[i][0]
+        if w.word.startswith(" ") and w.word.strip() in prepended:
+            pairs[i + 1][0] = Word(word=w.word + pairs[i + 1][0].word,
+                                   start=w.start, end=pairs[i + 1][0].end,
+                                   probability=pairs[i + 1][0].probability)
+            pairs[i + 1][1] += pairs[i][1]
+            pairs[i][1] = 0
+        i -= 1
+    pairs = [p for p in pairs if p[1] > 0 or p[0].word]
+    out = []
+    for w, c in pairs:
+        if out and w.word in appended:
+            pw, pc = out[-1]
+            out[-1] = (Word(word=pw.word + w.word, start=pw.start, end=w.end,
+                            probability=pw.probability), pc + c)
+        elif c > 0:
+            out.append((w, c))
+    return out
 
 
 def _merge_punctuations(words: list[Word], prepended: str, appended: str) -> None:
