@@ -29,3 +29,41 @@ class TestFusedMelInterpret:
                                                    n_mels=80))
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+class TestQuantMatmulInterpret:
+    def test_parity_vs_dequant(self, rng, monkeypatch):
+        import jax.experimental.pallas as pl
+        import jax.numpy as jnp
+
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.pallas import quant_matmul as qmm
+
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+
+        w = rng.standard_normal((300, 256)).astype(np.float32) * 0.05
+        q = {k: jnp.asarray(v) for k, v in quant.quantize_array(w, 4).items()}
+        q = quant.expand_for_kernel(q)
+        x = jnp.asarray(rng.standard_normal((3, 256)).astype(np.float32))
+        got = np.asarray(qmm.quant_matmul(x, q["weight_q4"], q["scales_w"],
+                                          q["biases_w"], bits=4))
+        ref = np.asarray(x) @ np.asarray(quant.dequantize(q)).T
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
+
+    def test_expand_tree(self, rng):
+        import jax.numpy as jnp
+
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((64, 128)).astype(np.float32)
+        tree = {"layers": {"attn": {"q": {
+            k: jnp.asarray(v) for k, v in quant.quantize_array(w, 4).items()
+        }}}}
+        out = quant.expand_tree_for_kernel(tree)
+        assert "scales_w" in out["layers"]["attn"]["q"]

@@ -125,7 +125,10 @@ def config_from_hf(d: dict) -> TransformerConfig:
 
 
 def load_llama_dir(path: str, dtype=jnp.bfloat16):
+    from tpu_audio.ops import quant
+
     cfg = config_from_hf(weights.load_config_json(path))
     flat = weights.load_safetensors_dir(path)
     tree = convert_llama(flat)
-    return weights.to_device(tree, dtype=dtype), cfg
+    tree = weights.to_device(tree, dtype=dtype)
+    return quant.expand_tree_for_kernel(tree), cfg

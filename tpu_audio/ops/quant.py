@@ -69,7 +69,37 @@ def dequantize_rows(p: dict, ids: jax.Array) -> jax.Array:
     return q * scales + biases
 
 
+def expand_for_kernel(p: dict) -> dict:
+    """Attach word-resolution bf16 scale/bias leaves so the fused Pallas
+    dequant-matmul (ops/pallas/quant_matmul.py) can run without an
+    in-kernel interleaved repeat. Call once at load time."""
+    bits = 4 if "weight_q4" in p else 8
+    per = 32 // bits
+    words = p["weight_q4" if bits == 4 else "weight_q8"].shape[-1]
+    group_words = words * per // p["scales"].shape[-1] // per
+    out = dict(p)
+    out["scales_w"] = jnp.repeat(p["scales"], group_words,
+                                 axis=-1).astype(jnp.float32)
+    out["biases_w"] = jnp.repeat(p["biases"], group_words,
+                                 axis=-1).astype(jnp.float32)
+    return out
+
+
 def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
+    if "scales_w" in p and x.ndim == 2:
+        try:
+            from tpu_audio.ops.pallas import quant_matmul as qmm
+
+            if qmm.supported(x, p):
+                bits = 4 if "weight_q4" in p else 8
+                y = qmm.quant_matmul(
+                    x, p["weight_q4" if bits == 4 else "weight_q8"],
+                    p["scales_w"], p["biases_w"], bits=bits).astype(x.dtype)
+                if "bias" in p:
+                    y = y + p["bias"].astype(x.dtype)
+                return y
+        except Exception:
+            pass
     w = dequantize(p).astype(x.dtype)
     y = x @ w.T
     if "bias" in p:
@@ -116,3 +146,14 @@ def quantize_tree(tree: dict, bits: int = 4, group: int = 64,
         else:
             out[k] = v
     return pytree.unflatten(out)
+
+
+def expand_tree_for_kernel(tree: dict) -> dict:
+    """Walk a param tree and expand every quantized leaf-dict for the fused
+    kernel (works on scan-stacked (L, ...) leaves too)."""
+    if not isinstance(tree, dict):
+        return tree
+    if is_quantized(tree):
+        return expand_for_kernel(tree)
+    return {k: expand_tree_for_kernel(v) if isinstance(v, dict) else v
+            for k, v in tree.items()}
