@@ -102,3 +102,13 @@ class TestMarvis:
         chunks = list(eng.generate_streaming(
             "Hi.", granularity=StreamingGranularity.FRAME))
         assert chunks[-1].is_final
+
+
+class TestMarvisQuantizedKV:
+    def test_engine_with_int8_kv(self, marvis_params, mimi_params):
+        eng = MarvisEngine.from_params(marvis_params, TINY_MARVIS,
+                                       mimi_params, TINY_MIMI, max_frames=6)
+        eng.kv_quantized = True
+        res = eng.generate("Hello.")
+        assert res.sample_rate == 24000
+        assert np.isfinite(res.samples).all()

@@ -215,3 +215,40 @@ class TestDecodeLoop:
             first_token=jnp.array([0], jnp.int32), max_new_tokens=8,
             eos_ids=(4,), sampler=SamplerConfig(temperature=0.0), min_tokens=3)
         assert int(res.lengths[0]) >= 3
+
+
+class TestQuantizedKVCache:
+    """int8 KV cache (reference MarvisModel.swift:384-389 optional
+    QuantizedKVCache): close to fp logits, and prefill==stepwise holds."""
+
+    def test_close_to_fp_cache(self):
+        key = jax.random.PRNGKey(0)
+        params = transformer.init_params(key, TINY)
+        tokens = jnp.array([[3, 7, 11, 2, 9]], dtype=jnp.int32)
+
+        ref_cache = transformer.make_cache(TINY, 1, 16, dtype=jnp.float32)
+        ref, _ = transformer.forward(params, TINY, tokens, ref_cache)
+
+        qcache = transformer.make_cache(TINY, 1, 16, quantized=True)
+        got, qcache = transformer.forward(params, TINY, tokens, qcache)
+        assert int(qcache.pos) == 5
+        # int8 KV: small quantization error, same argmax behavior
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.05, rtol=0.05)
+
+    def test_prefill_equals_stepwise(self):
+        params = transformer.init_params(jax.random.PRNGKey(1), TINY)
+        tokens = jnp.array([[5, 1, 8, 4]], dtype=jnp.int32)
+
+        cache = transformer.make_cache(TINY, 1, 16, quantized=True)
+        full, _ = transformer.forward(params, TINY, tokens, cache)
+
+        cache = transformer.make_cache(TINY, 1, 16, quantized=True)
+        steps = []
+        for i in range(4):
+            lg, cache = transformer.forward(params, TINY,
+                                            tokens[:, i: i + 1], cache)
+            steps.append(lg[:, 0])
+        np.testing.assert_allclose(np.asarray(full),
+                                   np.asarray(jnp.stack(steps, axis=1)),
+                                   atol=2e-3)

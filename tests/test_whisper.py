@@ -260,3 +260,65 @@ class TestWordTimestamps:
             tiny_model, TINY, tok, mel, text_tokens, "en", 3000)
         assert len(words) == len(counts)
         assert sum(counts) <= len(text_tokens) + 1
+
+
+class TestHallucinationFilter:
+    """word_anomaly_score / is_segment_anomaly / filter_hallucinated_segments
+    (reference WhisperTiming.swift:1010-1200)."""
+
+    def _word(self, w="hello", start=0.0, end=0.5, p=0.9):
+        from tpu_audio.api.results import Word
+
+        return Word(word=w, start=start, end=end, probability=p)
+
+    def test_anomaly_score_components(self):
+        from tpu_audio.models.whisper import timing
+
+        assert timing.word_anomaly_score(self._word(p=0.9, end=0.5)) == 0.0
+        assert timing.word_anomaly_score(self._word(p=0.1, end=0.5)) == 1.0
+        # very short word: (0.133 - 0.05) * 15
+        s = timing.word_anomaly_score(self._word(end=0.05))
+        assert abs(s - (0.133 - 0.05) * 15) < 1e-6
+        # very long word: duration - 2
+        assert abs(timing.word_anomaly_score(self._word(end=3.0)) - 1.0) < 1e-6
+
+    def test_segment_anomaly(self):
+        from tpu_audio.models.whisper import timing
+
+        good = [self._word(start=i * 0.5, end=i * 0.5 + 0.4)
+                for i in range(8)]
+        assert not timing.is_segment_anomaly(good)
+        bad = [self._word(p=0.05, start=i * 0.01, end=i * 0.01 + 0.005)
+               for i in range(8)]
+        assert timing.is_segment_anomaly(bad)
+        assert not timing.is_segment_anomaly(None)
+        assert not timing.is_segment_anomaly([self._word(w=".")])
+
+    def test_filter_drops_isolated_anomaly(self):
+        from tpu_audio.api.results import TranscriptionSegment
+        from tpu_audio.models.whisper import timing
+
+        def seg(sid, start, end, words):
+            return TranscriptionSegment(id=sid, seek=0, start=start, end=end,
+                                        text="x", tokens=[1], words=words)
+
+        # anomalous segment at window start with long silence after
+        bad_words = [self._word(p=0.01, start=0.5 + i * 0.01,
+                                end=0.5 + i * 0.01 + 0.005) for i in range(4)]
+        good_words = [self._word(start=20.0 + i * 0.5,
+                                 end=20.4 + i * 0.5) for i in range(3)]
+        segs = [seg(0, 0.5, 1.0, bad_words), seg(1, 20.0, 22.0, good_words)]
+        out = timing.filter_hallucinated_segments(segs, 2.0, 30.0)
+        assert len(out) == 1 and out[0].id == 1
+
+        # same anomaly but speech directly adjacent → kept
+        near = [self._word(start=1.1 + i * 0.5, end=1.5 + i * 0.5)
+                for i in range(3)]
+        segs2 = [seg(0, 2.4, 2.9, bad_words), seg(1, 3.0, 5.0, near)]
+        out2 = timing.filter_hallucinated_segments(segs2, 2.0, 30.0)
+        assert len(out2) == 2
+
+    def test_threshold_none_keeps_all(self):
+        from tpu_audio.models.whisper import timing
+
+        assert timing.filter_hallucinated_segments([], 2.0, 30.0) == []

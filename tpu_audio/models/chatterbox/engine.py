@@ -91,6 +91,7 @@ class ChatterboxEngine(TTSEngineBase):
         self.tokenizer = None
         self.conditionals: ChatterboxConditionals | None = None
         self._wav_fns = {}
+        self._cond_fns = {}
 
     def load(self, progress_handler=None) -> None:
         if self.is_loaded:
@@ -119,6 +120,51 @@ class ChatterboxEngine(TTSEngineBase):
 
     # ---------------------------------------------------------------- speaker
 
+    def _cond_device_fn(self, lens: tuple[int, int, int, int]):
+        """One jitted pipeline for ALL conditioning device work, cached per
+        (dec16, enc16, dec24, ref16) length tuple.  The eager path dispatched
+        hundreds of tiny ops per call (~4.4 s measured on v5e); fused it is
+        one traced graph — compile once per ref-audio length, then ~ms."""
+        if lens in self._cond_fns:
+            return self._cond_fns[lens]
+        tok_cfg = self.tok_cfg
+        s3_cfg, ve_cfg = self.s3gen_cfg, self.ve_cfg
+
+        @jax.jit
+        def fn(tok_params, s3gen_params, ve_params, dec16, enc16, dec24,
+               ref16):
+            def s3_codes(audio16):
+                mel = frontends.s3_log_mel(audio16).T[None]
+                return s3tokenizer.quantize(tok_params, tok_cfg, mel,
+                                            jnp.asarray([mel.shape[1]]))
+
+            codes_d, lens_d = s3_codes(dec16)
+            codes_e, lens_e = s3_codes(enc16)
+            prompt_mel = frontends.s3gen_mel(dec24,
+                                             n_mels=s3_cfg.mel_dim).T[None]
+            fbank = frontends.kaldi_fbank(ref16)
+            fbank = fbank - jnp.mean(fbank, axis=0, keepdims=True)
+            embedding = s3gen.embed_ref_mel(s3gen_params, s3_cfg, fbank[None])
+
+            # VoiceEncoder sliding partials (static starts — ref16 len fixed)
+            mel = ve.melspec(ref16, ve_cfg)
+            t = mel.shape[0]
+            if t < ve_cfg.partial_frames:
+                mel = jnp.pad(mel, ((0, ve_cfg.partial_frames - t), (0, 0)))
+                t = ve_cfg.partial_frames
+            starts = range(0, max(1, t - ve_cfg.partial_frames + 1),
+                           ve_cfg.partial_hop)
+            partials = jnp.stack([mel[s: s + ve_cfg.partial_frames]
+                                  for s in starts])
+            embs = ve.embed_partials(ve_params, ve_cfg, partials)
+            spk = jnp.mean(embs, axis=0)
+            spk = spk / jnp.maximum(jnp.linalg.norm(spk), 1e-8)
+            return codes_d, lens_d, codes_e, lens_e, prompt_mel, embedding, \
+                spk[None]
+
+        self._cond_fns[lens] = fn
+        return fn
+
     def prepare_conditionals(self, ref_audio: np.ndarray, sample_rate: int,
                              exaggeration: float | None = None
                              ) -> ChatterboxConditionals:
@@ -132,26 +178,14 @@ class ChatterboxEngine(TTSEngineBase):
         enc_16 = ref16[: ENC_COND_SECONDS * S3_SR]
         dec_24 = ref24[: DEC_COND_SECONDS * S3GEN_SR]
 
-        # S3 tokens (decoder prompt + encoder conditioning)
-        def s3_tokens(audio16):
-            mel = frontends.s3_log_mel(jnp.asarray(audio16)).T[None]
-            codes, lens = s3tokenizer.quantize(
-                self.tok_params, self.tok_cfg, mel,
-                jnp.asarray([mel.shape[1]]))
-            return codes[:, : int(lens[0])]
-
-        prompt_tokens = s3_tokens(dec_16)
-        t3_cond_tokens = s3_tokens(enc_16)
-
-        # S3Gen reference: 50 Hz mel of 24 kHz prompt + CAMPPlus x-vector
-        prompt_mel = frontends.s3gen_mel(jnp.asarray(dec_24),
-                                 n_mels=self.s3gen_cfg.mel_dim).T[None]
-        fbank = frontends.kaldi_fbank(jnp.asarray(ref16))
-        fbank = fbank - jnp.mean(fbank, axis=0, keepdims=True)
-        embedding = s3gen.embed_ref_mel(self.s3gen_params, self.s3gen_cfg,
-                                        fbank[None])
-
-        spk = ve.embed_utterance(self.ve_params, self.ve_cfg, ref16)[None]
+        fn = self._cond_device_fn((len(dec_16), len(enc_16), len(dec_24),
+                                   len(ref16)))
+        (codes_d, lens_d, codes_e, lens_e, prompt_mel, embedding,
+         spk) = fn(self.tok_params, self.s3gen_params, self.ve_params,
+                   jnp.asarray(dec_16), jnp.asarray(enc_16),
+                   jnp.asarray(dec_24), jnp.asarray(ref16))
+        prompt_tokens = codes_d[:, : int(lens_d[0])]
+        t3_cond_tokens = codes_e[:, : int(lens_e[0])]
         # align prompt mel frames to 2× prompt tokens
         want = 2 * prompt_tokens.shape[1]
         pm = prompt_mel[:, :want]

@@ -35,13 +35,16 @@ class MarvisEngine(TTSEngineBase):
     default_streaming_granularity = StreamingGranularity.FRAME
 
     def __init__(self, quality: str = "high", model: str = "250m",
-                 speaker: int = 0, temperature: float = 0.9, top_k: int = 50):
+                 speaker: int = 0, temperature: float = 0.9, top_k: int = 50,
+                 kv_quantized: bool = False):
         super().__init__()
         self.quality = quality
         self.model_size = model
         self.speaker = speaker
         self.temperature = temperature
         self.top_k = top_k
+        # optional int8 KV cache (reference MarvisModel.swift:384-389)
+        self.kv_quantized = kv_quantized
         self.params = None
         self.cfg = mmodel.MarvisConfig()
         self.mimi_params = None
@@ -95,7 +98,8 @@ class MarvisEngine(TTSEngineBase):
         def prefill(params, tokens, mask, pad_amount, key):
             cache = transformer.make_cache(cfg.backbone, 1,
                                            prompt_pad + self.max_frames + 8,
-                                           dtype=jnp.float32)
+                                           dtype=jnp.float32,
+                                           quantized=self.kv_quantized)
             slot = jnp.arange(cache.max_len)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
             frame, cache = step(params, tokens=tokens, mask=mask,

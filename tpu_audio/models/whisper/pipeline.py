@@ -129,6 +129,7 @@ class WhisperPipeline:
         condition_on_previous_text: bool = True,
         timestamps: bool = True,
         word_timestamps: bool = False,
+        hallucination_silence_threshold: float | None = None,
         initial_prompt: str | None = None,
         verbose: bool = False,
     ) -> TranscriptionResult:
@@ -242,6 +243,12 @@ class WhisperPipeline:
                 prompt_reset_since = len(all_tokens)
             if seek <= previous_seek:  # safety: always make progress
                 seek = previous_seek + segment_size
+
+        if word_timestamps and hallucination_silence_threshold:
+            from tpu_audio.models.whisper import timing
+
+            all_segments = timing.filter_hallucinated_segments(
+                all_segments, hallucination_silence_threshold, duration)
 
         text = "".join(s.text for s in all_segments).strip()
         processing = time.perf_counter() - t_start

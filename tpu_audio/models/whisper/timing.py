@@ -276,6 +276,77 @@ def _merge_punctuations_with_counts(words: list[Word], counts: list[int],
     return out
 
 
+# ---------------------------------------------------------------- anomaly
+# Hallucination detection (WhisperTiming.swift:1010-1200 behavior, itself
+# matching openai-whisper's word_anomaly_score / is_segment_anomaly).
+
+_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+_CHUNK_LENGTH = 30.0
+
+
+def word_anomaly_score(word: Word) -> float:
+    """Anomalous words are very long, very short, or low-probability."""
+    duration = word.end - word.start
+    score = 0.0
+    if word.probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def is_segment_anomaly(words: list[Word] | None) -> bool:
+    """First 8 non-punctuation words scoring >=3 (or ~all anomalous)."""
+    if not words:
+        return False
+    filtered = [w for w in words if w.word not in _PUNCT][:8]
+    if not filtered:
+        return False
+    score = sum(word_anomaly_score(w) for w in filtered)
+    return score >= 3 or score + 0.01 >= len(filtered)
+
+
+def filter_hallucinated_segments(segments, threshold: float,
+                                 audio_duration: float) -> list:
+    """Drop anomalous segments surrounded by silence (threshold seconds)."""
+    if not threshold or not segments:
+        return list(segments)
+
+    def next_words_segment(start):
+        for s in segments[start:]:
+            if s.words:
+                return s
+        return None
+
+    out = []
+    last_speech = 0.0
+    for i, seg in enumerate(segments):
+        if not seg.words:
+            out.append(seg)
+            continue
+        if is_segment_anomaly(seg.words):
+            window_idx = int(seg.start / _CHUNK_LENGTH)
+            time_offset = window_idx * _CHUNK_LENGTH
+            window_end = min((window_idx + 1) * _CHUNK_LENGTH, audio_duration)
+            nxt = next_words_segment(i + 1)
+            hal_next_start = (nxt.words[0].start if nxt
+                              else time_offset + _CHUNK_LENGTH)
+            silence_before = (seg.start - last_speech > threshold
+                              or seg.start < threshold
+                              or seg.start - time_offset < 2.0)
+            silence_after = (hal_next_start - seg.end > threshold
+                             or is_segment_anomaly(nxt.words if nxt else None)
+                             or window_end - seg.end < 2.0)
+            if silence_before and silence_after:
+                continue
+        out.append(seg)
+        if seg.words:
+            last_speech = seg.words[-1].end
+    return out
+
+
 def _merge_punctuations(words: list[Word], prepended: str, appended: str) -> None:
     # prepend leading punctuation onto the following word
     i = len(words) - 2

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_audio.nn import attention, layers, rope
-from tpu_audio.ops.kvcache import KVCache
+from tpu_audio.ops.kvcache import KVCache, QuantizedKVCache
 
 
 @dataclass(frozen=True)
@@ -126,7 +126,10 @@ def init_params(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
 
 
 def make_cache(cfg: TransformerConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
+    if quantized:
+        return QuantizedKVCache.create(cfg.n_layers, batch, max_len,
+                                       cfg.kv_heads, cfg.hd)
     return KVCache.create(cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.hd, dtype)
 
 
@@ -151,9 +154,13 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
     inv_freq = cfg.inv_freq() if cfg.pos_emb == "rope" else None
 
     h_, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    quant = isinstance(cache, QuantizedKVCache)
 
     def body(carry, xs):
-        x, kbuf, vbuf = carry
+        if quant:
+            x, kq, vq, ks, vs = carry
+        else:
+            x, kbuf, vbuf = carry
         lp, li = xs
         hn = _norm(cfg, lp["ln1"], x)
         q = layers.linear(lp["attn"]["q"], hn).reshape(b, t, h_, hd)
@@ -165,21 +172,45 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
         if inv_freq is not None:
             q = rope.apply_rope(q, positions, inv_freq)
             k = rope.apply_rope(k, positions, inv_freq)
-        kbuf = jax.lax.dynamic_update_slice(
-            kbuf, k[None].astype(kbuf.dtype), (li, 0, pos, 0, 0))
-        vbuf = jax.lax.dynamic_update_slice(
-            vbuf, v[None].astype(vbuf.dtype), (li, 0, pos, 0, 0))
-        kl = jax.lax.dynamic_index_in_dim(kbuf, li, 0, keepdims=False)
-        vl = jax.lax.dynamic_index_in_dim(vbuf, li, 0, keepdims=False)
-        o = attention.attend(q, kl.astype(q.dtype), vl.astype(q.dtype), mask)
+        at = (li, 0, pos, 0, 0)
+        if quant:
+            nkq, nks = QuantizedKVCache._quantize(k)
+            nvq, nvs = QuantizedKVCache._quantize(v)
+            kq = jax.lax.dynamic_update_slice(kq, nkq[None], at)
+            vq = jax.lax.dynamic_update_slice(vq, nvq[None], at)
+            ks = jax.lax.dynamic_update_slice(ks, nks[None], at)
+            vs = jax.lax.dynamic_update_slice(vs, nvs[None], at)
+
+            def deq(qb, sb):
+                ql = jax.lax.dynamic_index_in_dim(qb, li, 0, keepdims=False)
+                sl = jax.lax.dynamic_index_in_dim(sb, li, 0, keepdims=False)
+                return (ql.astype(jnp.float32) * sl).astype(q.dtype)
+
+            kl, vl = deq(kq, ks), deq(vq, vs)
+        else:
+            kbuf = jax.lax.dynamic_update_slice(
+                kbuf, k[None].astype(kbuf.dtype), at)
+            vbuf = jax.lax.dynamic_update_slice(
+                vbuf, v[None].astype(vbuf.dtype), at)
+            kl = jax.lax.dynamic_index_in_dim(
+                kbuf, li, 0, keepdims=False).astype(q.dtype)
+            vl = jax.lax.dynamic_index_in_dim(
+                vbuf, li, 0, keepdims=False).astype(q.dtype)
+        o = attention.attend(q, kl, vl, mask)
         x = x + layers.linear(lp["attn"]["o"], o.reshape(b, t, h_ * hd))
         x = x + _mlp(cfg, lp["mlp"], _norm(cfg, lp["ln2"], x))
+        if quant:
+            return (x, kq, vq, ks, vs), None
         return (x, kbuf, vbuf), None
 
-    (x, kbuf, vbuf), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
-        (params["layers"], jnp.arange(cfg.n_layers)),
-    )
+    xs = (params["layers"], jnp.arange(cfg.n_layers))
+    if quant:
+        (x, kq, vq, ks, vs), _ = jax.lax.scan(
+            body, (x, cache.k_q, cache.v_q, cache.k_s, cache.v_s), xs)
+        x = _norm(cfg, params["norm"], x)
+        return x, QuantizedKVCache(k_q=kq, v_q=vq, k_s=ks, v_s=vs,
+                                   pos=pos + t)
+    (x, kbuf, vbuf), _ = jax.lax.scan(body, (x, cache.k, cache.v), xs)
     x = _norm(cfg, params["norm"], x)
     return x, KVCache(k=kbuf, v=vbuf, pos=pos + t)
 
