@@ -142,3 +142,79 @@ class TestS3GenEndToEnd:
         assert int(start) == 8 * ups
         assert int(valid) == 20 * ups
         assert np.isfinite(np.asarray(audio)).all()
+
+
+class TestVocodeWindow:
+    """hift.vocode_window: O(1)-per-chunk streaming must reproduce the
+    one-shot full pass (position-keyed noise + carried phase/source)."""
+
+    def test_windowed_equals_full(self, rng):
+        params = hift.init_params(jax.random.PRNGKey(0), TINY_HIFT)
+        total = 80
+        mel = jnp.asarray(rng.standard_normal((1, total, 16)) * 0.2,
+                          jnp.float32)
+        key = jax.random.PRNGKey(7)
+        per = TINY_HIFT.upsample_scale
+        full, _ = hift.generate(params, TINY_HIFT, mel, key)
+        full = np.asarray(full)
+
+        lb_max = hift.LOOKBACK_FRAMES
+        nh = TINY_HIFT.nb_harmonics + 1
+        phase = jnp.zeros((1, nh))
+        tail = jnp.zeros((1, 0))
+        voc = 0
+        out = []
+        for boundary in (40, total):
+            lb = min(lb_max, voc)
+            window = mel[:, voc - lb: boundary]
+            audio_w, phase, src_w = hift.vocode_window(
+                params, TINY_HIFT, window, key, phase,
+                tail[:, tail.shape[1] - lb * per:], jnp.asarray(voc))
+            out.append(np.asarray(audio_w[0, lb * per:]))
+            new_lb = min(lb_max, boundary)
+            tail = src_w[:, (lb + (boundary - voc) - new_lb) * per:]
+            voc = boundary
+        got = np.concatenate(out)
+        assert got.shape == full[0].shape
+        # Streamed audio differs from the full pass ONLY within the
+        # receptive field of each mid-stream emit boundary (mel context was
+        # cut there at emit time — the reference's streaming emit has the
+        # same property). Everywhere else it is the full pass: chunk-1
+        # interior, and ALL of chunk 2 (its 32-frame lookback carries exact
+        # source/phase and complete left mel context; its right edge is the
+        # true end, same as the full pass).
+        np.testing.assert_allclose(got[: 30 * per], full[0, : 30 * per],
+                                   atol=5e-3)
+        np.testing.assert_allclose(got[40 * per:], full[0, 40 * per:],
+                                   atol=5e-3)
+
+    def test_phase_continuity_across_windows(self, rng):
+        """End phase of window k == phase a full pass reaches at the same
+        frame (mod 1)."""
+        params = hift.init_params(jax.random.PRNGKey(0), TINY_HIFT)
+        mel = jnp.asarray(rng.standard_normal((1, 24, 16)) * 0.2, jnp.float32)
+        key = jax.random.PRNGKey(3)
+        per = TINY_HIFT.upsample_scale
+        nh = TINY_HIFT.nb_harmonics + 1
+
+        f0 = hift.f0_predict(params["f0_predictor"], mel)
+        f0_up = jnp.repeat(f0[..., None], per, axis=1)
+        _, phase_full = hift.sine_source(params["m_source"], TINY_HIFT,
+                                         f0_up, key)
+
+        phase = jnp.zeros((1, nh))
+        tail = jnp.zeros((1, 0))
+        voc = 0
+        for boundary in (12, 24):
+            lb = min(hift.LOOKBACK_FRAMES, voc)
+            window = mel[:, voc - lb: boundary]
+            _, phase, src_w = hift.vocode_window(
+                params, TINY_HIFT, window, key, phase,
+                tail[:, tail.shape[1] - lb * per:], jnp.asarray(voc))
+            new_lb = min(hift.LOOKBACK_FRAMES, boundary)
+            tail = src_w[:, (lb + (boundary - voc) - new_lb) * per:]
+            voc = boundary
+        # 24 frames < lookback → windows had full context: exact match
+        d = np.abs(np.asarray(phase) - np.asarray(phase_full))
+        d = np.minimum(d, 1 - d)  # circular distance mod 1
+        assert d.max() < 1e-3

@@ -133,22 +133,50 @@ def f0_predict(p, mel: jax.Array) -> jax.Array:
     return jnp.abs(layers.linear(p["classifier"], x))[..., 0]
 
 
-def sine_source(p, cfg: HiFTConfig, f0_up: jax.Array, key) -> jax.Array:
-    """f0 upsampled to sample rate (B, T, 1) → merged harmonic source
-    (SourceModuleHnNSF, HiFiGAN.swift:141-255). Unlike Kokoro's SineGen,
-    phases integrate directly at sample rate."""
+def _position_noise(key, start_frame, n_frames: int, b: int, per: int,
+                    h: int) -> jax.Array:
+    """Per-mel-frame position-keyed noise (B, n_frames·per, H).
+
+    Keyed by ABSOLUTE frame index so a windowed streaming pass draws the
+    identical noise as one full pass — the property that makes
+    vocode_window() reproduce generate() sample-for-sample."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        start_frame + jnp.arange(n_frames))
+    noise = jax.vmap(lambda k: jax.random.normal(k, (b, per, h)))(keys)
+    return jnp.transpose(noise, (1, 0, 2, 3)).reshape(b, n_frames * per, h)
+
+
+def sine_source(p, cfg: HiFTConfig, f0_up: jax.Array, key, *,
+                start_frame=0, init_phase: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array]:
+    """f0 upsampled to sample rate (B, T, 1) → (merged harmonic source,
+    end phase (B, H)) (SourceModuleHnNSF, HiFiGAN.swift:141-255). Unlike
+    Kokoro's SineGen, phases integrate directly at sample rate.
+
+    init_phase continues the cumulative phase from a previous window
+    (streaming); start_frame is the absolute mel-frame index of f0_up[ :,0]
+    for position-keyed noise. The returned phase is mod 1, which also keeps
+    long streams inside f32 precision (a full-pass cumsum degrades past
+    ~minutes of audio)."""
+    per = cfg.upsample_scale
     harmonics = jnp.arange(1, cfg.nb_harmonics + 2, dtype=jnp.float32)
     fn = f0_up * harmonics[None, None, :] / cfg.sampling_rate
     k1, k2 = jax.random.split(key)
     rad = jnp.cumsum(fn % 1.0, axis=1)
+    if init_phase is not None:
+        rad = rad + init_phase[:, None, :]
+    end_phase = rad[:, -1, :] % 1.0
     rand_ini = jax.random.uniform(k1, (f0_up.shape[0], cfg.nb_harmonics + 1))
     rand_ini = rand_ini.at[:, 0].set(0.0)
     sines = jnp.sin(2 * jnp.pi * (rad + rand_ini[:, None, :]))
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)
     noise_amp = uv * cfg.nsf_sigma + (1 - uv) * cfg.nsf_alpha / 3
-    noise = noise_amp * jax.random.normal(k2, sines.shape)
+    noise = noise_amp * _position_noise(k2, start_frame,
+                                        f0_up.shape[1] // per,
+                                        f0_up.shape[0], per,
+                                        cfg.nb_harmonics + 1)
     sine_waves = sines * cfg.nsf_alpha * uv + noise
-    return jnp.tanh(layers.linear(p["l_linear"], sine_waves))
+    return jnp.tanh(layers.linear(p["l_linear"], sine_waves)), end_phase
 
 
 def _stft(x: jax.Array, n_fft: int, hop: int):
@@ -224,9 +252,45 @@ def generate(params, cfg: HiFTConfig, mel: jax.Array, key,
     where source can be cached and re-injected for streaming continuity."""
     f0 = f0_predict(params["f0_predictor"], mel)
     f0_up = jnp.repeat(f0[..., None], cfg.upsample_scale, axis=1)
-    source = sine_source(params["m_source"], cfg, f0_up, key)[..., 0]
+    source = sine_source(params["m_source"], cfg, f0_up, key)[0][..., 0]
     if cache_source is not None and cache_source.shape[1] > 0:
         n = cache_source.shape[1]
         source = jnp.concatenate([cache_source, source[:, n:]], axis=1)
     audio = decode(params, cfg, mel, source)
     return audio, source
+
+
+# ------------------------------------------------------------------ streaming
+
+LOOKBACK_FRAMES = 32  # > the stack's total receptive field (~15 mel frames)
+
+
+def vocode_window(params, cfg: HiFTConfig, mel: jax.Array, key,
+                  phase: jax.Array, source_tail: jax.Array, start_frame):
+    """O(1)-per-chunk streaming vocoder window.
+
+    The upstream (reference CosyVoice3Model.swift:605-649 and PyTorch
+    CosyVoice) re-vocodes the FULL accumulated mel every chunk — O(n²) over
+    an utterance, with per-chunk latency growing linearly. Every op in HiFT
+    downstream of the sine source has a finite receptive field, so a window
+    with LOOKBACK_FRAMES of exact left context reproduces the full pass
+    exactly; the two unbounded dependencies are carried as state:
+    the cumulative sine phase (`phase`, (B, H) at the window's first NEW
+    frame) and the already-computed source samples for the lookback region
+    (`source_tail`, (B, Lb·per)).
+
+    mel: (B, Lb+N, 80) ending at the emit boundary; start_frame: absolute
+    index of the first new frame (position-keyed noise).
+    Returns (audio (B, (Lb+N)·per), new_phase, source (B, (Lb+N)·per)).
+    """
+    per = cfg.upsample_scale
+    lb = source_tail.shape[1] // per
+    f0 = f0_predict(params["f0_predictor"], mel)
+    f0_new = f0[:, lb:]
+    f0_up = jnp.repeat(f0_new[..., None], per, axis=1)
+    src_new, new_phase = sine_source(params["m_source"], cfg, f0_up, key,
+                                     start_frame=start_frame,
+                                     init_phase=phase)
+    source = jnp.concatenate([source_tail, src_new[..., 0]], axis=1)
+    audio = decode(params, cfg, mel, source)
+    return audio, new_phase, source

@@ -122,24 +122,23 @@ class CV3Synthesizer:
             self._flow_fns[key_] = fn
         return self._flow_fns[key_]
 
-    def _vocode(self, mel: np.ndarray, source_cache, seed: int):
-        """Incremental causal HiFT over the accumulated mel."""
-        t = mel.shape[0]
-        bucket = -(-t // 50) * 50
-        if bucket not in self._voc_fns:
+    def _voc_fn(self, lb: int, n_new: int):
+        """Jitted vocode_window, cached per (lookback, new-frames) shape —
+        steady-state streaming hits ONE compiled graph regardless of how
+        long the utterance grows (the full-recompute scheme recompiled per
+        length bucket AND did O(n²) work)."""
+        key_ = (lb, n_new)
+        if key_ not in self._voc_fns:
             cfg = self.cfg
 
             @jax.jit
-            def fn(params, mel_, key):
-                return hift.generate(params["mel2wav"], cfg.hift, mel_, key)
+            def fn(params, mel_, key, phase, source_tail, start_frame):
+                return hift.vocode_window(params["mel2wav"], cfg.hift, mel_,
+                                          key, phase, source_tail,
+                                          start_frame)
 
-            self._voc_fns[bucket] = fn
-        m = np.zeros((1, bucket, mel.shape[1]), np.float32)
-        m[0, :t] = mel
-        audio, source = self._voc_fns[bucket](self.params, jnp.asarray(m),
-                                              jax.random.PRNGKey(seed))
-        valid = t * self.cfg.hift.upsample_scale
-        return np.asarray(audio[0][:valid], np.float32), source
+            self._voc_fns[key_] = fn
+        return self._voc_fns[key_]
 
     def stream(self, token_chunks: Iterator[list[int]],
                prompt_tokens: list[int], prompt_mel: np.ndarray,
@@ -149,8 +148,11 @@ class CV3Synthesizer:
 
         The flow re-runs over the full accumulated token window with
         streaming (chunk-causal) attention — mathematically stable because
-        every mask is causal at chunk granularity; only the new samples
-        beyond the previous offset are yielded."""
+        every mask is causal at chunk granularity (matches the reference,
+        CosyVoice3Model.swift:605-649). The vocoder, unlike the reference's
+        full-mel re-run, is O(1) per chunk: hift.vocode_window with a
+        32-frame lookback + carried sine phase/source state reproduces the
+        full pass exactly at a fixed per-chunk cost."""
         cfg = self.cfg
         p_len = len(prompt_tokens)
         pm = jnp.asarray(prompt_mel[None]) if prompt_mel.ndim == 2 \
@@ -163,6 +165,13 @@ class CV3Synthesizer:
         ups = cfg.hift.upsample_scale
         done = False
         chunk_iter = iter(token_chunks)
+
+        # incremental vocoder state (hift.vocode_window)
+        nh = cfg.hift.nb_harmonics + 1
+        phase = jnp.zeros((1, nh))
+        source_tail = jnp.zeros((1, 0))
+        voc_frames = 0  # absolute mel frames already vocoded
+        voc_key = jax.random.PRNGKey(seed)
 
         while True:
             while (not done
@@ -187,10 +196,22 @@ class CV3Synthesizer:
                 jnp.asarray([pm.shape[1]]), emb, jax.random.PRNGKey(seed))
             mel_np = np.asarray(mel[0])
             valid_frames = (p_len + emit_upto) * mel_ratio
-            audio, _ = self._vocode(mel_np[:valid_frames], None, seed)
-            start = (p_len + emitted) * mel_ratio * ups
-            end = (p_len + emit_upto) * mel_ratio * ups
-            new_audio = audio[start:end]
+
+            # O(1)-per-chunk vocoding: lookback window + carried source state
+            lb = min(hift.LOOKBACK_FRAMES, voc_frames)
+            n_new = valid_frames - voc_frames
+            window = mel_np[voc_frames - lb: valid_frames]
+            audio_w, phase, source_w = self._voc_fn(lb, n_new)(
+                self.params, jnp.asarray(window[None]), voc_key, phase,
+                source_tail[:, source_tail.shape[1] - lb * ups:],
+                jnp.asarray(voc_frames))
+            new_audio = np.asarray(audio_w[0, lb * ups:], np.float32)
+            new_lb = min(hift.LOOKBACK_FRAMES, valid_frames)
+            source_tail = source_w[:, (lb + n_new - new_lb) * ups:]
+            # skip the prompt-region samples (first chunk only)
+            skip = max(0, p_len * mel_ratio - voc_frames)
+            voc_frames = valid_frames
+            new_audio = new_audio[skip * ups:]
             emitted = emit_upto
             if len(new_audio):
                 yield new_audio
