@@ -218,3 +218,59 @@ class TestVocodeWindow:
         d = np.abs(np.asarray(phase) - np.asarray(phase_full))
         d = np.minimum(d, 1 - d)  # circular distance mod 1
         assert d.max() < 1e-3
+
+
+class TestFlowCache:
+    """ConditionalCFM 34-frame overlap cache (FlowMatching.swift:125-142)."""
+
+    def test_cache_pins_noise_and_mu(self, rng):
+        est_cfg = flow.EstimatorConfig(in_channels=16 * 4, out_channels=16,
+                                       channels=32, n_blocks=1,
+                                       num_mid_blocks=1, num_heads=2,
+                                       static_chunk_size=8, num_left_chunks=1)
+        cfm = flow.CFMConfig(n_timesteps=2)
+        params = flow.init_estimator(jax.random.PRNGKey(0), est_cfg)
+        p_len = 8  # == static_chunk_size: prompt fills attention chunk 0
+        t1 = p_len + flow.OVERLAP_FRAMES + 8
+        mu1 = jnp.asarray(rng.standard_normal((1, t1, 16)) * 0.1, jnp.float32)
+        spk = jnp.asarray(rng.standard_normal((1, 16)) * 0.1, jnp.float32)
+        cond = jnp.zeros((1, t1, 16))
+        out1, cache = flow.cfm_inference(
+            params, est_cfg, cfm, mu1, jnp.asarray([t1]), spk, cond,
+            jax.random.PRNGKey(1), streaming=True, prompt_len=p_len,
+            return_cache=True)
+        assert out1.shape == (1, t1, 16)
+        assert cache.shape == (1, p_len + flow.OVERLAP_FRAMES, 16, 2)
+        # cached mu must be the prompt + trailing overlap of the input mu
+        np.testing.assert_allclose(np.asarray(cache[:, :p_len, :, 1]),
+                                   np.asarray(mu1[:, :p_len]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(cache[:, p_len:, :, 1]),
+            np.asarray(mu1[:, -flow.OVERLAP_FRAMES:]), atol=1e-6)
+
+        # next chunk window = [prompt | 34-frame overlap | new] (the
+        # ConditionalCFM streaming contract). With the cache injected, the
+        # pinned region's z/mu are fixed — so two runs with DIFFERENT rng
+        # keys produce identical output wherever attention context is fully
+        # pinned (the prompt fills chunk 0 exactly: p_len == chunk size 8).
+        t2 = p_len + flow.OVERLAP_FRAMES + 10
+        mu2 = jnp.concatenate(
+            [mu1[:, :p_len], mu1[:, -flow.OVERLAP_FRAMES:],
+             jnp.asarray(rng.standard_normal((1, 10, 16)) * 0.1,
+                         jnp.float32)], axis=1)
+        cond2 = jnp.zeros((1, t2, 16))
+        out_a, cache_a = flow.cfm_inference(
+            params, est_cfg, cfm, mu2, jnp.asarray([t2]), spk, cond2,
+            jax.random.PRNGKey(99), streaming=True, prompt_len=p_len,
+            flow_cache=cache, return_cache=True)
+        out_b, _ = flow.cfm_inference(
+            params, est_cfg, cfm, mu2, jnp.asarray([t2]), spk, cond2,
+            jax.random.PRNGKey(1234), streaming=True, prompt_len=p_len,
+            flow_cache=cache, return_cache=True)
+        assert out_a.shape == (1, t2, 16)
+        np.testing.assert_allclose(np.asarray(out_a[:, :p_len]),
+                                   np.asarray(out_b[:, :p_len]), atol=1e-5)
+        # the prompt z stays pinned across the whole stream
+        np.testing.assert_allclose(np.asarray(cache_a[:, :p_len, :, 0]),
+                                   np.asarray(cache[:, :p_len, :, 0]),
+                                   atol=1e-6)

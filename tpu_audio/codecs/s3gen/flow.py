@@ -217,14 +217,39 @@ def estimator_forward(params, cfg: EstimatorConfig, x, mask_len, mu, t,
     return layers.conv1d(params["final_proj"], h * mask) * mask
 
 
+OVERLAP_FRAMES = 34  # reference FlowMatching.swift:140-142
+
+
+def make_flow_cache(z, mu, prompt_len: int):
+    """Pin (z, mu) for the prompt + trailing OVERLAP_FRAMES so the next
+    chunk's solve agrees at the junction (FlowMatching.swift:133-142)."""
+    z_c = jnp.concatenate([z[:, :prompt_len], z[:, -OVERLAP_FRAMES:]], axis=1)
+    mu_c = jnp.concatenate([mu[:, :prompt_len], mu[:, -OVERLAP_FRAMES:]],
+                           axis=1)
+    return jnp.stack([z_c, mu_c], axis=-1)  # (B, prompt+34, D, 2)
+
+
 def cfm_solve(estimator_fn, cfm: CFMConfig, mu, mask_len, spks, cond, key,
-              streaming: bool = False, n_timesteps: int | None = None):
+              streaming: bool = False, n_timesteps: int | None = None,
+              prompt_len: int = 0, flow_cache=None, return_cache: bool = False):
     """Generic CFG Euler solver: estimator_fn(x, mask_len, mu, t, spks,
     cond, streaming) → velocity. Used by the Matcha U-Net (here) and
-    CosyVoice3's DiT estimator."""
+    CosyVoice3's DiT estimator.
+
+    flow_cache: optional (B, prompt_len+34, D, 2) pinned (z, mu) from the
+    previous streaming chunk (ConditionalCFM overlap cache,
+    FlowMatching.swift:125-142); return_cache adds the updated cache to the
+    result."""
     n_steps = n_timesteps or cfm.n_timesteps
     b, t, d = mu.shape
     z = jax.random.normal(key, (b, t, d), mu.dtype)
+    if flow_cache is not None and flow_cache.shape[1] > 0:
+        cs = flow_cache.shape[1]
+        z = jnp.concatenate([flow_cache[..., 0].astype(z.dtype), z[:, cs:]],
+                            axis=1)
+        mu = jnp.concatenate([flow_cache[..., 1].astype(mu.dtype),
+                              mu[:, cs:]], axis=1)
+    new_cache = make_flow_cache(z, mu, prompt_len) if return_cache else None
     t_span = jnp.linspace(0.0, 1.0, n_steps + 1)
     if cfm.t_scheduler == "cosine":
         t_span = 1 - jnp.cos(t_span * 0.5 * jnp.pi)
@@ -251,16 +276,21 @@ def cfm_solve(estimator_fn, cfm: CFMConfig, mu, mask_len, spks, cond, key,
         v_cfg = (1.0 + rate) * v_c - rate * v_u
         return x + dt * v_cfg
 
-    return jax.lax.fori_loop(0, n_steps, step, z)
+    out = jax.lax.fori_loop(0, n_steps, step, z)
+    if return_cache:
+        return out, new_cache
+    return out
 
 
 def cfm_inference(params, est_cfg: EstimatorConfig, cfm: CFMConfig,
                   mu, mask_len, spks, cond, key, streaming: bool = False,
-                  n_timesteps: int | None = None):
+                  n_timesteps: int | None = None, prompt_len: int = 0,
+                  flow_cache=None, return_cache: bool = False):
     """ConditionalCFM.forward with the Matcha causal U-Net estimator."""
     def est(x, ml, mu_, t, spks_, cond_, stream):
         return estimator_forward(params, est_cfg, x, ml, mu_, t, spks_,
                                  cond_, stream)
 
     return cfm_solve(est, cfm, mu, mask_len, spks, cond, key, streaming,
-                     n_timesteps)
+                     n_timesteps, prompt_len=prompt_len,
+                     flow_cache=flow_cache, return_cache=return_cache)
