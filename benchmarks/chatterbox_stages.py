@@ -30,7 +30,7 @@ def build_engine(full: bool):
     import jax
 
     from tpu_audio.codecs import s3tokenizer
-    from tpu_audio.codecs.s3gen import campplus, conformer, flow, hift
+    from tpu_audio.codecs.s3gen import conformer, flow
     from tpu_audio.codecs.s3gen import model as s3gen
     from tpu_audio.models.chatterbox import t3 as t3mod
     from tpu_audio.models.chatterbox import voice_encoder as ve

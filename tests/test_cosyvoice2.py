@@ -1,7 +1,6 @@
 """CosyVoice2 tests: LM generation, modes, voice conversion, engine e2e."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

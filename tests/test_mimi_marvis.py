@@ -112,3 +112,50 @@ class TestMarvisQuantizedKV:
         res = eng.generate("Hello.")
         assert res.sample_rate == 24000
         assert np.isfinite(res.samples).all()
+
+
+class TestMimiStreamingDecoder:
+    """Exact stateful streaming decode (reference MimiStreamingDecoder,
+    Mimi.swift:213-241 + Conv.swift state machines): chunked output must
+    equal the one-shot decode bit-for-bit."""
+
+    def _run(self, cfg, params, codes, chunk):
+        from tpu_audio.codecs.mimi import streaming
+
+        n = codes.shape[-1]
+        state = streaming.init_state(params, cfg, batch=1,
+                                     chunk_frames=chunk)
+        outs = []
+        for s in range(0, n, chunk):
+            audio, state = streaming.decode_stream(
+                params, cfg, codes[:, :, s: s + chunk], state)
+            outs.append(np.asarray(audio))
+        return np.concatenate(outs, axis=-1)
+
+    def test_chunked_equals_full(self, mimi_params, rng):
+        codes = jnp.asarray(rng.integers(0, TINY_MIMI.bins,
+                                         (1, TINY_MIMI.n_q, 12)), jnp.int32)
+        full = np.asarray(mimi.decode(mimi_params, TINY_MIMI, codes))
+        got = self._run(TINY_MIMI, mimi_params, codes, chunk=4)
+        assert got.shape == full.shape
+        np.testing.assert_allclose(got, full, atol=1e-4)
+
+    def test_sliding_window_context(self, rng):
+        """Chunks crossing the transformer context window still match the
+        one-shot pass (whose mask enforces the same window)."""
+        cfg = mimi.MimiConfig(dimension=32, n_filters=4, ratios=(4, 3, 2),
+                              t_layers=2, t_heads=4, t_ff=64, n_q=2,
+                              bins=16, q_dim=8, t_context=4)
+        params = mimi.init_params(jax.random.PRNGKey(3), cfg)
+        codes = jnp.asarray(rng.integers(0, cfg.bins, (1, cfg.n_q, 9)),
+                            jnp.int32)
+        full = np.asarray(mimi.decode(params, cfg, codes))
+        got = self._run(cfg, params, codes, chunk=3)
+        np.testing.assert_allclose(got, full, atol=1e-4)
+
+    def test_single_frame_chunks(self, mimi_params, rng):
+        codes = jnp.asarray(rng.integers(0, TINY_MIMI.bins,
+                                         (1, TINY_MIMI.n_q, 5)), jnp.int32)
+        full = np.asarray(mimi.decode(mimi_params, TINY_MIMI, codes))
+        got = self._run(TINY_MIMI, mimi_params, codes, chunk=1)
+        np.testing.assert_allclose(got, full, atol=1e-4)

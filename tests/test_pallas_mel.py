@@ -1,10 +1,8 @@
 """Fused Pallas mel kernel: interpreter-mode parity on CPU (the real-TPU
 run is exercised by bench.py / verification drives)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 
 class TestFusedMelInterpret:

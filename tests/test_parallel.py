@@ -79,3 +79,46 @@ class TestDPBatchDecode:
         out = step(sharded, mel)
         assert out.shape == (4, 3, TINY.n_vocab)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLLMTensorParallel:
+    """TP-sharded shared transformer (the Orpheus/Qwen serving path):
+    sharded decode logits == replicated."""
+
+    def test_tp_forward_matches_replicated(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tpu_audio.nn import transformer
+        from tpu_audio.nn.transformer import TransformerConfig
+        from tpu_audio.parallel import transformer_rules
+
+        cfg = TransformerConfig(dim=64, n_layers=2, n_heads=8, n_kv_heads=8,
+                                hidden_dim=128, vocab_size=97)
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+        tokens = jnp.array([[5, 1, 8, 4, 2, 9, 3, 7]], dtype=jnp.int32)
+
+        cache = transformer.make_cache(cfg, 1, 16, dtype=jnp.float32)
+        ref, _ = transformer.forward(params, cfg, tokens, cache)
+
+        mesh = make_mesh(dp=1, tp=8)
+        shardings = param_shardings(params, mesh, transformer_rules)
+        sharded = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        cache2 = transformer.make_cache(cfg, 1, 16, dtype=jnp.float32)
+        got, _ = jax.jit(lambda p, t, c: transformer.forward(p, cfg, t, c))(
+            sharded, tokens, cache2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_specs_on_stacked_layers(self):
+        from tpu_audio.nn import transformer
+        from tpu_audio.nn.transformer import TransformerConfig
+        from tpu_audio.parallel import transformer_rules
+
+        cfg = TransformerConfig(dim=32, n_layers=2, n_heads=4,
+                                hidden_dim=64, vocab_size=11)
+        params = transformer.init_params(jax.random.PRNGKey(1), cfg)
+        mesh = make_mesh(dp=2, tp=4)
+        sh = param_shardings(params, mesh, transformer_rules)
+        assert sh["layers"]["attn"]["q"]["weight"].spec == P(None, "tp", None)
+        assert sh["layers"]["mlp"]["down"]["weight"].spec == P(None, None,
+                                                               "tp")

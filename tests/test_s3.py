@@ -4,7 +4,6 @@ CAMPPlus, end-to-end token2wav on tiny random models."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpu_audio.codecs import s3tokenizer
 from tpu_audio.codecs.s3gen import campplus, conformer, flow, hift

@@ -3,7 +3,7 @@
 import numpy as np
 
 from tpu_audio.api.results import Word
-from tpu_audio.api.tts import AudioChunk, StreamingGranularity
+from tpu_audio.api.tts import AudioChunk
 from tpu_audio.utils import text as textutils
 from tpu_audio.utils import trimmer
 

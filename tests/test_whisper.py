@@ -215,7 +215,6 @@ class TestQuantization:
 
     def test_quantize_tree(self, rng):
         from tpu_audio.ops import quant
-        from tpu_audio.utils import pytree
 
         tree = {"a": {"weight": jnp.asarray(rng.standard_normal((16, 64)),
                                             jnp.float32)},

@@ -8,7 +8,7 @@ and package/Models/STTProvider.swift:6-63.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 
 

@@ -7,10 +7,10 @@ scale on both sides, ×2 conv down/upsample to 12.5 Hz, split residual VQ
 embedding_sum / cluster_usage. Weights: kyutai/moshiko-pytorch-bf16.
 
 TPU design: everything is causal and local (convs) or windowed (transformer
-context 250), so instead of the reference's per-step conv state machines
-(Mimi/Conv.swift) both directions run as whole-buffer static-shape calls;
-streaming uses sliding-window re-decode with receptive-field left context,
-which is numerically exact for a causal stack.
+context 250), so both directions run as whole-buffer static-shape calls;
+chunked playback uses the exact stateful streaming decoder in streaming.py
+(conv-tail / transpose-overlap / sliding-KV state machines — the TPU
+equivalent of the reference's Mimi/Conv.swift).
 """
 
 from __future__ import annotations
@@ -19,7 +19,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_audio.nn import attention, layers, rope
 

@@ -13,7 +13,6 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_audio.codecs.s3gen import campplus, conformer, flow, hift
 from tpu_audio.nn import layers

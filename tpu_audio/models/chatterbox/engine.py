@@ -12,7 +12,7 @@ mlx-community/Chatterbox-TTS-{fp16,8bit,4bit} + mlx-community/S3TokenizerV2.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator
 
 import jax

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import re
 
-import jax.numpy as jnp
 
 from tpu_audio.codecs import s3tokenizer
 from tpu_audio.codecs.s3gen import model as s3gen

@@ -13,7 +13,7 @@ asyncEval double-buffering (T3.swift:288-303) is unnecessary here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

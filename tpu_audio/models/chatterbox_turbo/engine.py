@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.api.tts import AudioChunk, StreamingGranularity, TTSEngineBase
-from tpu_audio.codecs import s3tokenizer
+from tpu_audio.api.tts import AudioChunk, StreamingGranularity
 from tpu_audio.codecs.s3gen import flow as s3flow
 from tpu_audio.codecs.s3gen import hift as s3hift
 from tpu_audio.codecs.s3gen import model as s3gen

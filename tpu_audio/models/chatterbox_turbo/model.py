@@ -22,7 +22,6 @@ import numpy as np
 from tpu_audio.codecs.s3gen import flow as s3flow
 from tpu_audio.nn import layers, transformer
 from tpu_audio.ops import sampling
-from tpu_audio.ops.kvcache import KVCache
 
 GPT2_MEDIUM = transformer.TransformerConfig(
     dim=1024, n_layers=24, n_heads=16, n_kv_heads=16, hidden_dim=4096,

@@ -11,7 +11,7 @@ trimming. Repo: mlx-community/CosyVoice2-0.5B-4bit.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator
 
 import jax

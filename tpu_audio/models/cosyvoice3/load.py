@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import re
 
-import jax.numpy as jnp
 
 from tpu_audio.codecs import s3tokenizer
 from tpu_audio.models.cosyvoice2 import lm as lm_mod

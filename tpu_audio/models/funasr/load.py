@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import re
 
-import jax.numpy as jnp
 
 from tpu_audio.models.funasr import model as fmodel
 from tpu_audio.nn import load_llama

@@ -10,7 +10,6 @@ exact shapes eagerly with a host COO loop (KokoroTTS.swift:258-434).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -140,6 +140,17 @@ class MarvisEngine(TTSEngineBase):
         mask[:, -1] = True
         return tokens, mask
 
+    def _stream_dec_fn(self, chunk: int, k: int):
+        """Jitted exact streaming Mimi decode (streaming.decode_stream)."""
+        key_ = ("stream", chunk, k)
+        if key_ not in self._mimi_fns:
+            from tpu_audio.codecs.mimi import streaming
+
+            cfg = self.mimi_cfg
+            self._mimi_fns[key_] = jax.jit(
+                lambda p, c, s: streaming.decode_stream(p, cfg, c, s))
+        return self._mimi_fns[key_]
+
     def _decode_frames(self, frames: np.ndarray) -> np.ndarray:
         """(T, K_used) codes → audio; pad codebooks beyond K_used with 0."""
         t = frames.shape[0]
@@ -186,27 +197,46 @@ class MarvisEngine(TTSEngineBase):
                                           jnp.int32(pad - n), sub)
             frames = []
             pending = []
+            streamed = granularity == StreamingGranularity.FRAME
+            if streamed:
+                from tpu_audio.codecs.mimi import streaming
+
+                dec_state = streaming.init_state(self.mimi_params,
+                                                 self.mimi_cfg, 1,
+                                                 stream_frames)
+                dec_fn = self._stream_dec_fn(stream_frames, k)
             for fi in range(self.max_frames):
                 f_host = np.asarray(frame[0])
                 if np.all(f_host == 0):
                     break
                 frames.append(f_host)
                 pending.append(f_host)
-                if granularity == StreamingGranularity.FRAME and \
-                        len(pending) >= stream_frames:
-                    audio = self._decode_frames(np.stack(pending))
+                if streamed and len(pending) >= stream_frames:
+                    codes = np.stack(pending).T[None]  # (1, K, chunk)
+                    audio, dec_state = dec_fn(self.mimi_params,
+                                              jnp.asarray(codes), dec_state)
                     pending = []
-                    yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
+                    yield AudioChunk(samples=np.asarray(audio[0], np.float32),
+                                     sample_rate=self.sample_rate,
                                      text=sentence, is_final=False)
                 key, sub = jax.random.split(key)
                 frame, cache = frame_fn(self.params, jnp.asarray(f_host[None]),
                                         cache, extra, sub)
 
-            if granularity == StreamingGranularity.FRAME:
-                tail = pending
+            if streamed:
+                # final partial group: pad to the chunk, emit valid samples
+                if pending:
+                    codes = np.zeros((1, k, stream_frames), np.int32)
+                    codes[0, :, : len(pending)] = np.stack(pending).T
+                    audio, dec_state = dec_fn(self.mimi_params,
+                                              jnp.asarray(codes), dec_state)
+                    audio = np.asarray(
+                        audio[0, : len(pending) * self.mimi_cfg.hop],
+                        np.float32)
+                else:
+                    audio = np.zeros(0, np.float32)
             else:
-                tail = frames
-            audio = self._decode_frames(np.stack(tail)) if tail else \
-                np.zeros(0, np.float32)
+                audio = self._decode_frames(np.stack(frames)) if frames else \
+                    np.zeros(0, np.float32)
             yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
                              text=sentence, is_final=si == len(sentences) - 1)

@@ -17,7 +17,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_audio.nn import layers, transformer
 from tpu_audio.ops import sampling

@@ -103,7 +103,7 @@ class OuteTTSEngine(TTSEngineBase):
         if self.is_loaded:
             return
         from tpu_audio.nn import load_llama
-        from tpu_audio.utils import hub, weights
+        from tpu_audio.utils import hub
 
         path = hub.snapshot(LLM_REPO, matching=["*.safetensors", "config.json",
                                                 "tokenizer.json"])

@@ -15,7 +15,6 @@ Conv weights: mlx stores (O, K, I) → transpose (1, 2, 0); HF/torch stores
 
 from __future__ import annotations
 
-import os
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ executable regardless of audio length.
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

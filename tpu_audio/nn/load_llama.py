@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_audio.nn.transformer import TransformerConfig
-from tpu_audio.utils import pytree, weights
+from tpu_audio.utils import weights
 
 _RULES = [
     (r"^model\.embed_tokens\.", "embed."),

@@ -16,7 +16,7 @@ package/STT/FunASR/Layers/Qwen3Model.swift:272).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_audio.ops import mel_filters, windows
 from tpu_audio.ops.stft import dft_basis, frame

@@ -11,7 +11,6 @@ attention automatically.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_audio.models.whisper import model as wmodel

@@ -12,7 +12,6 @@ import optax
 
 from tpu_audio.models.whisper import model as wmodel
 from tpu_audio.models.whisper.config import WhisperConfig
-from tpu_audio.nn import attention, layers
 
 
 def loss_fn(params, cfg: WhisperConfig, mel, tokens_in, tokens_out, mask):

@@ -8,7 +8,6 @@ pushed numpy blocks. Consumers pull fixed-size chunks for streaming ASR.
 
 from __future__ import annotations
 
-import io
 import sys
 
 import numpy as np
