@@ -274,7 +274,7 @@ def cfm_solve(estimator_fn, cfm: CFMConfig, mu, mask_len, spks, cond, key,
                          streaming)
         v_c, v_u = v[:b], v[b:]
         v_cfg = (1.0 + rate) * v_c - rate * v_u
-        return x + dt * v_cfg
+        return (x + dt * v_cfg).astype(x.dtype)
 
     out = jax.lax.fori_loop(0, n_steps, step, z)
     if return_cache:
