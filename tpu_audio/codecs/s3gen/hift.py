@@ -189,17 +189,17 @@ def _stft(x: jax.Array, n_fft: int, hop: int):
 
 
 def _istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int):
-    win = jnp.asarray(windows.hann(n_fft, periodic=True))
+    from tpu_audio.ops import stft as stft_ops
+
+    win_np = windows.hann(n_fft, periodic=True)
+    win = jnp.asarray(win_np)
     spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win
-    b, nf, _ = frames.shape
+    nf = frames.shape[1]
     out_len = (nf - 1) * hop + n_fft
-    idx = (np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    out = jnp.zeros((b, out_len), frames.dtype).at[:, idx].add(
-        frames.reshape(b, -1))
-    wsq = jnp.zeros((out_len,), frames.dtype).at[idx].add(
-        jnp.tile(win * win, nf))
-    out = out / jnp.maximum(wsq, 1e-11)
+    out = stft_ops.overlap_add(frames, hop)
+    wsq = np.maximum(stft_ops.window_sumsquare(win_np, nf, hop, n_fft), 1e-11)
+    out = out / jnp.asarray(wsq, out.dtype)
     return out[:, n_fft // 2: out_len - n_fft // 2]
 
 

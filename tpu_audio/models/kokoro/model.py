@@ -355,19 +355,21 @@ def _kokoro_stft(x, n_fft, hop):
 def _kokoro_istft(mag, phase, n_fft, hop):
     """OLA inverse matching MLXSTFT.inverse: frames×window / OLA(window),
     trimmed by n_fft/2 on both ends."""
+    from tpu_audio.ops import stft as stft_ops
     from tpu_audio.ops import windows
 
-    win = jnp.asarray(windows.hann(n_fft, periodic=True))
+    win_np = windows.hann(n_fft, periodic=True)
+    win = jnp.asarray(win_np)
     spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win
-    b, nf, _ = frames.shape
+    nf = frames.shape[1]
     out_len = (nf - 1) * hop + n_fft
-    idx = (np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    out = jnp.zeros((b, out_len), frames.dtype)
-    out = out.at[:, idx].add(frames.reshape(b, -1))
-    wsum = jnp.zeros((out_len,), frames.dtype).at[idx].add(
-        jnp.tile(win, nf))
-    out = jnp.where(wsum != 0, out / wsum, out)
+    out = stft_ops.overlap_add(frames, hop)  # scatter-free (hop | n_fft)
+    wsum = np.zeros(out_len)
+    for f in range(nf):
+        wsum[f * hop: f * hop + n_fft] += np.asarray(win_np)
+    scale = np.where(wsum != 0, 1.0 / np.maximum(wsum, 1e-30), 1.0)
+    out = out * jnp.asarray(scale, out.dtype)
     return out[:, n_fft // 2: out_len - n_fft // 2]
 
 

@@ -95,6 +95,43 @@ def stft_complex(
     return jnp.fft.rfft((frames * w).astype(jnp.float32), axis=-1)
 
 
+def overlap_add(frames: jax.Array, hop: int) -> jax.Array:
+    """Overlap-add (..., NF, n_fft) → (..., (NF−1)·hop + n_fft).
+
+    When hop divides n_fft (every vocoder here: HiFT 16/4, Kokoro 20/5),
+    each output sample receives exactly n_fft/hop frame contributions, so
+    the whole thing is R static-slice adds — no scatter, which XLA lowers
+    to slow per-element updates on TPU (SURVEY §7 hard part 5; measured
+    dominant in the HiFT vocoder)."""
+    *lead, nf, n_fft = frames.shape
+    out_len = (nf - 1) * hop + n_fft
+    flat = frames.reshape((-1, nf, n_fft))
+    b = flat.shape[0]
+    if n_fft % hop == 0:
+        out = jnp.zeros((b, out_len), frames.dtype)
+        for m in range(n_fft // hop):
+            piece = flat[:, :, m * hop: (m + 1) * hop].reshape(b, nf * hop)
+            out = out.at[:, m * hop: m * hop + nf * hop].add(piece)
+    else:
+        idx = (np.arange(nf)[:, None] * hop
+               + np.arange(n_fft)[None, :]).reshape(-1)
+        out = jnp.zeros((b, out_len), flat.dtype).at[:, idx].add(
+            flat.reshape(b, -1))
+    return out.reshape(tuple(lead) + (out_len,))
+
+
+def window_sumsquare(window: np.ndarray, num_frames: int, hop: int,
+                     n_fft: int) -> np.ndarray:
+    """Squared-window overlap normalization, computed host-side (the window
+    is always concrete) so it enters the graph as a constant."""
+    w = np.zeros(n_fft, np.float64)
+    w[: len(window)] = np.asarray(window, np.float64)
+    out = np.zeros((num_frames - 1) * hop + n_fft)
+    for f in range(num_frames):
+        out[f * hop: f * hop + n_fft] += w * w
+    return out
+
+
 def istft(
     spec: jax.Array,
     window: np.ndarray,
@@ -105,27 +142,19 @@ def istft(
 ) -> jax.Array:
     """Inverse STFT with overlap-add and squared-window normalization.
 
-    spec: complex (..., frames, K) → waveform (..., T). The overlap-add is a
-    scatter-free dilated transposed reshape: XLA lowers it to vectorized adds.
-    """
+    spec: complex (..., frames, K) → waveform (..., T)."""
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
     w = jnp.asarray(window, dtype=frames.dtype)
     frames = frames * w
 
     num_frames = frames.shape[-2]
     out_len = n_fft + hop * (num_frames - 1)
-
-    # Overlap-add via strided scatter-add expressed as segment sum:
-    # position of frame f sample n is f*hop + n.
     lead = frames.shape[:-2]
-    flat = frames.reshape((-1, num_frames, n_fft))
-    idx = (np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    out = jnp.zeros((flat.shape[0], out_len), dtype=frames.dtype)
-    out = out.at[:, idx].add(flat.reshape(flat.shape[0], -1))
+    out = overlap_add(frames.reshape((-1, num_frames, n_fft)), hop)
 
-    wsq = jnp.zeros((out_len,), dtype=frames.dtype)
-    wsq = wsq.at[idx].add(jnp.tile(w * w, num_frames))
-    out = out / jnp.maximum(wsq, 1e-11)
+    wsq = np.maximum(window_sumsquare(np.asarray(window), num_frames, hop,
+                                      n_fft), 1e-11)
+    out = out / jnp.asarray(wsq, out.dtype)
 
     if center:
         out = out[:, n_fft // 2 : out_len - n_fft // 2]
