@@ -1,0 +1,101 @@
+"""LLM decode throughput benchmark (the Orpheus/Qwen TTS serving path).
+
+Measures per-token decode latency of the shared transformer stack
+(nn/transformer scan + whole-stack KV cache + on-device sampling loop) at
+production sizes. Orpheus-3B needs ~83 speech tokens/s of audio, so
+tokens/s directly bounds TTS RTF for the LLM stage.
+
+    python benchmarks/llm_decode.py [--model 3b|1b|0.5b] [--tokens N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+SIZES = {
+    # dim, layers, heads, kv, hidden, vocab
+    "3b": (3072, 28, 24, 8, 8192, 128266),   # Orpheus (Llama-3.2-3B)
+    "1b": (2048, 16, 32, 8, 8192, 134400),   # OuteTTS (Llama-3.2-1B)
+    "0.5b": (896, 24, 14, 2, 4864, 151936),  # CosyVoice2 (Qwen2.5-0.5B)
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="3b", choices=sorted(SIZES))
+    ap.add_argument("--tokens", type=int, default=128)
+    ap.add_argument("--prompt", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.nn import transformer
+    from tpu_audio.ops import decoding, sampling
+
+    dim, layers, heads, kv, hidden, vocab = SIZES[args.model]
+    cfg = transformer.TransformerConfig(
+        dim=dim, n_layers=layers, n_heads=heads, n_kv_heads=kv,
+        hidden_dim=hidden, vocab_size=vocab)
+    print(f"backend: {jax.default_backend()}  model: {args.model} "
+          f"({dim}d x {layers}L, vocab {vocab})")
+
+    t0 = time.perf_counter()
+    params = transformer.init_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    np.asarray(jax.tree_util.tree_leaves(params)[0][:1])  # true sync
+    print(f"init {n_params / 1e9:.2f}B params ({n_params * 2 / 1e9:.1f} GB "
+          f"bf16) in {time.perf_counter() - t0:.1f}s")
+
+    max_len = args.prompt + args.tokens + 8
+    sampler = sampling.SamplerConfig(temperature=0.8, top_k=50)
+
+    def fn(params, prompt, key):
+        cache = transformer.make_cache(cfg, 1, max_len)
+        logits, cache = transformer.forward(params, cfg, prompt, cache)
+
+        def step(tok, cache):
+            lg, cache = transformer.forward(params, cfg, tok, cache)
+            return lg[:, -1], cache
+
+        k1, k2 = jax.random.split(key)
+        first = sampling.sample(k1, logits[:, -1], sampler)
+        res = decoding.decode_loop(k2, step, cache, first, args.tokens,
+                                   eos_ids=(vocab - 1,), sampler=sampler)
+        return res.tokens, res.lengths
+
+    jfn = jax.jit(fn)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, vocab, (1, args.prompt)), jnp.int32)
+
+    t0 = time.perf_counter()
+    toks, lens = jfn(params, prompt, jax.random.PRNGKey(1))
+    np.asarray(toks)  # block_until_ready is async-unsafe over the axon tunnel
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s")
+
+    runs = 3
+    n_gen = 0
+    t0 = time.perf_counter()
+    for i in range(runs):
+        toks, lens = jfn(params, prompt, jax.random.PRNGKey(2 + i))
+        np.asarray(toks)
+        n_gen += max(int(np.asarray(lens)[0]), 1)
+    dt = (time.perf_counter() - t0) / runs
+    per_tok = dt * runs / n_gen
+    print(f"{args.tokens} tokens in {dt * 1000:.0f} ms -> "
+          f"{per_tok * 1000:.2f} ms/token ({1 / per_tok:.0f} tok/s)")
+    bw = n_params * 2 / per_tok / 1e9
+    print(f"effective weight bandwidth {bw:.0f} GB/s "
+          f"(v5e HBM ~819 GB/s -> {bw / 819 * 100:.0f}% of roofline)")
+
+
+if __name__ == "__main__":
+    main()
