@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--model", default="3b", choices=sorted(SIZES))
     ap.add_argument("--tokens", type=int, default=128)
     ap.add_argument("--prompt", type=int, default=64)
+    ap.add_argument("--q4", action="store_true",
+                    help="int4 weights via the fused Pallas dequant-matmul")
     args = ap.parse_args()
 
     import jax
@@ -49,11 +51,43 @@ def main() -> None:
     t0 = time.perf_counter()
     params = transformer.init_params(jax.random.PRNGKey(0), cfg,
                                      dtype=jnp.bfloat16)
+    if args.q4:
+        # synthesize MLX-format int4 leaves for every big matmul (random
+        # packed weights: perf depends only on shapes/dtypes)
+        def q4_leaf(key, shape):
+            o, i = shape[-2], shape[-1]
+            lead = shape[:-2]
+            return {
+                "weight_q4": jax.random.bits(key, (*lead, o, i // 8),
+                                             jnp.uint32),
+                "scales": jax.random.uniform(key, (*lead, o, i // 64),
+                                             jnp.float32, 0.001, 0.02),
+                "biases": jax.random.normal(key, (*lead, o, i // 64),
+                                            jnp.float32) * 0.01,
+            }
+        k = jax.random.PRNGKey(7)
+        L = cfg.n_layers
+        lay = params["layers"]
+        hd = cfg.hd
+        for name, shape in (("q", (L, cfg.n_heads * hd, dim)),
+                            ("k", (L, cfg.kv_heads * hd, dim)),
+                            ("v", (L, cfg.kv_heads * hd, dim)),
+                            ("o", (L, dim, cfg.n_heads * hd))):
+            lay["attn"][name] = q4_leaf(jax.random.fold_in(k, hash(name) % 97),
+                                        shape)
+        for name, shape in (("gate", (L, hidden, dim)),
+                            ("up", (L, hidden, dim)),
+                            ("down", (L, dim, hidden))):
+            lay["mlp"][name] = q4_leaf(jax.random.fold_in(k, hash(name) % 89),
+                                       shape)
+        params["lm_head"] = q4_leaf(jax.random.fold_in(k, 3), (vocab, dim))
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
-    np.asarray(jax.tree_util.tree_leaves(params)[0][:1])  # true sync
-    print(f"init {n_params / 1e9:.2f}B params ({n_params * 2 / 1e9:.1f} GB "
-          f"bf16) in {time.perf_counter() - t0:.1f}s")
+    np.asarray(np.asarray(jax.tree_util.tree_leaves(params)[0])[:1])  # sync
+    gb = sum(x.size * x.dtype.itemsize
+             for x in jax.tree_util.tree_leaves(params)) / 1e9
+    print(f"init {n_params / 1e9:.2f}B params ({gb:.1f} GB "
+          f"{'q4' if args.q4 else 'bf16'}) in {time.perf_counter() - t0:.1f}s")
 
     max_len = args.prompt + args.tokens + 8
     sampler = sampling.SamplerConfig(temperature=0.8, top_k=50)
@@ -92,7 +126,7 @@ def main() -> None:
     per_tok = dt * runs / n_gen
     print(f"{args.tokens} tokens in {dt * 1000:.0f} ms -> "
           f"{per_tok * 1000:.2f} ms/token ({1 / per_tok:.0f} tok/s)")
-    bw = n_params * 2 / per_tok / 1e9
+    bw = gb / per_tok
     print(f"effective weight bandwidth {bw:.0f} GB/s "
           f"(v5e HBM ~819 GB/s -> {bw / 819 * 100:.0f}% of roofline)")
 

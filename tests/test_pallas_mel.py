@@ -47,10 +47,9 @@ class TestQuantMatmulInterpret:
 
         w = rng.standard_normal((300, 256)).astype(np.float32) * 0.05
         q = {k: jnp.asarray(v) for k, v in quant.quantize_array(w, 4).items()}
-        q = quant.expand_for_kernel(q)
         x = jnp.asarray(rng.standard_normal((3, 256)).astype(np.float32))
-        got = np.asarray(qmm.quant_matmul(x, q["weight_q4"], q["scales_w"],
-                                          q["biases_w"], bits=4))
+        got = np.asarray(qmm.quant_matmul(x, q["weight_q4"], q["scales"],
+                                          q["biases"], bits=4))
         ref = np.asarray(x) @ np.asarray(quant.dequantize(q)).T
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
 
@@ -63,5 +62,7 @@ class TestQuantMatmulInterpret:
         tree = {"layers": {"attn": {"q": {
             k: jnp.asarray(v) for k, v in quant.quantize_array(w, 4).items()
         }}}}
-        out = quant.expand_tree_for_kernel(tree)
-        assert "scales_w" in out["layers"]["attn"]["q"]
+        out = quant.expand_tree_for_kernel(tree)  # identity since the
+        # kernel expands scales in-kernel; loaders still call it
+        assert "scales" in out["layers"]["attn"]["q"]
+        assert "weight_q4" in out["layers"]["attn"]["q"]

@@ -1,16 +1,24 @@
 """Fused int4/int8 dequantize-matmul Pallas kernel.
 
 XLA lowers `x @ dequant(Wq).T` by materializing the dequantized matrix in
-HBM (measured 2.4× SLOWER than bf16 on v5e); this kernel reads the packed
-uint32 weights (4–8× less HBM), dequantizes blocks in VMEM, and runs the
+HBM (measured slower than bf16 on v5e); this kernel reads the packed
+uint32 weights plus GROUP-resolution f32 scales/biases (0.625 bytes per
+int4 weight vs 2 for bf16), dequantizes blocks in VMEM, and runs the
 GEMM — decode-time weight streaming at int4 bandwidth.
 
-Math trick for the nibble layout: packed word c of row o holds columns
-i = 8c..8c+7, and the group size is 64 = 8 nibbles × 8 words, so nibble
-plane j (columns j::8 → plane column c ↔ original column 8c+j) shares the
-SAME per-plane scale layout scales[o, c//8] for every j. The activation is
-pre-split into the matching planes x[:, j::8] outside the kernel (a tiny
-reshape), and the kernel accumulates Σ_j x_j · dequant(plane_j)ᵀ.
+Two Mosaic-shaped tricks:
+
+1. Nibble planes: packed word c of row o holds columns i = 8c..8c+7, and
+   the group size 64 = 8 nibbles × 8 words means nibble plane j (columns
+   j::8 → plane column c ↔ original column 8c+j) shares the SAME per-word
+   scale layout for every j. The activation is pre-split into matching
+   planes x[:, j::8] outside the kernel (a tiny reshape), and the kernel
+   accumulates Σ_j x_j · dequant(plane_j)ᵀ.
+2. In-kernel scale expansion as a matmul: Mosaic has no lane repeat, so
+   group→word expansion runs as scales (O, G) @ E (G, W) with E a 0/1
+   iota-comparison constant — one tiny MXU dot per block instead of
+   shipping word-resolution scales from HBM (which would triple the
+   side-band bytes and erase the int4 bandwidth win).
 """
 
 from __future__ import annotations
@@ -26,20 +34,30 @@ SUBLANE = 8
 
 def _kernel(x_planes_ref, packed_ref, scales_ref, biases_ref, out_ref, *,
             bits: int, group: int):
-    per = 32 // bits  # nibbles per u32 word
-    packed = packed_ref[:, :]  # (BLOCK_O, I/per) uint32
-    # scales/biases pre-expanded to word resolution by expand_for_kernel
-    # (Mosaic has no lane-interleaved repeat)
-    s_rep = scales_ref[:, :].astype(jnp.float32)  # (BLOCK_O, I/per)
-    b_rep = biases_ref[:, :].astype(jnp.float32)
+    per = 32 // bits  # values per u32 word
+    packed = packed_ref[:, :]  # (BLOCK_O, W) uint32
+    s_g = scales_ref[:, :].astype(jnp.float32)  # (BLOCK_O, G)
+    b_g = biases_ref[:, :].astype(jnp.float32)
+
+    w_words = packed.shape[1]
+    g = s_g.shape[1]
+    words_per_group = group // per
+    # expansion matrix E[i, w] = 1 iff word w belongs to group i
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, w_words), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, w_words), 1)
+    e = (cols // words_per_group == rows).astype(jnp.float32)
+    s_rep = jax.lax.dot_general(s_g, e, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    b_rep = jax.lax.dot_general(b_g, e, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
 
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(per):
         # uint32→float isn't supported in Mosaic; hop through int32
         q = ((packed >> (bits * j)) & ((1 << bits) - 1)).astype(
             jnp.int32).astype(jnp.float32)
-        w = q * s_rep + b_rep  # (BLOCK_O, I/per)
-        xj = x_planes_ref[j, :, :]  # (B, I/per)
+        w = q * s_rep + b_rep  # (BLOCK_O, W)
+        xj = x_planes_ref[j, :, :]  # (B, W)
         acc = acc + jax.lax.dot_general(
             xj, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -52,8 +70,7 @@ def quant_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
                  group: int = 64) -> jax.Array:
     """x (B, I) · dequant(packed (O, I·bits/32))ᵀ → (B, O) float32.
 
-    scales/biases must be WORD-resolution (O, I·bits/32) — see
-    expand_for_kernel."""
+    scales/biases at checkpoint GROUP resolution (O, I/group)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -61,7 +78,12 @@ def quant_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
     o = packed.shape[0]
     per = 32 // bits
     b_pad = -(-b // SUBLANE) * SUBLANE
-    o_pad = -(-o // BLOCK_O) * BLOCK_O
+    # VMEM budget: packed + s_rep + b_rep + q + w live per block (~20 B/word)
+    words = packed.shape[1]
+    block_o = BLOCK_O
+    while block_o > 128 and block_o * words * 20 > 12 * 2 ** 20:
+        block_o //= 2
+    o_pad = -(-o // block_o) * block_o
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
     if o_pad != o:
@@ -71,23 +93,23 @@ def quant_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
 
     # split activation into nibble planes: column 8c+j → plane j, column c
     x_planes = x.astype(jnp.float32).reshape(b_pad, i // per, per)
-    x_planes = jnp.transpose(x_planes, (2, 0, 1))  # (per, B, I/per)
+    x_planes = jnp.transpose(x_planes, (2, 0, 1))  # (per, B, W)
 
     kernel = functools.partial(_kernel, bits=bits, group=group)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b_pad, o_pad), jnp.float32),
-        grid=(o_pad // BLOCK_O,),
+        grid=(o_pad // block_o,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x planes (small)
-            pl.BlockSpec((BLOCK_O, packed.shape[1]), lambda g: (g, 0),
+            pl.BlockSpec((block_o, packed.shape[1]), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_O, scales.shape[1]), lambda g: (g, 0),
+            pl.BlockSpec((block_o, scales.shape[1]), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_O, biases.shape[1]), lambda g: (g, 0),
+            pl.BlockSpec((block_o, biases.shape[1]), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b_pad, BLOCK_O), lambda g: (0, g),
+        out_specs=pl.BlockSpec((b_pad, block_o), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
     )(x_planes, packed, scales.astype(jnp.float32),
       biases.astype(jnp.float32))

@@ -73,28 +73,28 @@ def expand_for_kernel(p: dict) -> dict:
     """Attach word-resolution bf16 scale/bias leaves so the fused Pallas
     dequant-matmul (ops/pallas/quant_matmul.py) can run without an
     in-kernel interleaved repeat. Call once at load time."""
-    bits = 4 if "weight_q4" in p else 8
-    per = 32 // bits
-    words = p["weight_q4" if bits == 4 else "weight_q8"].shape[-1]
-    group_words = words * per // p["scales"].shape[-1] // per
-    out = dict(p)
-    out["scales_w"] = jnp.repeat(p["scales"], group_words,
-                                 axis=-1).astype(jnp.float32)
-    out["biases_w"] = jnp.repeat(p["biases"], group_words,
-                                 axis=-1).astype(jnp.float32)
-    return out
+    # The kernel now expands group→word resolution IN-KERNEL via a tiny
+    # MXU matmul with a 0/1 expansion matrix, so checkpoint-resolution
+    # scales stream from HBM untouched (0.625 B per int4 weight total).
+    return dict(p)
 
 
 def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
-    if "scales_w" in p and x.ndim == 2:
+    lead = x.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    # the fused kernel is weight-streaming-optimal; for big GEMMs (prefill)
+    # XLA's dequant+matmul reads weights once anyway and tiles the MXU better
+    if rows <= 32:
         try:
             from tpu_audio.ops.pallas import quant_matmul as qmm
 
-            if qmm.supported(x, p):
+            x2 = x.reshape(rows, x.shape[-1])
+            if qmm.supported(x2, p):
                 bits = 4 if "weight_q4" in p else 8
                 y = qmm.quant_matmul(
-                    x, p["weight_q4" if bits == 4 else "weight_q8"],
-                    p["scales_w"], p["biases_w"], bits=bits).astype(x.dtype)
+                    x2, p["weight_q4" if bits == 4 else "weight_q8"],
+                    p["scales"], p["biases"], bits=bits).astype(x.dtype)
+                y = y.reshape(*lead, y.shape[-1])
                 if "bias" in p:
                     y = y + p["bias"].astype(x.dtype)
                 return y
