@@ -252,3 +252,32 @@ class TestQuantizedKVCache:
         np.testing.assert_allclose(np.asarray(full),
                                    np.asarray(jnp.stack(steps, axis=1)),
                                    atol=2e-3)
+
+
+class TestQuantizedTransformer:
+    """Stacked-scan transformer with MLX-format q4 leaves: decode must
+    match the fp stack within int4 quantization error (kernel path on TPU,
+    XLA dequant fallback on CPU — same math)."""
+
+    def test_q4_decode_matches_fp(self):
+        from tpu_audio.ops import quant
+
+        params = transformer.init_params(jax.random.PRNGKey(3), TINY)
+        tokens = jnp.array([[3, 7, 11, 2, 9]], dtype=jnp.int32)
+        cache = transformer.make_cache(TINY, 1, 16, dtype=jnp.float32)
+        ref, _ = transformer.forward(params, TINY, tokens, cache)
+
+        qparams = jax.tree_util.tree_map(lambda x: x, params)  # copy tree
+        for name in ("q", "k", "v", "o"):
+            w = np.asarray(params["layers"]["attn"][name]["weight"])
+            leaves = [quant.quantize_array(w[l], 4, group=16)
+                      for l in range(w.shape[0])]
+            qparams["layers"]["attn"][name] = {
+                k: jnp.stack([jnp.asarray(d[k]) for d in leaves])
+                for k in leaves[0]}
+        cache2 = transformer.make_cache(TINY, 1, 16, dtype=jnp.float32)
+        got, _ = transformer.forward(qparams, TINY, tokens, cache2)
+        # int4 group quantization error propagated through 2 layers
+        assert np.isfinite(np.asarray(got)).all()
+        corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())
+        assert corr[0, 1] > 0.99
