@@ -51,6 +51,10 @@ def _kernel(x_planes_ref, packed_ref, scales_ref, biases_ref, out_ref, *,
     b_rep = jax.lax.dot_general(b_g, e, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
+    # NOTE: the exponent-bit int→float trick ((q | 0x4B000000) bitcast,
+    # magic folded into the bias) was tried and REVERTED: s·8388608 >> s·q
+    # cancels catastrophically in f32 (7% output error). The two casts are
+    # the exact path; the VPU unpack remains the kernel's wall.
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(per):
         # uint32→float isn't supported in Mosaic; hop through int32
