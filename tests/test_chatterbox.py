@@ -140,3 +140,27 @@ class TestEngineEndToEnd:
         assert cond.speaker_emb.shape == (1, 32)
         assert cond.embedding.shape == (1, 24)
         assert cond.prompt_mel.shape[1] == 2 * cond.prompt_tokens.shape[1]
+
+    def test_conditioning_survives_unload(self, t3_params, rng):
+        """Reference semantics (Protocols/TTSEngine.swift:68-73): unload()
+        releases the model but keeps prepared speaker conditioning for
+        fast reload."""
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(1), tok_cfg)
+        s3_cfg = s3gen.S3GenConfig(
+            vocab_size=80, input_dim=32, spk_dim=24, mel_dim=16,
+            campplus=campplus.CAMPPlusConfig(
+                feat_dim=80, embedding_size=24, growth_rate=8, bn_size=2,
+                init_channels=16, blocks=(2,), kernels=(3,), dilations=(1,)))
+        s3_params = s3gen.init_params(jax.random.PRNGKey(2), s3_cfg)
+        ve_params = ve.init_params(jax.random.PRNGKey(3), TINY_VE)
+        eng = ChatterboxEngine.from_params(
+            t3_params, TINY_T3, s3_params, s3_cfg, tok_params, tok_cfg,
+            ve_params, TINY_VE)
+        audio = (0.1 * np.sin(np.linspace(0, 800 * np.pi, 24000))
+                 ).astype(np.float32)
+        cond = eng.prepare_conditionals(audio, 24000)
+        eng.unload()
+        assert not eng.is_loaded
+        assert eng.conditionals is cond  # speaker survives unload
