@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--model", default="3b", choices=sorted(SIZES))
     ap.add_argument("--tokens", type=int, default=128)
     ap.add_argument("--prompt", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--q4", action="store_true",
                     help="int4 weights via the fused Pallas dequant-matmul")
     args = ap.parse_args()
@@ -92,8 +93,10 @@ def main() -> None:
     max_len = args.prompt + args.tokens + 8
     sampler = sampling.SamplerConfig(temperature=0.8, top_k=50)
 
+    B = args.batch
+
     def fn(params, prompt, key):
-        cache = transformer.make_cache(cfg, 1, max_len)
+        cache = transformer.make_cache(cfg, B, max_len)
         logits, cache = transformer.forward(params, cfg, prompt, cache)
 
         def step(tok, cache):
@@ -108,7 +111,7 @@ def main() -> None:
 
     jfn = jax.jit(fn)
     prompt = jnp.asarray(np.random.default_rng(0).integers(
-        0, vocab, (1, args.prompt)), jnp.int32)
+        0, vocab, (B, args.prompt)), jnp.int32)
 
     t0 = time.perf_counter()
     toks, lens = jfn(params, prompt, jax.random.PRNGKey(1))
@@ -121,12 +124,13 @@ def main() -> None:
     for i in range(runs):
         toks, lens = jfn(params, prompt, jax.random.PRNGKey(2 + i))
         np.asarray(toks)
-        n_gen += max(int(np.asarray(lens)[0]), 1)
+        n_gen += max(int(np.asarray(lens).sum()), 1)
     dt = (time.perf_counter() - t0) / runs
     per_tok = dt * runs / n_gen
-    print(f"{args.tokens} tokens in {dt * 1000:.0f} ms -> "
-          f"{per_tok * 1000:.2f} ms/token ({1 / per_tok:.0f} tok/s)")
-    bw = gb / per_tok
+    print(f"batch {B}: {args.tokens} steps in {dt * 1000:.0f} ms -> "
+          f"{per_tok * 1000:.2f} ms/token aggregate "
+          f"({1 / per_tok:.0f} tok/s)")
+    bw = gb / (per_tok * B)  # weights are read once per STEP, not per token
     print(f"effective weight bandwidth {bw:.0f} GB/s "
           f"(v5e HBM ~819 GB/s -> {bw / 819 * 100:.0f}% of roofline)")
 
