@@ -1,0 +1,131 @@
+"""Real-checkpoint integration tests (the reference's primary strategy:
+SURVEY §4 — golden-transcript word accuracy + ASR-round-trip TTS
+verification, package/Tests/WhisperTests.swift:29-83 and
+CosyVoice2Tests.swift:153).
+
+These need network/model access, which this build environment does not
+have (zero egress), so they skip unless TPU_AUDIO_WEIGHTS points at a
+directory of HF snapshots:
+
+    TPU_AUDIO_WEIGHTS=/data/models \
+    TPU_AUDIO_TEST_WAV=/data/audio/lj.wav \
+    TPU_AUDIO_TEST_TRANSCRIPT="..." pytest tests/test_real_weights.py
+
+Layout expected under TPU_AUDIO_WEIGHTS: one subdirectory per HF repo id
+(org--name), as produced by utils/hub.snapshot's cache.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WEIGHTS = os.environ.get("TPU_AUDIO_WEIGHTS", "")
+TEST_WAV = os.environ.get("TPU_AUDIO_TEST_WAV", "")
+# LJ037-0171 reference transcript (the clip the reference's tests use)
+TRANSCRIPT = os.environ.get(
+    "TPU_AUDIO_TEST_TRANSCRIPT",
+    "two witnesses saw the man with the rifle leave the scene")
+
+pytestmark = pytest.mark.skipif(
+    not (WEIGHTS and Path(WEIGHTS).is_dir()),
+    reason="real weights unavailable (zero-egress build env); "
+           "set TPU_AUDIO_WEIGHTS to enable")
+
+
+def _word_set(text: str) -> set:
+    import re
+
+    return set(re.sub(r"[^a-z0-9' ]", " ", text.lower()).split())
+
+
+def _word_accuracy(hyp: str, ref: str) -> float:
+    h, r = _word_set(hyp), _word_set(ref)
+    return len(h & r) / max(len(r), 1)
+
+
+@pytest.fixture(scope="module")
+def test_audio():
+    if not (TEST_WAV and Path(TEST_WAV).exists()):
+        pytest.skip("set TPU_AUDIO_TEST_WAV to a 16 kHz reference clip")
+    from tpu_audio.utils import audio_io
+
+    audio, sr = audio_io.read_wav(TEST_WAV)
+    if sr != 16000:
+        from tpu_audio.ops.resample import resample
+
+        audio = resample(audio, sr, 16000)
+    return audio
+
+
+class TestWhisperWordAccuracy:
+    """WhisperTests.swift:29-83: transcribe a known clip, assert word-set
+    accuracy; run the {model} × {quantization} matrix that's on disk."""
+
+    @pytest.mark.parametrize("model,quant", [
+        ("tiny", "fp16"), ("base", "fp16"), ("large-v3-turbo", "fp16"),
+        ("large-v3-turbo", "q4"),
+    ])
+    def test_word_accuracy(self, test_audio, model, quant):
+        os.environ.setdefault("HF_HUB_CACHE", WEIGHTS)
+        from tpu_audio.api.stt import WhisperEngine
+
+        eng = WhisperEngine(model=model, quantization=quant)
+        try:
+            eng.load()
+        except Exception as e:
+            pytest.skip(f"whisper {model}/{quant} not in {WEIGHTS}: {e}")
+        res = eng.transcribe(test_audio, language="en")
+        acc = _word_accuracy(res.text, TRANSCRIPT)
+        assert acc >= 0.9, f"{model}/{quant}: {acc:.2f} — {res.text!r}"
+
+    def test_word_timestamps_monotonic(self, test_audio):
+        os.environ.setdefault("HF_HUB_CACHE", WEIGHTS)
+        from tpu_audio.api.stt import WhisperEngine
+
+        eng = WhisperEngine(model="tiny", quantization="fp16")
+        try:
+            eng.load()
+        except Exception as e:
+            pytest.skip(f"whisper tiny not in {WEIGHTS}: {e}")
+        res = eng.transcribe(test_audio, language="en", word_timestamps=True)
+        words = [w for s in res.segments for w in (s.words or [])]
+        assert words
+        starts = [w.start for w in words]
+        assert all(b >= a - 0.02 for a, b in zip(starts, starts[1:]))
+
+
+class TestTTSRoundTrip:
+    """CosyVoice2Tests.swift:153 testVoiceMatchingWithWhisperVerification:
+    synthesize, transcribe with Whisper, assert word overlap."""
+
+    TEXT = "The quick brown fox jumps over the lazy dog."
+
+    def _verify(self, samples: np.ndarray, sr: int) -> float:
+        os.environ.setdefault("HF_HUB_CACHE", WEIGHTS)
+        from tpu_audio.api.stt import WhisperEngine
+        from tpu_audio.ops.resample import resample
+
+        eng = WhisperEngine(model="tiny", quantization="fp16")
+        eng.load()
+        audio16 = resample(samples, sr, 16000)
+        res = eng.transcribe(audio16, language="en")
+        return _word_accuracy(res.text, self.TEXT)
+
+    @pytest.mark.parametrize("engine_name", ["kokoro", "chatterbox",
+                                             "cosyvoice2"])
+    def test_round_trip(self, engine_name):
+        os.environ.setdefault("HF_HUB_CACHE", WEIGHTS)
+        from tpu_audio.api import tts as tts_api
+
+        try:
+            eng = getattr(tts_api.TTS, engine_name)()
+            eng.load()
+        except Exception as e:
+            pytest.skip(f"{engine_name} weights not in {WEIGHTS}: {e}")
+        res = eng.generate(self.TEXT)
+        assert np.isfinite(res.samples).all()
+        assert np.abs(res.samples).max() > 0.01, "silent output"
+        acc = self._verify(res.samples, res.sample_rate)
+        assert acc >= 0.7, f"{engine_name} round-trip accuracy {acc:.2f}"
