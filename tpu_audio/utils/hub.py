@@ -32,8 +32,17 @@ def snapshot(repo_id: str, matching: list[str] | None = None,
     from huggingface_hub import snapshot_download
 
     _log.info("snapshot %s (patterns=%s)", repo_id, matching)
-    return snapshot_download(
-        repo_id,
-        allow_patterns=matching,
-        cache_dir=CACHE_ROOT,
-    )
+    try:
+        return snapshot_download(
+            repo_id,
+            allow_patterns=matching,
+            cache_dir=CACHE_ROOT,
+        )
+    except Exception as e:
+        from tpu_audio.api.errors import ModelLoadError
+
+        raise ModelLoadError(
+            repo_id,
+            f"{type(e).__name__} during download. If offline, pre-seed "
+            f"{CACHE_ROOT} (or set TPU_AUDIO_CACHE) with the HF snapshot, "
+            f"or pass a local directory as the repo id.") from e
