@@ -109,6 +109,39 @@ class TestLLMTensorParallel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_tp_generator_token_identical(self):
+        """CausalLMGenerator(mesh=): full prefill+decode_loop under TP
+        produces exactly the single-device token sequence (greedy)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.nn import transformer
+        from tpu_audio.nn.transformer import TransformerConfig
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        cfg = TransformerConfig(dim=64, n_layers=2, n_heads=8, n_kv_heads=8,
+                                hidden_dim=128, vocab_size=97)
+        params = transformer.init_params(jax.random.PRNGKey(3), cfg)
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(96,),
+                  max_new=12, seed=0)
+        ref = CausalLMGenerator(params, cfg, max_cache=64).generate(
+            [5, 7, 11], **kw)
+        mesh = make_mesh(dp=1, tp=8)
+        got = CausalLMGenerator(params, cfg, max_cache=64,
+                                mesh=mesh).generate([5, 7, 11], **kw)
+        assert got == ref and len(ref) > 0
+
+    def test_tp_generator_rejects_indivisible_heads(self):
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.nn import transformer
+        from tpu_audio.nn.transformer import TransformerConfig
+
+        cfg = TransformerConfig(dim=32, n_layers=1, n_heads=4, n_kv_heads=2,
+                                hidden_dim=64, vocab_size=11)
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="divisible"):
+            CausalLMGenerator(params, cfg, mesh=make_mesh(dp=1, tp=8))
+
     def test_specs_on_stacked_layers(self):
         from tpu_audio.nn import transformer
         from tpu_audio.nn.transformer import TransformerConfig

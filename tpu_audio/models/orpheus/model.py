@@ -61,16 +61,48 @@ class CausalLMGenerator:
     config; shared by Orpheus, OuteTTS, Chatterbox T3 and CosyVoice LMs.
 
     One executable per (prompt bucket, max_new, sampler) combination.
+
+    Pass ``mesh=`` to serve tensor-parallel: params are sharded with the
+    megatron rules (parallel/shardings.py), the KV cache is sharded along
+    kv_heads on the tp axis, and XLA GSPMD inserts the per-layer psum after
+    the row-parallel o/down projections. Decode is token-identical to the
+    single-device path (verified in tests/test_parallel.py and the driver
+    dryrun). Requires n_heads, kv_heads and hidden_dim divisible by tp.
     """
 
     def __init__(self, params, cfg: transformer.TransformerConfig,
                  max_cache: int = 2048, pad_id: int = 0,
-                 cache_dtype=jnp.bfloat16):
-        self.params = params
+                 cache_dtype=jnp.bfloat16, mesh=None):
         self.cfg = cfg
         self.max_cache = max_cache
         self.pad_id = pad_id
+        self.mesh = mesh
         self._fns = {}
+        if mesh is not None:
+            from tpu_audio.parallel import shard_tree, transformer_rules
+            tp = mesh.shape["tp"]
+            if cfg.kv_heads % tp or cfg.n_heads % tp:
+                raise ValueError(
+                    f"heads ({cfg.n_heads}/{cfg.kv_heads}) not divisible by "
+                    f"tp={tp}")
+            self.params = shard_tree(params, mesh, transformer_rules,
+                                     layer_prefixes=("layers",))
+        else:
+            self.params = params
+
+    def _constrain_cache(self, cache):
+        """Pin the KV cache (L, B, S, H_kv, D) to head-sharding on tp."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def pin(x):
+            spec = (P(None, None, None, "tp", None) if x.ndim == 5
+                    else P())
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(pin, cache)
 
     def _fn(self, prompt_pad: int, max_new: int, sampler: SamplerConfig,
             eos_ids: tuple):
@@ -80,7 +112,8 @@ class CausalLMGenerator:
         cfg = self.cfg
 
         def run(params, prompt, pad_amount, key):
-            cache = transformer.make_cache(cfg, 1, self.max_cache)
+            cache = self._constrain_cache(
+                transformer.make_cache(cfg, 1, self.max_cache))
             # left-padded prompt: mask key slots < pad_amount everywhere
             slot = jnp.arange(self.max_cache)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]

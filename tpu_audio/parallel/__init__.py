@@ -1,5 +1,6 @@
 from tpu_audio.parallel.mesh import make_mesh
-from tpu_audio.parallel.shardings import (param_shardings, transformer_rules,
-                                          whisper_rules)
+from tpu_audio.parallel.shardings import (param_shardings, shard_tree,
+                                          transformer_rules, whisper_rules)
 
-__all__ = ["make_mesh", "param_shardings", "whisper_rules", "transformer_rules"]
+__all__ = ["make_mesh", "param_shardings", "shard_tree", "whisper_rules",
+           "transformer_rules"]
