@@ -104,7 +104,10 @@ class BatchSegmentDecoder:
                         is_first & (vocab_idx > ts_begin
                                     + MAX_INITIAL_TIMESTAMP_INDEX)[None],
                         NEG_INF, tsm)
-                    logprobs = jax.nn.log_softmax(logits, axis=-1)
+                    # heuristic on suppressed logits (openai-whisper filter
+                    # order: SuppressTokens before ApplyTimestampRules)
+                    logprobs = jax.nn.log_softmax(
+                        logits + jnp.minimum(mask, tsm), axis=-1)
                     ts_lp = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
                     max_text = jnp.max(logprobs[:, :ts_begin], axis=-1)
                     force = (i > 0) & (ts_lp > max_text)

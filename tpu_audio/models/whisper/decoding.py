@@ -153,8 +153,12 @@ class SegmentDecoder:
                     ts_mask = jnp.where(
                         (i == 0) & (vocab_idx > ts_begin + MAX_INITIAL_TIMESTAMP_INDEX),
                         NEG_INF, ts_mask)
-                    # probability heuristic on RAW logits
-                    logprobs = jax.nn.log_softmax(logits)
+                    # probability heuristic on SUPPRESSED logits: openai-
+                    # whisper applies ApplyTimestampRules after SuppressBlank/
+                    # SuppressTokens and computes the logsumexp on logits that
+                    # already carry the base + pair/monotonicity masks
+                    logprobs = jax.nn.log_softmax(
+                        logits + jnp.minimum(mask, ts_mask))
                     ts_lp = jax.nn.logsumexp(logprobs[ts_begin:])
                     max_text_lp = jnp.max(logprobs[:ts_begin])
                     force_ts = (i > 0) & (ts_lp > max_text_lp)

@@ -81,7 +81,9 @@ def embedding_as_linear(p: dict, x: jax.Array) -> jax.Array:
     if "weight" not in p:
         from tpu_audio.ops import quant
 
-        return x @ quant.dequantize(p).T.astype(x.dtype)
+        # routes decode-shape rows through the fused quant kernels instead
+        # of materializing the dequantized vocab×dim table in HBM
+        return quant.quantized_linear(p, x)
     return x @ p["weight"].T.astype(x.dtype)
 
 
