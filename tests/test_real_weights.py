@@ -63,9 +63,14 @@ class TestWhisperWordAccuracy:
     """WhisperTests.swift:29-83: transcribe a known clip, assert word-set
     accuracy; run the {model} × {quantization} matrix that's on disk."""
 
+    # full reference matrix (TranscriptionResult.swift:166-272): every size
+    # incl. English-only × every quantization; absent snapshots skip.
     @pytest.mark.parametrize("model,quant", [
-        ("tiny", "fp16"), ("base", "fp16"), ("large-v3-turbo", "fp16"),
-        ("large-v3-turbo", "q4"),
+        (m, q)
+        for m in ("tiny", "base", "small", "medium", "large-v3",
+                  "large-v3-turbo", "tiny.en", "base.en", "small.en",
+                  "medium.en")
+        for q in ("fp16", "q8", "q4")
     ])
     def test_word_accuracy(self, test_audio, model, quant):
         os.environ.setdefault("HF_HUB_CACHE", WEIGHTS)

@@ -321,3 +321,112 @@ class TestHallucinationFilter:
         from tpu_audio.models.whisper import timing
 
         assert timing.filter_hallucinated_segments([], 2.0, 30.0) == []
+
+
+class TestModelMatrix:
+    """Repo map parity with the reference's WhisperModelSize ×
+    WhisperQuantization (TranscriptionResult.swift:166-272)."""
+
+    def test_full_matrix_resolves(self):
+        from tpu_audio.models.whisper.load import (QUANTIZATIONS, SIZES,
+                                                   repo_for)
+
+        assert len(SIZES) == 10 and len(QUANTIZATIONS) == 3
+        for m in SIZES:
+            for q in QUANTIZATIONS:
+                repo = repo_for(m, q)
+                assert repo.startswith("mlx-community/whisper")
+
+    def test_reference_naming_scheme(self):
+        from tpu_audio.models.whisper.load import repo_for
+
+        # non-overridden pairs follow repoId = whisper-{size}-{suffix}
+        assert repo_for("medium", "q8") == "mlx-community/whisper-medium-8bit"
+        assert repo_for("tiny.en", "q4") == "mlx-community/whisper-tiny.en-4bit"
+        assert repo_for("large-v3", "q8") == "mlx-community/whisper-large-v3-8bit"
+
+    def test_unknown_rejected(self):
+        import pytest as _pytest
+
+        from tpu_audio.models.whisper.load import repo_for
+
+        with _pytest.raises(ValueError):
+            repo_for("gigantic", "fp16")
+        with _pytest.raises(ValueError):
+            repo_for("tiny", "q2")
+
+
+class TestInt8Quantization:
+    """W8A8 serving format (ops/quant int8 + ops/pallas/int8_matmul):
+    per-channel symmetric weights, per-row symmetric activations."""
+
+    def test_quantize_int8_roundtrip(self, rng):
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((32, 128)).astype(np.float32) * 0.1
+        q = quant.quantize_array_int8(w)
+        deq = np.asarray(q["weight_i8"], np.float32) * q["scale_i8"]
+        per_row_scale = np.abs(w).max(axis=1, keepdims=True) / 127.0
+        assert np.all(np.abs(deq - w) <= per_row_scale * 0.51 + 1e-7)
+
+    def test_requantize_from_q4_cosine(self, rng):
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((64, 256)).astype(np.float32) * 0.02
+        q4 = {k: jnp.asarray(v) for k, v in quant.quantize_array(w, 4).items()}
+        i8 = quant.requantize_int8(q4)
+        a = np.asarray(quant.dequantize(q4)).ravel()
+        b = (np.asarray(i8["weight_i8"], np.float32)
+             * i8["scale_i8"]).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.9999
+
+    def test_int8_linear_matches_dequant(self, rng):
+        from tpu_audio.nn import layers
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((48, 128)).astype(np.float32) * 0.1
+        x = rng.standard_normal((3, 128)).astype(np.float32)
+        q = {k: jnp.asarray(v)
+             for k, v in quant.quantize_array_int8(w).items()}
+        got = np.asarray(layers.linear(q, jnp.asarray(x)))
+        ref = x @ w.T
+        assert np.abs(got - ref).max() < 0.05
+
+    def test_int8_embedding_rows_and_head(self, rng):
+        from tpu_audio.nn import layers
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((64, 128)).astype(np.float32) * 0.05
+        q = {k: jnp.asarray(v)
+             for k, v in quant.quantize_array_int8(w).items()}
+        ids = jnp.asarray([1, 5, 63])
+        rows = np.asarray(layers.embedding(q, ids))
+        np.testing.assert_allclose(
+            rows, (np.asarray(q["weight_i8"], np.float32)
+                   * np.asarray(q["scale_i8"]))[np.asarray(ids)], atol=1e-6)
+        x = rng.standard_normal((2, 128)).astype(np.float32) * 0.1
+        logits = np.asarray(layers.embedding_as_linear(q, jnp.asarray(x)))
+        assert np.abs(logits - x @ (np.asarray(q["weight_i8"], np.float32)
+                                    * q["scale_i8"]).T).max() < 1e-3
+
+    def test_quantize_tree_int8_and_decode(self, rng):
+        """End-to-end: int8-quantized shared transformer decodes sanely."""
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=4, n_kv_heads=4, hidden_dim=256,
+            vocab_size=128)
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+        qp = quant.quantize_tree_int8(params)
+        assert "weight_i8" in qp["layers"]["attn"]["q"]
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(127,),
+                  max_new=8, seed=0)
+        ref = CausalLMGenerator(params, cfg, max_cache=64).generate([3, 9], **kw)
+        got = CausalLMGenerator(qp, cfg, max_cache=64).generate([3, 9], **kw)
+        # int8 per-channel is near-lossless: greedy tokens should mostly agree
+        agree = sum(a == b for a, b in zip(ref, got)) / max(len(ref), 1)
+        assert agree >= 0.7, (ref, got)

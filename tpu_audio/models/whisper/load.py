@@ -23,15 +23,45 @@ from tpu_audio.models.whisper.config import WhisperConfig
 from tpu_audio.models.whisper.tokenizer import WhisperTokenizer
 from tpu_audio.utils import hub, weights
 
-# default repos per size/quantization, mirroring the reference's model map
+# Model matrix — parity with the reference's WhisperModelSize ×
+# WhisperQuantization map (package/Models/TranscriptionResult.swift:166-272):
+# repoId = "mlx-community/whisper-{size}-{fp16|8bit|4bit}", sizes covering
+# multilingual tiny..large-v3-turbo plus English-only .en variants.
+SIZES = ("tiny", "base", "small", "medium", "large-v3", "large-v3-turbo",
+         "tiny.en", "base.en", "small.en", "medium.en")
+QUANTIZATIONS = ("fp16", "q8", "q4")
+_QUANT_SUFFIX = {"fp16": "fp16", "q8": "8bit", "q4": "4bit"}
+
+# overrides for classic mlx-community repo names known to host these weights
 REPOS = {
     ("tiny", "fp16"): "mlx-community/whisper-tiny-mlx-fp32",
     ("tiny", "q4"): "mlx-community/whisper-tiny-mlx-q4",
     ("base", "fp16"): "mlx-community/whisper-base-mlx",
+    ("base", "q4"): "mlx-community/whisper-base-mlx-q4",
     ("small", "fp16"): "mlx-community/whisper-small-mlx",
+    ("medium", "fp16"): "mlx-community/whisper-medium-mlx",
+    ("large-v3", "fp16"): "mlx-community/whisper-large-v3-mlx",
+    ("large-v3", "q4"): "mlx-community/whisper-large-v3-mlx-4bit",
     ("large-v3-turbo", "fp16"): "mlx-community/whisper-large-v3-turbo",
     ("large-v3-turbo", "q4"): "mlx-community/whisper-large-v3-turbo-q4",
+    ("tiny.en", "fp16"): "mlx-community/whisper-tiny.en-mlx",
+    ("base.en", "fp16"): "mlx-community/whisper-base.en-mlx",
+    ("small.en", "fp16"): "mlx-community/whisper-small.en-mlx",
+    ("medium.en", "fp16"): "mlx-community/whisper-medium.en-mlx",
 }
+
+
+def repo_for(model: str, quantization: str = "fp16") -> str:
+    """Resolve a (size, quantization) pair to a HF repo id, mirroring the
+    reference's WhisperModelSize.repoId(quantization:)."""
+    if (model, quantization) in REPOS:
+        return REPOS[(model, quantization)]
+    if model not in SIZES:
+        raise ValueError(f"unknown whisper size {model!r}; one of {SIZES}")
+    if quantization not in _QUANT_SUFFIX:
+        raise ValueError(f"unknown quantization {quantization!r}; "
+                         f"one of {QUANTIZATIONS}")
+    return f"mlx-community/whisper-{model}-{_QUANT_SUFFIX[quantization]}"
 
 _MLX_RULES = [
     (r"\.attn\.query\.", ".attn.q."),
@@ -75,9 +105,7 @@ _HF_RULES = [
 def load(model: str = "tiny", quantization: str = "fp16",
          repo: str | None = None, dtype=jnp.float32):
     """Returns (params, config, tokenizer, pipeline-ready)."""
-    repo = repo or REPOS.get((model, quantization), REPOS.get((model, "fp16")))
-    if repo is None:
-        raise ValueError(f"no repo known for whisper {model}/{quantization}")
+    repo = repo or repo_for(model, quantization)
     path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
                                         "*.tiktoken"])
     cfg = WhisperConfig.from_dict(weights.load_config_json(path))
