@@ -116,6 +116,25 @@ class TestCV3Engine:
         assert chunks[-1].is_final
         assert all(np.isfinite(c.samples).all() for c in chunks)
 
+    def test_voice_conversion(self, lm_params, flow_params, rng):
+        """synthesizeVC parity (CosyVoice3Model.swift:415-445): no LM —
+        source tokens straight through flow+HiFT with target conditioning."""
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice3Engine.from_params(
+            lm_params, TINY_LM, flow_params, TINY_FLOW, tok_params, tok_cfg,
+            max_cache=256, chunk=4)
+        audio = (0.1 * np.sin(np.linspace(0, 400 * np.pi, 16000))
+                 ).astype(np.float32)
+        spk = eng.prepare_conditionals(audio, 16000, ref_text="reference")
+        assert len(spk.speech_tokens) > 0
+        out = eng.voice_conversion(audio, 16000)
+        assert np.isfinite(out).all() and len(out) > 0
+        # duration: one output sample per source token × ratio × upsample
+        ups = TINY_FLOW.hift.upsample_scale * TINY_FLOW.token_mel_ratio
+        assert len(out) % ups == 0
+
     def test_sentence_granularity(self, lm_params, flow_params):
         from tpu_audio.api.tts import StreamingGranularity
 

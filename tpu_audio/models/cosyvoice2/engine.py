@@ -98,6 +98,10 @@ class CosyVoice2Engine(TTSEngineBase):
                              ref_text: str | None = None) -> CosyVoice2Speaker:
         ref16 = (resample(ref_audio, sample_rate, SR_TOK)
                  if sample_rate != SR_TOK else ref_audio.astype(np.float32))
+        if len(ref16) < 640:
+            raise ValueError(
+                f"reference audio too short ({len(ref16)} samples at 16 kHz);"
+                " need at least one tokenizer frame (~40 ms)")
         ref24 = (resample(ref_audio, sample_rate, SR_OUT)
                  if sample_rate != SR_OUT else ref_audio.astype(np.float32))
         if ref_text is None:
@@ -193,6 +197,8 @@ class CosyVoice2Engine(TTSEngineBase):
         spk = speaker or self.speaker or self._default_speaker()
         src16 = (resample(source_audio, sample_rate, SR_TOK)
                  if sample_rate != SR_TOK else source_audio.astype(np.float32))
+        if len(src16) < 640:  # shorter than one tokenizer frame
+            return np.zeros(0, np.float32)
         mel = frontends.s3_log_mel(jnp.asarray(src16)).T[None]
         codes, lens = s3tokenizer.quantize(self.tok_params, self.tok_cfg, mel,
                                            jnp.asarray([mel.shape[1]]))

@@ -81,6 +81,10 @@ class CosyVoice3Engine(TTSEngineBase):
                              ref_text: str | None = None) -> CosyVoice2Speaker:
         ref16 = (resample(ref_audio, sample_rate, SR_TOK)
                  if sample_rate != SR_TOK else ref_audio.astype(np.float32))
+        if len(ref16) < 640:
+            raise ValueError(
+                f"reference audio too short ({len(ref16)} samples at 16 kHz);"
+                " need at least one tokenizer frame (~40 ms)")
         ref24 = (resample(ref_audio, sample_rate, SR_OUT)
                  if sample_rate != SR_OUT else ref_audio.astype(np.float32))
         if ref_text is None:
@@ -112,6 +116,35 @@ class CosyVoice3Engine(TTSEngineBase):
             prompt_text="", prompt_text_ids=[], speech_tokens=[0, 1],
             prompt_mel=jnp.zeros((1, 4, self.flow_cfg.mel_dim)),
             embedding=jnp.zeros((1, self.flow_cfg.spk_dim)))
+
+    # ---------------------------------------------------------------- VC
+
+    def voice_conversion(self, source_audio: np.ndarray, sample_rate: int,
+                         speaker: CosyVoice2Speaker | None = None
+                         ) -> np.ndarray:
+        """synthesizeVC (CosyVoice3Model.swift:415-445): no LLM — the
+        source audio's S3TokenizerV3 tokens are rendered directly through
+        the DiT flow with the target speaker's prompt tokens/mel/embedding
+        and the causal HiFT vocoder (single finalize pass)."""
+        if self.synth is None:
+            self.load()
+        spk = speaker or self.speaker or self._default_speaker()
+        src16 = (resample(source_audio, sample_rate, SR_TOK)
+                 if sample_rate != SR_TOK else source_audio.astype(np.float32))
+        if len(src16) < 640:  # shorter than one tokenizer frame
+            return np.zeros(0, np.float32)
+        mel = frontends.s3_log_mel(jnp.asarray(src16)).T[None]
+        codes, lens = s3tokenizer.quantize(self.tok_params, self.tok_cfg, mel,
+                                           jnp.asarray([mel.shape[1]]))
+        tokens = [int(t) for t in np.asarray(codes[0][: int(lens[0])])]
+        if not tokens:
+            return np.zeros(0, np.float32)
+        # one exhausted chunk + chunk_size >= len(tokens) → the synthesizer
+        # runs a single non-streaming flow pass (reference finalize=true)
+        parts = list(self.synth.stream(
+            iter([tokens]), spk.speech_tokens, np.asarray(spk.prompt_mel[0]),
+            spk.embedding, seed=0, chunk_size=len(tokens)))
+        return (np.concatenate(parts) if parts else np.zeros(0, np.float32))
 
     # ---------------------------------------------------------------- synthesis
 
