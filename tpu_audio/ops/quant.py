@@ -148,7 +148,8 @@ def requantize_int8(p: dict) -> dict:
 
     Trades the checkpoint's group-64 resolution for MXU-native int8
     serving; measured weight cosine ≥ 0.9999 on Llama-shaped statistics."""
-    out = quantize_array_int8(np.asarray(dequantize(p)))
+    out = {k: jnp.asarray(v)
+           for k, v in quantize_array_int8(np.asarray(dequantize(p))).items()}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -212,11 +213,68 @@ def quantize_tree_int8(tree: dict, predicate=None) -> dict:
     return pytree.unflatten(out)
 
 
+def requantize_tree_int8(tree: dict, fuse: bool = True) -> dict:
+    """Convert every group-affine q4/q8 leaf-dict in a param tree to the
+    MXU-native per-channel int8 serving format (host-side pass over the
+    loaded checkpoint; works on scan-stacked (L, O, I) leaves).
+
+    This is the fast decode path on TPU: the measured 3B decode is
+    6.1 ms/token w8a8 vs 11.0 ms/token bf16 and 11.1 ms/token with the
+    fused int4 kernel (VPU-unpack-bound) — see docs/BENCHMARKS.md."""
+    if not isinstance(tree, dict):
+        return tree
+    if "weight_q4" in tree or "weight_q8" in tree:
+        return requantize_int8(tree)
+    out = {k: requantize_tree_int8(v, fuse=False) if isinstance(v, dict)
+           else v for k, v in tree.items()}
+    return fuse_int8_tree(out) if fuse else out
+
+
+def fuse_int8_tree(tree: dict) -> dict:
+    """Fuse q/k/v → qkv and gate/up → gateup int8 leaves (concat along the
+    output-channel axis; per-channel scales concat exactly, so fused output
+    is bit-identical). Fewer, larger kernel launches per decode step keep
+    the weight stream saturated. nn.transformer detects the fused keys."""
+    if not isinstance(tree, dict):
+        return tree
+
+    def all_i8(names, d):
+        return all(n in d and isinstance(d[n], dict)
+                   and "weight_i8" in d[n] for n in names)
+
+    def cat(ds, axis=-2):
+        out = {"weight_i8": jnp.concatenate([d["weight_i8"] for d in ds],
+                                            axis=axis),
+               "scale_i8": jnp.concatenate([d["scale_i8"] for d in ds],
+                                           axis=axis)}
+        if all("bias" in d for d in ds):
+            out["bias"] = jnp.concatenate([d["bias"] for d in ds], axis=-1)
+        return out
+
+    out = {}
+    for k, v in tree.items():
+        if k == "attn" and all_i8(("q", "k", "v"), v):
+            nv = {kk: vv for kk, vv in v.items() if kk not in ("q", "k", "v")}
+            nv["qkv"] = cat([v["q"], v["k"], v["v"]])
+            out[k] = nv
+        elif k == "mlp" and all_i8(("gate", "up"), v):
+            nv = {kk: vv for kk, vv in v.items()
+                  if kk not in ("gate", "up")}
+            nv["gateup"] = cat([v["gate"], v["up"]])
+            out[k] = nv
+        elif isinstance(v, dict):
+            out[k] = fuse_int8_tree(v)
+        else:
+            out[k] = v
+    return out
+
+
 def quantize_array(w: np.ndarray, bits: int = 4, group: int = 64) -> dict:
-    """fp weight (O, I) → quantized param dict (numpy leaves)."""
-    o, i = w.shape
+    """fp weight (..., O, I) → quantized param dict (numpy leaves); lead
+    dims (e.g. the scan layer axis) pass through."""
+    *lead, o, i = w.shape
     assert i % group == 0, f"in_features {i} not divisible by group {group}"
-    wg = w.reshape(o, i // group, group).astype(np.float32)
+    wg = w.reshape(*lead, o, i // group, group).astype(np.float32)
     wmax = wg.max(axis=-1)
     wmin = wg.min(axis=-1)
     levels = (1 << bits) - 1
@@ -225,7 +283,7 @@ def quantize_array(w: np.ndarray, bits: int = 4, group: int = 64) -> dict:
     q = np.clip(np.round((wg - biases[..., None]) / scales[..., None]),
                 0, levels).astype(np.uint32)
     return {
-        f"weight_q{bits}": pack_uint32(q.reshape(o, i), bits),
+        f"weight_q{bits}": pack_uint32(q.reshape(*lead, o, i), bits),
         "scales": scales.astype(np.float32),
         "biases": biases.astype(np.float32),
     }
@@ -241,8 +299,9 @@ def quantize_tree(tree: dict, bits: int = 4, group: int = 64,
     flat = pytree.flatten(tree)
     out = {}
     for k, v in flat.items():
-        if (k.endswith(".weight") and hasattr(v, "ndim") and v.ndim == 2
-                and v.shape[1] % group == 0
+        if (k.endswith(".weight") and hasattr(v, "ndim") and v.ndim in (2, 3)
+                and v.shape[-1] % group == 0
+                and not _I8_SKIP.search(k)
                 and (predicate is None or predicate(k, v))):
             qd = quantize_array(np.asarray(v, np.float32), bits, group)
             prefix = k[: -len(".weight")]
