@@ -95,6 +95,8 @@ _HF_RULES = [
     (r"\.self_attn_layer_norm\.", ".ln1."),
     (r"\.encoder_attn_layer_norm\.", ".ln_cross."),
     (r"\.final_layer_norm\.", ".ln2."),
+    (r"\.fc1\.", ".mlp.fc1."),
+    (r"\.fc2\.", ".mlp.fc2."),
     (r"encoder\.layer_norm\.", "encoder.ln_post."),
     (r"decoder\.layer_norm\.", "decoder.ln."),
     (r"decoder\.embed_tokens\.", "decoder.token_embedding."),
@@ -110,7 +112,29 @@ def load(model: str = "tiny", quantization: str = "fp16",
                                         "*.tiktoken"])
     cfg = WhisperConfig.from_dict(weights.load_config_json(path))
     flat = weights.load_safetensors_dir(path)
+    tree = sanitize(flat)
 
+    import functools
+
+    import jax
+
+    from tpu_audio.models.whisper import model as wmodel
+
+    weights.validate_tree(
+        tree, functools.partial(wmodel.init_params, jax.random.PRNGKey(0),
+                                cfg), name=repo)
+    params = weights.to_device(tree, dtype=dtype)
+
+    tok = WhisperTokenizer.load(path, multilingual=cfg.is_multilingual,
+                                num_languages=cfg.num_languages)
+    return params, cfg, tok
+
+
+def sanitize(flat: dict) -> dict:
+    """Flat checkpoint dict (MLX or HF layout) → whisper param tree.
+
+    Pure key/array transformation (no IO) so loader-manifest tests can
+    validate the remap rules against init_params without network access."""
     is_hf = any(k.startswith(("model.encoder", "model.decoder")) for k in flat)
     rules = _HF_RULES if is_hf else _MLX_RULES
 
@@ -122,19 +146,18 @@ def load(model: str = "tiny", quantization: str = "fp16",
     flat = weights.apply_rules(
         flat, rules,
         transforms={r"encoder\.conv[12]\.weight": conv_fix},
-        drop=[r"\.rotary_emb\.", r"alignment_heads"])
+        # encoder positions are deterministic sinusoids — recomputed, not
+        # loaded (checkpoints still ship them)
+        drop=[r"\.rotary_emb\.", r"alignment_heads",
+              r"^(model\.)?encoder\.(positional_embedding|embed_positions)"])
     # quantized checkpoints: map mlx "weight"+".scales"/".biases" triples
     flat = _fold_quantized(flat)
 
     from tpu_audio.utils import pytree
 
     tree = weights.stack_numbered_layers(flat, "encoder.blocks")
-    tree = weights.stack_numbered_layers(pytree.flatten(tree), "decoder.blocks")
-    params = weights.to_device(tree, dtype=dtype)
-
-    tok = WhisperTokenizer.load(path, multilingual=cfg.is_multilingual,
-                                num_languages=cfg.num_languages)
-    return params, cfg, tok
+    return weights.stack_numbered_layers(pytree.flatten(tree),
+                                         "decoder.blocks")
 
 
 def _fold_quantized(flat: dict) -> dict:

@@ -78,9 +78,7 @@ def convert_gpt2(flat: dict) -> dict:
     for k, v in flat.items():
         nk = k
         for pat, repl in _GPT2_RULES:
-            nk, n = re.subn(pat, repl, nk)
-            if n:
-                break
+            nk = re.sub(pat, repl, nk)  # rules chain (prefix + fragment)
         if ".attn.c_attn." in nk:
             base = nk.replace(".attn.c_attn.", ".attn.{}.")
             if nk.endswith("weight"):
@@ -124,11 +122,25 @@ def config_from_hf(d: dict) -> TransformerConfig:
     )
 
 
-def load_llama_dir(path: str, dtype=jnp.bfloat16):
+def load_llama_dir(path: str, dtype=jnp.bfloat16, validate: bool = True):
     from tpu_audio.ops import quant
 
     cfg = config_from_hf(weights.load_config_json(path))
     flat = weights.load_safetensors_dir(path)
     tree = convert_llama(flat)
+    if cfg.tie_word_embeddings:
+        tree.pop("lm_head", None)  # some exports ship the tied head anyway
+    if validate:
+        import functools
+
+        import jax
+
+        from tpu_audio.nn import transformer
+
+        weights.validate_tree(
+            tree,
+            functools.partial(transformer.init_params, jax.random.PRNGKey(0),
+                              cfg),
+            name=path)
     tree = weights.to_device(tree, dtype=dtype)
     return quant.expand_tree_for_kernel(tree), cfg

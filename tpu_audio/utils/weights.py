@@ -49,7 +49,9 @@ def apply_rules(flat: dict[str, np.ndarray],
                 rules: list[tuple[str, str]],
                 transforms: dict[str, Callable] | None = None,
                 drop: list[str] | None = None) -> dict[str, np.ndarray]:
-    """Rename keys by regex rules (first match wins), apply per-key
+    """Rename keys by regex rules applied IN SEQUENCE (a key may be
+    rewritten by several rules — e.g. HF layouts need the 'model.' strip,
+    the layers rename AND the per-projection rename), apply per-key
     transforms (matched on the NEW key by regex), drop unwanted keys."""
     out = {}
     drop_res = [re.compile(d) for d in (drop or [])]
@@ -59,9 +61,7 @@ def apply_rules(flat: dict[str, np.ndarray],
             continue
         new_key = key
         for pat, repl in rules:
-            new_key, n = re.subn(pat, repl, new_key)
-            if n:
-                break
+            new_key = re.sub(pat, repl, new_key)
         for pat, fn in transform_res:
             if pat.search(new_key):
                 val = fn(val)
@@ -95,6 +95,62 @@ def stack_numbered_layers(flat: dict[str, np.ndarray], prefix: str) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = stacked
     return tree
+
+
+# leaf names that may legitimately differ between a checkpoint and
+# init_params (fp "weight" ↔ quantized triples/pairs)
+LEAF_NAMES = {
+    "weight", "bias", "weight_q4", "weight_q8", "weight_i8", "scales",
+    "biases", "scale_i8", "weight_v", "weight_g", "alpha", "codebook",
+    "running_mean", "running_var", "num_batches_tracked",
+}
+
+
+def module_prefixes(keys) -> set[str]:
+    """Flat param keys → module-prefix set ('enc.blocks.attn.q.weight' →
+    'enc.blocks.attn.q'); non-standard leaves stay whole keys."""
+    mods = set()
+    for k in keys:
+        head, _, leaf = k.rpartition(".")
+        mods.add(head if leaf in LEAF_NAMES and head else k)
+    return mods
+
+
+def validate_tree(loaded, init_fn, name: str = "model",
+                  check_shapes: bool = True) -> None:
+    """Launch-day loader hardening: compare a sanitized checkpoint tree
+    against the model's own init_params schema (via jax.eval_shape — no
+    allocation), raising ModelLoadError on missing/unexpected modules or
+    shape drift instead of silently producing garbage audio.
+
+    Quantized checkpoints pass because comparison is at MODULE granularity
+    (a module may carry {weight} or {weight_q4, scales, biases}); shapes
+    are checked only for identically-named fp leaves.
+    """
+    import jax
+
+    from tpu_audio.api.errors import ModelLoadError
+
+    expected = jax.eval_shape(init_fn)
+    want = {k: tuple(v.shape) for k, v in pytree.flatten(expected).items()}
+    got = {k: tuple(v.shape) for k, v in pytree.flatten(loaded).items()}
+
+    missing = sorted(module_prefixes(want) - module_prefixes(got))
+    unexpected = sorted(module_prefixes(got) - module_prefixes(want))
+    problems = []
+    if missing:
+        problems.append(f"{len(missing)} missing modules, e.g. {missing[:5]}")
+    if unexpected:
+        problems.append(
+            f"{len(unexpected)} unexpected keys left after sanitize, "
+            f"e.g. {unexpected[:5]}")
+    if check_shapes:
+        bad = [f"{k}: checkpoint {got[k]} vs model {want[k]}"
+               for k in sorted(set(got) & set(want)) if got[k] != want[k]]
+        if bad:
+            problems.append(f"{len(bad)} shape mismatches, e.g. {bad[:5]}")
+    if problems:
+        raise ModelLoadError(name, "; ".join(problems))
 
 
 def to_device(tree, dtype=None):
