@@ -1,0 +1,173 @@
+"""AudioSamplePlayer state-machine tests (headless clock backend).
+
+Covers the reference AudioSamplePlayer semantics
+(package/Audio/AudioSamplePlayer.swift:10-284): prebuffer gating, queued
+count accounting, drain blocking, stop() releasing waiters, play() boost +
+clip, and the PlayerSink streaming adapter. time_scale=0 makes the clock
+consumer run as fast as the thread scheduler allows, so the suite stays
+fast and deterministic.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpu_audio.api.player import AudioSamplePlayer
+from tpu_audio.utils import constants
+
+
+def make_player(**kw):
+    kw.setdefault("backend", "clock")
+    kw.setdefault("time_scale", 0.0)
+    return AudioSamplePlayer(sample_rate=16000, **kw)
+
+
+def wait_until(pred, timeout=5.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.002)
+    return False
+
+
+class TestEnqueueDrain:
+    def test_enqueue_starts_and_drains(self):
+        p = make_player()
+        try:
+            p.enqueue(np.ones(1600, np.float32) * 0.1)
+            assert p.has_started_playback or p.queued_sample_count == 0
+            p.await_drain(timeout=5.0)
+            assert p.queued_sample_count == 0
+            assert not p.is_playing
+        finally:
+            p.close()
+
+    def test_prebuffer_gates_start(self):
+        p = make_player()
+        try:
+            # 100 ms enqueued, 200 ms prebuffer → must NOT start
+            p.enqueue(np.ones(1600, np.float32) * 0.1, prebuffer_seconds=0.2)
+            time.sleep(0.05)
+            assert not p.has_started_playback
+            assert p.queued_sample_count == 1600  # nothing consumed yet
+            # crossing the prebuffer threshold starts playback
+            p.enqueue(np.ones(1600, np.float32) * 0.1, prebuffer_seconds=0.2)
+            assert wait_until(lambda: p.queued_sample_count == 0)
+        finally:
+            p.close()
+
+    def test_queued_count_decrements(self):
+        p = make_player()
+        try:
+            p.enqueue(np.ones(8000, np.float32) * 0.1)
+            assert wait_until(lambda: p.queued_sample_count == 0)
+            p.await_drain(timeout=5.0)
+            assert not p.is_playing
+        finally:
+            p.close()
+
+
+class TestStop:
+    def test_stop_releases_drain_waiters(self):
+        p = make_player(time_scale=1.0)  # real-time: won't drain on its own
+        try:
+            p.enqueue(np.ones(16000, np.float32) * 0.1)  # 1 s of audio
+            released = threading.Event()
+
+            def waiter():
+                p.await_drain(timeout=10.0)
+                released.set()
+
+            t = threading.Thread(target=waiter, daemon=True)
+            t.start()
+            time.sleep(0.05)
+            assert not released.is_set()
+            p.stop()
+            assert released.wait(timeout=2.0)
+            assert p.queued_sample_count == 0 and not p.is_playing
+        finally:
+            p.close()
+
+    def test_enqueue_after_stop_restarts(self):
+        p = make_player()
+        try:
+            p.enqueue(np.ones(800, np.float32) * 0.1)
+            p.stop()
+            p.enqueue(np.ones(800, np.float32) * 0.1)
+            p.await_drain(timeout=5.0)
+            assert p.queued_sample_count == 0
+        finally:
+            p.close()
+
+
+class TestPlay:
+    def test_play_blocks_until_done(self):
+        p = make_player()
+        try:
+            t0 = time.time()
+            p.play(np.ones(1600, np.float32) * 0.5)
+            assert p.queued_sample_count == 0
+            assert not p.is_playing
+            assert time.time() - t0 < 5.0
+        finally:
+            p.close()
+
+    def test_play_empty_is_noop(self):
+        p = make_player()
+        try:
+            p.play(np.zeros(0, np.float32))
+            assert not p.is_playing
+        finally:
+            p.close()
+
+
+class TestBackendSelection:
+    def test_clock_fallback_headless(self):
+        # no sounddevice in this image → auto pick must not raise
+        p = AudioSamplePlayer(sample_rate=16000, time_scale=0.0)
+        assert p.backend in ("clock", "sounddevice")
+        p.close()
+
+    def test_null_backend_drains(self):
+        p = AudioSamplePlayer(sample_rate=16000, backend="null")
+        try:
+            p.enqueue(np.ones(16000, np.float32) * 0.1)
+            p.await_drain(timeout=5.0)
+            assert p.queued_sample_count == 0
+        finally:
+            p.close()
+
+
+class TestPlayerSink:
+    def test_say_through_player_sink(self):
+        """engine.say() with a PlayerSink plays (headless clock) and the
+        result still carries the full audio."""
+        from tpu_audio.api.playback import PlayerSink
+        from tpu_audio.api.tts import (AudioChunk, StreamingGranularity,
+                                       TTSEngineBase)
+
+        class FakeEngine(TTSEngineBase):
+            sample_rate = 16000
+            supported_streaming_granularities = (
+                StreamingGranularity.SENTENCE,)
+
+            def load(self, progress_handler=None):
+                self.is_loaded = True
+
+            def generate_streaming(self, text, granularity=None, **kw):
+                for i in range(3):
+                    yield AudioChunk(
+                        samples=np.ones(800, np.float32) * 0.1,
+                        sample_rate=16000, text=text, is_final=i == 2)
+
+        eng = FakeEngine()
+        player = make_player()
+        sink = PlayerSink(16000, player=player, prebuffer_seconds=0.0)
+        res = eng.say("hi", sink=sink)
+        assert res.audio.samples.shape == (2400,)
+        assert player.queued_sample_count == 0
+        assert not eng.is_playing
+        player.close()

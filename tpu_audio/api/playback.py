@@ -86,6 +86,45 @@ class NullSink:
         pass
 
 
+class PlayerSink:
+    """Streams chunks into an AudioSamplePlayer (device or headless clock)
+    with prebuffer on start and drain on close — the reference's
+    playStream → AudioSamplePlayer.enqueue path
+    (TTSPlaybackController.swift:118-150)."""
+
+    def __init__(self, sample_rate: int, player=None,
+                 prebuffer_seconds: float = 0.25, backend: str | None = None,
+                 time_scale: float = 1.0):
+        from tpu_audio.api.player import AudioSamplePlayer
+
+        self._own = player is None
+        self.player = player or AudioSamplePlayer(
+            sample_rate, backend=backend, time_scale=time_scale)
+        self.prebuffer_seconds = prebuffer_seconds
+
+    def write(self, chunk: AudioChunk) -> None:
+        self.player.enqueue(chunk.samples,
+                            prebuffer_seconds=self.prebuffer_seconds)
+
+    def close(self) -> None:
+        self.player.await_drain()
+        if self._own:
+            self.player.close()
+
+
+def default_sink(sample_rate: int):
+    """An audible PlayerSink when an output device exists, else the
+    ring-buffer sink (headless hosts shouldn't block at real-time rate)."""
+    try:
+        import sounddevice
+
+        if sounddevice.query_devices(kind="output") is not None:
+            return PlayerSink(sample_rate, backend="sounddevice")
+    except Exception:
+        pass
+    return RingBufferSink(sample_rate)
+
+
 class PlaybackController:
     """Owns one generation 'task': runs the engine's streaming generator,
     fans chunks into a sink, tracks first-audio latency, supports stop()."""
@@ -96,7 +135,7 @@ class PlaybackController:
         self._thread: threading.Thread | None = None
 
     def play_stream(self, text: str, sink=None, **kw) -> TTSGenerationResult:
-        sink = sink or RingBufferSink(self.engine.sample_rate)
+        sink = sink or default_sink(self.engine.sample_rate)
         engine = self.engine
         engine._stop_flag.clear()
         engine.is_generating = True
@@ -115,8 +154,8 @@ class PlaybackController:
             _log.info("generation stopped by user")
         finally:
             engine.is_generating = False
+            sink.close()  # PlayerSink blocks here until playback drains
             engine.is_playing = False
-            sink.close()
         gen_time = time.perf_counter() - t0
         engine.generation_time = gen_time
         samples = np.concatenate(parts) if parts else np.zeros(0, np.float32)
