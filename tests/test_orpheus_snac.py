@@ -94,6 +94,38 @@ class TestCausalLMGenerator:
                          eos_ids=(1,), max_new=16)
         assert len(out) <= 16
 
+    def test_spanned_greedy_matches_single_loop(self):
+        """should_stop (in-loop cancellation) path: greedy tokens identical
+        to the single compiled loop, across span boundaries."""
+        params = transformer.init_params(jax.random.PRNGKey(0), TINY_LM)
+        g = omodel.CausalLMGenerator(params, TINY_LM, max_cache=128)
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(1,),
+                  max_new=13)
+        ref = g.generate([5, 6, 7], **kw)
+        for span in (4, 5, 32):
+            got = g.generate([5, 6, 7], should_stop=lambda: False,
+                             span=span, **kw)
+            assert got == ref, (span, got, ref)
+
+    def test_spanned_stop_midway(self):
+        """stop() between spans returns the partial output after at most
+        one span of extra tokens."""
+        params = transformer.init_params(jax.random.PRNGKey(0), TINY_LM)
+        g = omodel.CausalLMGenerator(params, TINY_LM, max_cache=128)
+        calls = []
+
+        def stop_after_two():
+            calls.append(1)
+            return len(calls) > 2
+
+        out = g.generate([5, 6, 7],
+                         sampler=SamplerConfig(temperature=0.0),
+                         eos_ids=(1,), max_new=64,
+                         should_stop=stop_after_two, span=4)
+        # 1 (prefill token) + 2 spans x 4 tokens max
+        assert 1 <= len(out) <= 9
+
+
 
 class TestOrpheusEngine:
     def test_end_to_end_random_weights(self):

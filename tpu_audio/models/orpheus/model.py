@@ -149,8 +149,20 @@ class CausalLMGenerator:
 
     def generate(self, prompt_ids: list[int], *, sampler: SamplerConfig,
                  eos_ids: tuple, max_new: int, seed: int = 0,
-                 bucket: int = 32) -> list[int]:
-        """Returns generated ids (EOS excluded unless it was the first)."""
+                 bucket: int = 32, should_stop=None,
+                 span: int = 32) -> list[int]:
+        """Returns generated ids (EOS excluded unless it was the first).
+
+        should_stop: optional callable checked between compiled decode
+        spans of `span` tokens (in-loop cancellation: stop() latency is one
+        span, ~200 ms for 3B, vs the whole max_new decode — ref
+        T3.swift:250-253). None = single compiled loop (bit-stable with
+        round-1 outputs)."""
+        if should_stop is not None:
+            return self._generate_spanned(prompt_ids, sampler=sampler,
+                                          eos_ids=eos_ids, max_new=max_new,
+                                          seed=seed, bucket=bucket,
+                                          should_stop=should_stop, span=span)
         n = len(prompt_ids)
         pad = -(-n // bucket) * bucket
         prompt = np.full(pad, self.pad_id, np.int32)
@@ -164,6 +176,89 @@ class CausalLMGenerator:
             return []
         return [first] + [int(t) for t in
                           np.asarray(tokens[0][: int(lengths[0])])]
+
+    # ------------------------------------------------------------- spans
+
+    def _prefill_fn(self, prompt_pad: int, sampler: SamplerConfig):
+        key_ = ("prefill", prompt_pad, sampler)
+        if key_ in self._fns:
+            return self._fns[key_]
+        cfg = self.cfg
+
+        def run(params, prompt, pad_amount, key):
+            cache = self._constrain_cache(
+                transformer.make_cache(cfg, 1, self.max_cache))
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+            logits, cache = transformer.forward(params, cfg, prompt[None],
+                                                cache, extra_mask=extra)
+            from tpu_audio.ops import sampling as S
+
+            fl = logits[0, -1].astype(jnp.float32)[None]
+            first = S.sample(key, fl, sampler).astype(jnp.int32)
+            return first, cache
+
+        fn = jax.jit(run)
+        self._fns[key_] = fn
+        return fn
+
+    def _span_fn(self, span: int, sampler: SamplerConfig, eos_ids: tuple):
+        key_ = ("span", span, sampler, eos_ids)
+        if key_ in self._fns:
+            return self._fns[key_]
+        cfg = self.cfg
+
+        def run(params, cache, last, recent, finished, pad_amount, key):
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+
+            def step(tok, cache):
+                lg, cache = transformer.forward(params, cfg, tok, cache,
+                                                extra_mask=extra)
+                return lg[:, -1].astype(jnp.float32), cache
+
+            res = decode_loop(key, step, cache, last, span, eos_ids=eos_ids,
+                              sampler=sampler, pad_id=self.pad_id,
+                              recent0=recent, finished0=finished)
+            return (res.tokens, res.lengths, res.last_state, res.recent,
+                    res.finished, res.last_token)
+
+        fn = jax.jit(run)
+        self._fns[key_] = fn
+        return fn
+
+    def _generate_spanned(self, prompt_ids, *, sampler, eos_ids, max_new,
+                          seed, bucket, should_stop, span) -> list[int]:
+        from tpu_audio.ops.sampling import update_recent
+
+        n = len(prompt_ids)
+        pad = -(-n // bucket) * bucket
+        prompt = np.full(pad, self.pad_id, np.int32)
+        prompt[pad - n:] = prompt_ids
+        pad_amount = jnp.int32(pad - n)
+        key = jax.random.PRNGKey(seed)
+        key, kp = jax.random.split(key)
+        first, cache = self._prefill_fn(pad, sampler)(
+            self.params, jnp.asarray(prompt), pad_amount, kp)
+        if int(first[0]) in eos_ids:
+            return []
+        out = [int(first[0])]
+        window = max(sampler.repetition_window, sampler.ras_window, 1)
+        recent = update_recent(jnp.full((1, window), -1, jnp.int32), first)
+        finished = jnp.zeros((1,), jnp.bool_)
+        last = first
+        fn = self._span_fn(span, sampler, tuple(eos_ids))
+        remaining = max_new - 1
+        while remaining > 0 and not should_stop():
+            key, ks = jax.random.split(key)
+            tokens, lengths, cache, recent, finished, last = fn(
+                self.params, cache, last, recent, finished, pad_amount, ks)
+            got = min(int(lengths[0]), remaining)
+            out.extend(int(t) for t in np.asarray(tokens[0][:got]))
+            remaining -= span
+            if bool(finished[0]):
+                break
+        return out
 
 
 def parse_frames(tokens: list[int]) -> list[np.ndarray]:

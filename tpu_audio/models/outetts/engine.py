@@ -200,7 +200,9 @@ class OuteTTSEngine(TTSEngineBase):
             ids = self.tokenizer.encode(prompt)
             generated = self.lm.generate(
                 ids, sampler=SAMPLER, eos_ids=self._eos_ids(),
-                max_new=max_new_tokens, seed=si)
+                max_new=max_new_tokens, seed=si,
+                should_stop=self._stop_flag.is_set)  # cancel between spans
+            self._check_stopped()
             text_out = self.tokenizer.decode_raw(generated)
             c1, c2 = extract_codes(text_out)
             audio = self._decode_dac(c1, c2)

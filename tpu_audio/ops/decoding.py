@@ -23,6 +23,12 @@ class DecodeResult:
     tokens: jax.Array  # (B, max_new) generated ids, padded with pad_id
     lengths: jax.Array  # (B,) number of valid tokens (excluding EOS)
     last_state: object  # final model state (e.g. KV cache)
+    # carried sampling state, so a long decode can run as a chain of short
+    # compiled spans with host stop-checks between them (in-loop
+    # cancellation — ref T3.swift:250-253 checks inside the hot loop)
+    recent: jax.Array | None = None  # (B, W) recent-token ring
+    finished: jax.Array | None = None  # (B,) EOS reached
+    last_token: jax.Array | None = None  # (B,) last emitted token
 
 
 def decode_loop(
@@ -37,16 +43,23 @@ def decode_loop(
     token_postprocess: Callable | None = None,  # (token, step_idx) -> token
     min_tokens: int = 0,
     pad_id: int = 0,
+    recent0: jax.Array | None = None,
+    finished0: jax.Array | None = None,
 ) -> DecodeResult:
     """Sample up to max_new_tokens, stopping early when every batch row hit
-    an EOS id. All shapes static; early exit via lax.while_loop."""
+    an EOS id. All shapes static; early exit via lax.while_loop.
+
+    recent0/finished0 resume a previous span's sampling state (spanned
+    decode for host-side cancellation)."""
     b = first_token.shape[0]
     eos = jnp.asarray(eos_ids, dtype=jnp.int32).reshape(1, -1)
     window = max(sampler.repetition_window, sampler.ras_window, 1)
 
     tokens_buf = jnp.full((b, max_new_tokens), pad_id, dtype=jnp.int32)
-    recent0 = jnp.full((b, window), -1, dtype=jnp.int32)
-    finished0 = jnp.zeros((b,), dtype=jnp.bool_)
+    if recent0 is None:
+        recent0 = jnp.full((b, window), -1, dtype=jnp.int32)
+    if finished0 is None:
+        finished0 = jnp.zeros((b,), dtype=jnp.bool_)
 
     def cond(carry):
         i, _, _, _, finished, _, _ = carry
@@ -75,10 +88,12 @@ def decode_loop(
 
     carry = (jnp.zeros((), jnp.int32), tokens_buf, first_token.astype(jnp.int32),
              state, finished0, recent0, key)
-    i, tokens_buf, _, state, finished, _, _ = jax.lax.while_loop(cond, body, carry)
+    (i, tokens_buf, last, state, finished, recent, _) = jax.lax.while_loop(
+        cond, body, carry)
 
     eos_hit = jnp.any(tokens_buf[:, :, None] == eos[None], axis=-1)
     first_eos = jnp.argmax(eos_hit, axis=-1)
     lengths = jnp.where(jnp.any(eos_hit, axis=-1), first_eos,
                         jnp.minimum(i, max_new_tokens))
-    return DecodeResult(tokens=tokens_buf, lengths=lengths, last_state=state)
+    return DecodeResult(tokens=tokens_buf, lengths=lengths, last_state=state,
+                        recent=recent, finished=finished, last_token=last)
