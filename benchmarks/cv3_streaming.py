@@ -76,12 +76,17 @@ def main() -> None:
     ap.add_argument("--full", action="store_true",
                     help="production-size configs (slow first compile)")
     ap.add_argument("--chunks", type=int, default=10)
+    ap.add_argument("--no-o1-flow", action="store_true",
+                    help="disable the O(1) cached DiT flow (reference-style "
+                         "full-window recompute per chunk)")
     args = ap.parse_args()
 
     import jax
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     syn, cfg = build(args.full)
+    syn.o1_flow = not args.no_o1_flow
+    print(f"o1_flow: {syn.o1_flow}")
     sr = 24000
 
     print("[warmup] compiling stream graphs...")

@@ -33,6 +33,33 @@ def _ref_audio(seconds: float = 5.0, sr: int = 16000) -> np.ndarray:
             * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
 
 
+def _synth_int8_tree(params: dict) -> dict:
+    """Replace eligible matmul weights with random int8 dicts ON DEVICE
+    (shape/dtype determine perf; host-side requantize of multi-GB random
+    trees over the axon tunnel is pointlessly slow for a benchmark)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_audio.ops import quant
+    from tpu_audio.utils import pytree
+
+    flat = pytree.flatten(params)
+    out = {}
+    key = jax.random.PRNGKey(123)
+    for k, v in flat.items():
+        if (k.endswith(".weight") and v.ndim in (2, 3)
+                and v.shape[-1] % 128 == 0 and not quant._I8_SKIP.search(k)):
+            key, k1, k2 = jax.random.split(key, 3)
+            prefix = k[: -len(".weight")]
+            out[prefix + ".weight_i8"] = jax.random.randint(
+                k1, v.shape, -127, 128, jnp.int8)
+            out[prefix + ".scale_i8"] = jax.random.uniform(
+                k2, (*v.shape[:-1], 1), jnp.float32, 0.001, 0.02)
+        else:
+            out[k] = v
+    return quant.fuse_int8_tree(pytree.unflatten(out))
+
+
 # ---------------------------------------------------------------- builders
 
 def build_orpheus(w8a8: bool):
@@ -42,13 +69,11 @@ def build_orpheus(w8a8: bool):
     from tpu_audio.models.orpheus import model as omodel
     from tpu_audio.models.orpheus.engine import OrpheusEngine
     from tpu_audio.nn import transformer
-    from tpu_audio.ops import quant
-
     cfg = omodel.LLAMA_3B
     params = transformer.init_params(jax.random.PRNGKey(SEED), cfg,
                                      dtype=jax.numpy.bfloat16)
     if w8a8:
-        params = quant.quantize_tree_int8(params)
+        params = _synth_int8_tree(params)
     snac_cfg = snac.SNACConfig()
     snac_params = snac.init_params(jax.random.PRNGKey(SEED + 1), snac_cfg)
     eng = OrpheusEngine.from_params(params, cfg, snac_params, snac_cfg,
@@ -73,7 +98,7 @@ def build_outetts(w8a8: bool):
     params = transformer.init_params(jax.random.PRNGKey(SEED), cfg,
                                      dtype=jax.numpy.bfloat16)
     if w8a8:
-        params = quant.quantize_tree_int8(params)
+        params = _synth_int8_tree(params)
     dac_cfg = dac.DACConfig()
     dac_params = dac.init_params(jax.random.PRNGKey(SEED + 1), dac_cfg)
     eng = OuteTTSEngine.from_params(params, cfg, dac_params, dac_cfg,
@@ -111,7 +136,7 @@ def build_cosyvoice2(w8a8: bool):
     lm_params = lm_mod.init_params(jax.random.PRNGKey(SEED), lm_cfg,
                                    dtype=jax.numpy.bfloat16)
     if w8a8:
-        lm_params = quant.quantize_tree_int8(lm_params)
+        lm_params = _synth_int8_tree(lm_params)
     s3_cfg = s3gen.S3GenConfig()
     s3_params = s3gen.init_params(jax.random.PRNGKey(SEED + 1), s3_cfg)
     tok_cfg = s3tokenizer.S3TokenizerConfig()
@@ -132,7 +157,7 @@ def build_funasr(w8a8: bool):
     params = fmodel.init_params(jax.random.PRNGKey(SEED), cfg,
                                 dtype=jax.numpy.bfloat16)
     if w8a8:
-        params = quant.quantize_tree_int8(params)
+        params = _synth_int8_tree(params)
     eng = FunASREngine.from_params(params, cfg, max_cache=1024)
     return eng, {}, 16000
 

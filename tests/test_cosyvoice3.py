@@ -147,3 +147,130 @@ class TestCV3Engine:
         res = eng.generate("Hi.",
                            granularity=StreamingGranularity.SENTENCE)
         assert np.isfinite(res.samples).all()
+
+
+class TestChunkedDiT:
+    """O(1) streaming flow: frozen per-timestep KV chunks are EXACTLY the
+    full chunk-causal recompute when call boundaries align with
+    static_chunk_size (VERDICT r1 #9)."""
+
+    CFG = dit.DiTConfig(mel_dim=16, dim=32, depth=2, heads=4, head_dim=8,
+                        spk_dim=16, conv_pos_groups=4, static_chunk_size=4,
+                        num_left_chunks=2)
+
+    def _inputs(self, rng, t):
+        x = jnp.asarray(rng.standard_normal((1, t, 16)), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal((1, t, 16)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((1, t, 16)), jnp.float32)
+        spk = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+        return x, mu, cond, spk
+
+    def test_single_chunk_matches_full(self, rng):
+        params = dit.init_params(jax.random.PRNGKey(0), self.CFG)
+        x, mu, cond, spk = self._inputs(rng, 8)
+        t = jnp.asarray([0.3])
+        full = dit.forward(params, self.CFG, x, jnp.asarray([8]), mu, t,
+                           spk, cond, streaming=True)
+        cache = dit.make_stream_cache(self.CFG, 1, 16)
+        v, cache = dit.forward_chunk(params, self.CFG, x, mu, t, spk, cond,
+                                     cache)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(full),
+                                   atol=2e-5)
+        assert int(cache.pos) == 8
+
+    def test_aligned_chunks_match_full(self, rng):
+        params = dit.init_params(jax.random.PRNGKey(0), self.CFG)
+        x, mu, cond, spk = self._inputs(rng, 12)
+        t = jnp.asarray([0.7])
+        full = dit.forward(params, self.CFG, x, jnp.asarray([12]), mu, t,
+                           spk, cond, streaming=True)
+        cache = dit.make_stream_cache(self.CFG, 1, 16)
+        outs = []
+        for lo in (0, 4, 8):  # aligned to static_chunk_size=4
+            v, cache = dit.forward_chunk(
+                params, self.CFG, x[:, lo:lo + 4], mu[:, lo:lo + 4], t, spk,
+                cond[:, lo:lo + 4], cache)
+            outs.append(np.asarray(v))
+        np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                                   np.asarray(full), atol=2e-5)
+
+    def test_ragged_final_chunk_valid_mask(self, rng):
+        params = dit.init_params(jax.random.PRNGKey(0), self.CFG)
+        x, mu, cond, spk = self._inputs(rng, 8)
+        t = jnp.asarray([0.5])
+        full = dit.forward(params, self.CFG, x, jnp.asarray([6]), mu, t,
+                           spk, cond, streaming=True)
+        cache = dit.make_stream_cache(self.CFG, 1, 16)
+        v1, cache = dit.forward_chunk(params, self.CFG, x[:, :4],
+                                      mu[:, :4], t, spk, cond[:, :4], cache)
+        v2, cache = dit.forward_chunk(params, self.CFG, x[:, 4:],
+                                      mu[:, 4:], t, spk, cond[:, 4:], cache,
+                                      valid_new=jnp.int32(2))
+        got = np.concatenate([np.asarray(v1), np.asarray(v2)[:, :2]], axis=1)
+        np.testing.assert_allclose(got, np.asarray(full)[:, :6], atol=2e-5)
+        assert int(cache.pos) == 6
+
+    def test_ring_roll_preserves_context(self, rng):
+        """Rolling the cache by a static chunk leaves outputs identical to
+        the unrolled (larger) cache when the dropped slots are out of the
+        attention window anyway."""
+        from tpu_audio.models.cosyvoice3.model import roll_stream_caches
+
+        params = dit.init_params(jax.random.PRNGKey(0), self.CFG)
+        x, mu, cond, spk = self._inputs(rng, 20)
+        t = jnp.asarray([0.4])
+
+        # big cache, no roll
+        cache_a = dit.make_stream_cache(self.CFG, 1, 24)
+        va = []
+        for lo in range(0, 20, 4):
+            v, cache_a = dit.forward_chunk(
+                params, self.CFG, x[:, lo:lo + 4], mu[:, lo:lo + 4], t, spk,
+                cond[:, lo:lo + 4], cache_a)
+            va.append(np.asarray(v))
+
+        # small cache (16 slots) with a manual roll before the last chunk;
+        # stack a leading 1-axis so roll_stream_caches' (n, ...) layout fits
+        cache_b = jax.tree_util.tree_map(
+            lambda a: a[None], dit.make_stream_cache(self.CFG, 1, 16))
+        vb = []
+        base = 0
+        for lo in range(0, 20, 4):
+            if (lo - base) + 4 > 16:
+                cache_b = roll_stream_caches(cache_b, jnp.int32(4))
+                base += 4
+            cb = jax.tree_util.tree_map(lambda a: a[0], cache_b)
+            v, cb = dit.forward_chunk(
+                params, self.CFG, x[:, lo:lo + 4], mu[:, lo:lo + 4], t, spk,
+                cond[:, lo:lo + 4], cb)
+            cache_b = jax.tree_util.tree_map(lambda a: a[None], cb)
+            vb.append(np.asarray(v))
+        np.testing.assert_allclose(np.concatenate(vb, 1),
+                                   np.concatenate(va, 1), atol=2e-5)
+
+
+class TestChunkedCFM:
+    def test_single_chunk_matches_cfm_solve(self, rng):
+        """cfm_solve_chunk over one all-covering chunk == flow.cfm_solve
+        (streaming) with the same noise."""
+        cfg = TINY_FLOW
+        params = cv3.init_params(jax.random.PRNGKey(1), cfg)
+        t = 8
+        mu = jnp.asarray(rng.standard_normal((1, t, cfg.mel_dim)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((1, t, cfg.mel_dim)),
+                           jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((1, cfg.dit.spk_dim)),
+                          jnp.float32)
+        key = jax.random.PRNGKey(3)
+        z = jax.random.normal(key, (1, t, cfg.mel_dim), jnp.float32)
+
+        def est(x_, ml, mu_, tt, spks_, cond_, stream):
+            return dit.forward(params["decoder_estimator"], cfg.dit, x_, ml,
+                               mu_, tt, spks_, cond_, stream)
+
+        ref = flow.cfm_solve(est, cfg.cfm, mu, jnp.asarray([t]), emb, cond,
+                             key, streaming=True)
+        caches = cv3.make_flow_stream_caches(cfg, 16)
+        got, _ = cv3.cfm_solve_chunk(params, cfg, z, mu, emb, cond, caches)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5)

@@ -99,6 +99,123 @@ def _conv_pos(p, x, cfg: DiTConfig):
     return jax.nn.gelu(h, approximate=True)
 
 
+# ------------------------------------------------------------- streaming
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DiTStreamCache:
+    """Per-flow-timestep KV + causal-conv state for O(1)-per-chunk
+    streaming: every frame's K/V is computed ONCE (when its chunk is
+    emitted) and frozen, so per-chunk DiT cost is O(chunk) projections/MLP
+    + O(chunk × window) attention reads instead of re-running the full
+    window — the reference re-runs the whole window per chunk
+    (CosyVoice3Model.swift:565-650), which drifts O(n²) on long streams.
+
+    Frozen-KV is strictly chunk-causal: a cached frame never sees frames
+    emitted after it (the full-recompute path lets same-chunk right
+    context update earlier frames). With chunk boundaries aligned to
+    static_chunk_size the two are numerically identical (tested)."""
+
+    k: jax.Array  # (depth, B, S_max, H, hd)
+    v: jax.Array
+    conv1_tail: jax.Array  # (B, k-1, dim) raw-h history feeding conv1
+    conv2_tail: jax.Array  # (B, k-1, dim) conv1-output history
+    pos: jax.Array  # int32: next free SLOT
+    base: jax.Array  # int32: absolute frame index of slot 0 (ring sliding)
+
+
+def make_stream_cache(cfg: DiTConfig, batch: int, s_max: int,
+                      dtype=jnp.float32) -> DiTStreamCache:
+    kt = cfg.conv_pos_kernel - 1
+    shape = (cfg.depth, batch, s_max, cfg.heads, cfg.head_dim)
+    return DiTStreamCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        conv1_tail=jnp.zeros((batch, kt, cfg.dim), dtype),
+        conv2_tail=jnp.zeros((batch, kt, cfg.dim), dtype),
+        pos=jnp.zeros((), jnp.int32), base=jnp.zeros((), jnp.int32))
+
+
+def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
+                  cache: DiTStreamCache, valid_new=None
+                  ) -> tuple[jax.Array, DiTStreamCache]:
+    """Velocity for the NEW frames only: x/mu/cond (B, Tn, mel) are the
+    chunk being emitted; attention reads the frozen per-timestep KV cache
+    (chunk-causal against absolute positions). valid_new (scalar) marks
+    how many of the Tn frames are real (ragged final chunk: pad slots are
+    masked out and overwritten by any later chunk). Returns (v (B, Tn,
+    mel), cache advanced by valid_new)."""
+    b, tn, _ = x.shape
+    s_max = cache.k.shape[2]
+    pos = cache.pos
+    if valid_new is None:
+        valid_new = jnp.int32(tn)
+    t_emb = _time_embed(params["time_embed"], t)
+
+    spk_b = jnp.broadcast_to(spks[:, None, :], (b, tn, spks.shape[-1]))
+    h = layers.linear(params["input_embed"]["proj"],
+                      jnp.concatenate([x, mu, spk_b, cond], axis=-1))
+    # causal grouped convs with carried tails (valid conv over tail+chunk)
+    kk = cfg.conv_pos_kernel
+    h1_in = jnp.concatenate([cache.conv1_tail.astype(h.dtype), h], axis=1)
+    c1 = jax.nn.gelu(layers.conv1d(params["input_embed"]["conv1"], h1_in,
+                                   groups=cfg.conv_pos_groups), approximate=True)
+    h2_in = jnp.concatenate([cache.conv2_tail.astype(h.dtype), c1], axis=1)
+    c2 = jax.nn.gelu(layers.conv1d(params["input_embed"]["conv2"], h2_in,
+                                   groups=cfg.conv_pos_groups), approximate=True)
+    conv1_tail = h1_in[:, -(kk - 1):]
+    conv2_tail = h2_in[:, -(kk - 1):]
+    h = h + c2
+
+    # chunk-causal mask over ABSOLUTE positions (slot + base, so ring
+    # slides preserve chunk boundaries and RoPE distances)
+    qpos = cache.base + pos + jnp.arange(tn)
+    kpos = cache.base + jnp.arange(s_max)
+    qc = qpos[:, None] // cfg.static_chunk_size
+    kc = kpos[None, :] // cfg.static_chunk_size
+    ok = ((kc <= qc) & (kc >= qc - cfg.num_left_chunks)
+          & (jnp.arange(s_max)[None, :] < pos + valid_new))
+    bias = jnp.where(ok, 0.0, attention.NEG_INF)[None, None].astype(
+        jnp.float32)
+
+    inv = rope.base_inv_freq(cfg.head_dim, 10000.0)
+    kbuf, vbuf = cache.k, cache.v
+    for i in range(cfg.depth):
+        bp = params["blocks"][str(i)]
+        mod = layers.linear(bp["attn_norm"]["linear"], jax.nn.silu(t_emb))
+        sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = jnp.split(mod, 6, -1)
+        hn = layers.layer_norm(None, h)
+        hn = hn * (1 + sc_msa[:, None]) + sh_msa[:, None]
+        q = layers.linear(bp["attn"]["to_q"], hn).reshape(
+            b, tn, cfg.heads, cfg.head_dim)
+        k = layers.linear(bp["attn"]["to_k"], hn).reshape(
+            b, tn, cfg.heads, cfg.head_dim)
+        v = layers.linear(bp["attn"]["to_v"], hn).reshape(
+            b, tn, cfg.heads, cfg.head_dim)
+        q = rope.apply_rope(q, qpos, inv)
+        k = rope.apply_rope(k, qpos, inv)
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k[None].astype(kbuf.dtype), (i, 0, pos, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v[None].astype(vbuf.dtype), (i, 0, pos, 0, 0))
+        o = attention.attend(q, kbuf[i].astype(q.dtype),
+                             vbuf[i].astype(q.dtype), bias)
+        h = h + g_msa[:, None] * layers.linear(
+            bp["attn"]["to_out"], o.reshape(b, tn, -1))
+        hn = layers.layer_norm(bp["ff_norm"], h)
+        hn = hn * (1 + sc_mlp[:, None]) + sh_mlp[:, None]
+        ff = layers.linear(bp["ff"]["fc2"], jax.nn.gelu(
+            layers.linear(bp["ff"]["fc1"], hn), approximate=True))
+        h = h + g_mlp[:, None] * ff
+
+    mod = layers.linear(params["final_norm"]["linear"], jax.nn.silu(t_emb))
+    scale, shift = jnp.split(mod, 2, -1)
+    h = layers.layer_norm(None, h) * (1 + scale[:, None]) + shift[:, None]
+    out = layers.linear(params["proj_out"], h)
+    return out, DiTStreamCache(k=kbuf, v=vbuf, conv1_tail=conv1_tail,
+                               conv2_tail=conv2_tail, pos=pos + valid_new,
+                               base=cache.base)
+
+
 def forward(params, cfg: DiTConfig, x, mask_len, mu, t, spks, cond,
             streaming: bool = False) -> jax.Array:
     """Velocity estimator: x/mu/cond (B, T, mel), spks (B, spk), t (B,)."""

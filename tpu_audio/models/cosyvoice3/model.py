@@ -100,14 +100,128 @@ def flow_chunk(params, cfg: CV3FlowConfig, tokens, token_len, prompt_mel,
                           streaming=streaming)
 
 
-class CV3Synthesizer:
-    """Host orchestration of the chunked streaming pipeline."""
+def make_flow_stream_caches(cfg: CV3FlowConfig, s_max: int,
+                            n_timesteps: int | None = None,
+                            dtype=jnp.float32):
+    """Per-flow-timestep DiT stream caches, stacked on a leading timestep
+    axis (lax.scan carries each step's own cache). Batch is 2 (CFG
+    cond+uncond folded into the batch dim). The chunk-causal mask bounds
+    live context to (num_left_chunks+1) static chunks, so s_max only needs
+    to cover prompt + that window — memory is O(1) in stream length."""
+    n = n_timesteps or cfg.cfm.n_timesteps
+    one = dit.make_stream_cache(cfg.dit, 2, s_max, dtype)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.zeros((n, *a.shape), a.dtype), one)
 
-    def __init__(self, params, cfg: CV3FlowConfig):
+
+def cfm_solve_chunk(params, cfg: CV3FlowConfig, z_new, mu_new, spks,
+                    cond_new, caches, valid_new=None,
+                    n_timesteps: int | None = None):
+    """CFG Euler solve over the NEW frames only, reading/advancing the
+    per-timestep frozen KV caches. Equivalent of flow.cfm_solve
+    restricted to the chunk (O(chunk) work instead of O(window))."""
+    n_steps = n_timesteps or cfg.cfm.n_timesteps
+    b, tn, d = mu_new.shape
+    assert b == 1, "streaming flow is single-stream"
+    t_span = jnp.linspace(0.0, 1.0, n_steps + 1)
+    if cfg.cfm.t_scheduler == "cosine":
+        t_span = 1 - jnp.cos(t_span * 0.5 * jnp.pi)
+    rate = cfg.cfm.inference_cfg_rate
+
+    mu_in = jnp.concatenate([mu_new, jnp.zeros_like(mu_new)], axis=0)
+    spk_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond_in = jnp.concatenate([cond_new, jnp.zeros_like(cond_new)], axis=0)
+
+    def body(x, per_step):
+        t0, dt, cache_i = per_step
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.full((2 * b,), t0, mu_new.dtype)
+        v, cache_i = dit.forward_chunk(params["decoder_estimator"], cfg.dit,
+                                       x_in, mu_in, t_in, spk_in, cond_in,
+                                       cache_i, valid_new=valid_new)
+        v_cfg = (1.0 + rate) * v[:b] - rate * v[b:]
+        return (x + dt * v_cfg).astype(x.dtype), cache_i
+
+    x, caches = jax.lax.scan(
+        body, z_new, (t_span[:-1], t_span[1:] - t_span[:-1], caches))
+    return x, caches
+
+
+@jax.jit
+def roll_stream_caches(caches, shift):
+    """Slide every per-timestep KV cache left by `shift` slots (must be a
+    multiple of static_chunk_size so absolute chunk boundaries survive;
+    RoPE'd K/V values are position-absolute and move unchanged). base
+    advances by the same amount, so slot+base stays the absolute frame."""
+
+    def roll_kv(a):  # (n, depth, B, S, H, hd) — slide the S axis
+        rolled = jnp.roll(a, -shift, axis=3)
+        slot = jnp.arange(a.shape[3])
+        return jnp.where(
+            (slot < a.shape[3] - shift)[None, None, None, :, None, None],
+            rolled, 0)
+
+    return dit.DiTStreamCache(
+        k=roll_kv(caches.k), v=roll_kv(caches.v),
+        conv1_tail=caches.conv1_tail, conv2_tail=caches.conv2_tail,
+        pos=caches.pos - shift, base=caches.base + shift)
+
+
+class CV3Synthesizer:
+    """Host orchestration of the chunked streaming pipeline.
+
+    o1_flow=True (default) runs the DiT flow with frozen per-timestep KV
+    caches: per-chunk cost is O(chunk), constant for the whole stream
+    (the reference — and o1_flow=False — re-runs the growing window every
+    chunk, so chunk latency drifts upward on long streams). The conformer
+    still sees the full token window (it is ~1% of flow cost). The cache
+    ring holds stream_cache_frames slots; the chunk-causal mask only ever
+    reads (num_left_chunks+1) static chunks back, so the ring slides."""
+
+    def __init__(self, params, cfg: CV3FlowConfig, o1_flow: bool = True,
+                 stream_cache_frames: int = 512):
         self.params = params
         self.cfg = cfg
+        self.o1_flow = o1_flow
+        self.stream_cache_frames = stream_cache_frames
         self._flow_fns = {}
         self._voc_fns = {}
+        self._mu_fns = {}
+        self._chunk_fns = {}
+
+    # ------------------------------------------------- O(1) flow pieces
+
+    def _mu_fn(self, t_pad: int):
+        """Conformer token encoder + proj + spk affine (full window —
+        cheap; the DiT is the O(1)-cached part)."""
+        if t_pad not in self._mu_fns:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(params, tokens, tl, emb):
+                e = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+                spks = layers.linear(params["spk_embed_affine_layer"], e)
+                x = layers.embedding(params["input_embedding"],
+                                     jnp.clip(tokens, 0, cfg.vocab_size - 1))
+                h, _ = conformer.forward(params["encoder"], cfg.conformer, x,
+                                         tl, streaming=True)
+                return layers.linear(params["encoder_proj"], h), spks
+
+            self._mu_fns[t_pad] = fn
+        return self._mu_fns[t_pad]
+
+    def _chunk_fn(self, chunk_pad: int):
+        if chunk_pad not in self._chunk_fns:
+            cfg = self.cfg
+
+            @jax.jit
+            def fn(params, z, mu_new, spks, cond_new, caches, valid):
+                return cfm_solve_chunk(params, cfg, z, mu_new, spks,
+                                       cond_new, caches, valid_new=valid)
+
+            self._chunk_fns[chunk_pad] = fn
+        return self._chunk_fns[chunk_pad]
 
     def _flow_fn(self, t_pad: int, streaming: bool):
         key_ = (t_pad, streaming)
@@ -173,6 +287,15 @@ class CV3Synthesizer:
         voc_frames = 0  # absolute mel frames already vocoded
         voc_key = jax.random.PRNGKey(seed)
 
+        # O(1)-flow state (per-timestep frozen DiT KV caches)
+        caches = None
+        cache_base = 0  # absolute frame of cache slot 0
+        mel_tail = np.zeros((0, cfg.mel_dim), np.float32)
+        pm_np = np.asarray(pm[0], np.float32)
+        noise_key = jax.random.PRNGKey(seed + 7)
+        static = cfg.dit.static_chunk_size
+        use_o1 = None  # decided on the first chunk, fixed for the stream
+
         while True:
             while (not done
                    and len(gen_tokens) < emitted + chunk_size + PRE_LOOKAHEAD):
@@ -191,16 +314,55 @@ class CV3Synthesizer:
             t_pad = max(32, -(-n // 32) * 32)
             toks = np.zeros((1, t_pad), np.int32)
             toks[0, :n] = tokens_window
-            mel = self._flow_fn(t_pad, not done)(
-                self.params, jnp.asarray(toks), jnp.asarray([n]), pm,
-                jnp.asarray([pm.shape[1]]), emb, jax.random.PRNGKey(seed))
-            mel_np = np.asarray(mel[0])
             valid_frames = (p_len + emit_upto) * mel_ratio
-
-            # O(1)-per-chunk vocoding: lookback window + carried source state
             lb = min(hift.LOOKBACK_FRAMES, voc_frames)
             n_new = valid_frames - voc_frames
-            window = mel_np[voc_frames - lb: valid_frames]
+            if use_o1 is None:
+                # one-shot synthesis (everything arrived before the first
+                # flow call) keeps the reference's full non-streaming
+                # finalize pass; real streams use the O(1) cached flow
+                use_o1 = self.o1_flow and not done
+
+            if use_o1:
+                mu, spks = self._mu_fn(t_pad)(
+                    self.params, jnp.asarray(toks), jnp.asarray([n]), emb)
+                mu_np = np.asarray(mu[0], np.float32)
+                chunk_frames = valid_frames - voc_frames
+                chunk_pad = max(32, -(-chunk_frames // 32) * 32)
+                lo = voc_frames
+                mu_new = np.zeros((1, chunk_pad, cfg.mel_dim), np.float32)
+                mu_new[0, :chunk_frames] = mu_np[lo:valid_frames]
+                cond_new = np.zeros((1, chunk_pad, cfg.mel_dim), np.float32)
+                p_over = max(0, min(pm_np.shape[0], valid_frames) - lo)
+                if p_over > 0:
+                    cond_new[0, :p_over] = pm_np[lo: lo + p_over]
+                z_new = jax.random.normal(
+                    jax.random.fold_in(noise_key, lo),
+                    (1, chunk_pad, cfg.mel_dim), jnp.float32)
+                if caches is None:
+                    s_max = max(self.stream_cache_frames,
+                                -(-(chunk_pad + static) // static) * static)
+                    caches = make_flow_stream_caches(self.cfg, s_max)
+                slot = lo - cache_base
+                s_max = caches.k.shape[3]
+                if slot + chunk_pad > s_max:
+                    shift = -(-(slot + chunk_pad - s_max) // static) * static
+                    caches = roll_stream_caches(caches, jnp.int32(shift))
+                    cache_base += shift
+                x_new, caches = self._chunk_fn(chunk_pad)(
+                    self.params, z_new, jnp.asarray(mu_new), spks,
+                    jnp.asarray(cond_new), caches, jnp.int32(chunk_frames))
+                new_mel = np.asarray(x_new[0, :chunk_frames], np.float32)
+                window = np.concatenate(
+                    [mel_tail[len(mel_tail) - lb:], new_mel], axis=0)
+                mel_tail = window[max(0, len(window)
+                                      - hift.LOOKBACK_FRAMES):]
+            else:
+                mel = self._flow_fn(t_pad, not done)(
+                    self.params, jnp.asarray(toks), jnp.asarray([n]), pm,
+                    jnp.asarray([pm.shape[1]]), emb, jax.random.PRNGKey(seed))
+                mel_np = np.asarray(mel[0])
+                window = mel_np[voc_frames - lb: valid_frames]
             audio_w, phase, source_w = self._voc_fn(lb, n_new)(
                 self.params, jnp.asarray(window[None]), voc_key, phase,
                 source_tail[:, source_tail.shape[1] - lb * ups:],

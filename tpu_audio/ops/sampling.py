@@ -59,9 +59,27 @@ def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
+# top-p head size for the large-vocab fast path: the nucleus cutoff is
+# found within the top TOPP_HEAD values (exact as long as the true nucleus
+# is smaller than the head, which holds overwhelmingly at p ≤ 0.95 on
+# peaked LM distributions; otherwise truncation clips the extreme tail)
+TOPP_HEAD = 1024
+
+
 def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     if p >= 1.0:
         return logits
+    v = logits.shape[-1]
+    if v >= APPROX_TOPK_MIN_V:
+        # O(V) instead of O(V log V): head values via the TPU approx-top-k
+        # unit; probabilities against the FULL softmax denominator
+        vals = _topk_values(logits, min(TOPP_HEAD, v))  # descending
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(vals - lse)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < p
+        kth = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1, keepdims=True)
+        return jnp.where(logits < kth, NEG_INF, logits)
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
