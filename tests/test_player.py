@@ -171,3 +171,69 @@ class TestPlayerSink:
         assert player.queued_sample_count == 0
         assert not eng.is_playing
         player.close()
+
+
+class TestEngineSerialization:
+    """TTSEngineBase actor-equivalent contract: concurrent generations
+    serialize on the engine lock; stop() stays lock-free."""
+
+    def _engine(self):
+        from tpu_audio.api.tts import (AudioChunk, StreamingGranularity,
+                                       TTSEngineBase)
+
+        class SlowEngine(TTSEngineBase):
+            sample_rate = 16000
+
+            def load(self, progress_handler=None):
+                self.is_loaded = True
+
+            def generate_streaming(self, text, granularity=None, **kw):
+                for i in range(4):
+                    self._check_stopped()
+                    time.sleep(0.03)
+                    yield AudioChunk(samples=np.ones(160, np.float32),
+                                     sample_rate=16000, text=text,
+                                     is_final=i == 3)
+
+        return SlowEngine()
+
+    def test_concurrent_generations_serialize(self):
+        eng = self._engine()
+        order = []
+
+        def run(tag):
+            for _ in eng.generate_streaming(tag):
+                order.append(tag)
+
+        t1 = threading.Thread(target=run, args=("a",))
+        t2 = threading.Thread(target=run, args=("b",))
+        t1.start()
+        time.sleep(0.01)
+        t2.start()
+        t1.join(5)
+        t2.join(5)
+        # no interleaving: all of one stream before any of the other
+        assert order == sorted(order, key=lambda x: order.index(x))
+        a_last = max(i for i, t in enumerate(order) if t == order[0])
+        b_first = min(i for i, t in enumerate(order) if t != order[0])
+        assert a_last < b_first
+
+    def test_stop_is_lock_free_mid_generation(self):
+        from tpu_audio.api.tts import GenerationStopped
+
+        eng = self._engine()
+        stopped = threading.Event()
+
+        def run():
+            try:
+                for _ in eng.generate_streaming("x"):
+                    pass
+            except GenerationStopped:
+                stopped.set()
+
+        t = threading.Thread(target=run)
+        t.start()
+        time.sleep(0.04)
+        eng.stop()  # must not block on the generation lock
+        t.join(5)
+        assert stopped.is_set()

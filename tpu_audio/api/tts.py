@@ -59,7 +59,21 @@ class TTSGenerationResult:
 
 
 class TTSEngineBase:
-    """Lifecycle + streaming surface shared by all TTS engines."""
+    """Lifecycle + streaming surface shared by all TTS engines.
+
+    Thread-safety contract (the reference's Swift engines are actors —
+    e.g. KokoroTTS.swift — so every call is serialized; Python has no
+    actor isolation, so the equivalent guarantee is made explicit here):
+
+      - generate / generate_streaming / say are SERIALIZED per engine by
+        an internal lock: a second thread calling any of them blocks until
+        the first generation finishes (matching actor mailbox semantics).
+        The lock is taken for the whole life of the streaming generator.
+      - stop() and the is_* state reads are lock-free and safe to call
+        from any thread at any time (that is stop()'s whole purpose).
+      - load()/unload() are NOT safe to call concurrently with an active
+        generation; call them from the owning thread only.
+    """
 
     sample_rate: int = 24000
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
@@ -72,6 +86,23 @@ class TTSEngineBase:
         self.generation_time = 0.0
         self.last_generated_audio_path: str | None = None
         self._stop_flag = threading.Event()
+        self._gen_lock = threading.Lock()
+
+    def __init_subclass__(cls, **kw):
+        """Wrap each engine's generate_streaming in the serialization lock
+        (held from first next() until the generator closes)."""
+        super().__init_subclass__(**kw)
+        if "generate_streaming" in cls.__dict__:
+            import functools
+
+            inner = cls.__dict__["generate_streaming"]
+
+            @functools.wraps(inner)
+            def locked(self, *a, **k):
+                with self._gen_lock:
+                    yield from inner(self, *a, **k)
+
+            cls.generate_streaming = locked
 
     # ---------------------------------------------------------------- lifecycle
 
