@@ -63,7 +63,7 @@ def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
 # found within the top TOPP_HEAD values (exact as long as the true nucleus
 # is smaller than the head, which holds overwhelmingly at p ≤ 0.95 on
 # peaked LM distributions; otherwise truncation clips the extreme tail)
-TOPP_HEAD = 1024
+TOPP_HEAD = 256
 
 
 def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
@@ -100,14 +100,16 @@ def apply_min_p(logits: jax.Array, min_p: float) -> jax.Array:
 def apply_repetition_penalty(logits: jax.Array, recent: jax.Array,
                              penalty: float) -> jax.Array:
     """recent: (B, W) token ids with -1 padding. Divides positive / multiplies
-    negative logits of recently seen tokens by `penalty`."""
+    negative logits of recently seen tokens by `penalty`.
+
+    Membership is a broadcast-compare reduce over the W-token window (XLA
+    fuses it into one vocab pass) rather than a scatter — TPU scatters
+    serialize; -1 pads never match any vocab index."""
     if penalty == 1.0:
         return logits
     v = logits.shape[-1]
-    seen = jnp.zeros(logits.shape, dtype=jnp.bool_)
-    ids = jnp.clip(recent, 0, v - 1)
-    updates = (recent >= 0)
-    seen = seen.at[jnp.arange(logits.shape[0])[:, None], ids].max(updates)
+    vocab_idx = jnp.arange(v, dtype=recent.dtype)
+    seen = jnp.any(vocab_idx[None, :, None] == recent[:, None, :], axis=-1)
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
 
