@@ -48,7 +48,8 @@ def _synth_int8_tree(params: dict) -> dict:
     key = jax.random.PRNGKey(123)
     for k, v in flat.items():
         if (k.endswith(".weight") and v.ndim in (2, 3)
-                and v.shape[-1] % 128 == 0 and not quant._I8_SKIP.search(k)):
+                and v.shape[-1] % 128 == 0 and v.shape[-2] >= 64
+                and not quant._I8_SKIP.search(k)):
             key, k1, k2 = jax.random.split(key, 3)
             prefix = k[: -len(".weight")]
             out[prefix + ".weight_i8"] = jax.random.randint(

@@ -201,7 +201,7 @@ def quantize_tree_int8(tree: dict, predicate=None) -> dict:
         # ndim 3 = lax.scan-stacked (L, O, I) layer weights; the per-channel
         # absmax in quantize_array_int8 is rank-agnostic (axis=-1)
         if (k.endswith(".weight") and hasattr(v, "ndim") and v.ndim in (2, 3)
-                and v.shape[-1] % 128 == 0
+                and v.shape[-1] % 128 == 0 and v.shape[-2] >= 64
                 and not _I8_SKIP.search(k)
                 and (predicate is None or predicate(k, v))):
             qd = quantize_array_int8(np.asarray(v, np.float32))
