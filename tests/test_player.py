@@ -237,3 +237,45 @@ class TestEngineSerialization:
         eng.stop()  # must not block on the generation lock
         t.join(5)
         assert stopped.is_set()
+
+
+class TestAudioFilePlayer:
+    """AudioFilePlayer parity (Audio/AudioFilePlayer.swift): load/play/
+    pause/seek/stop with progress tracking, headless clock backend."""
+
+    def _wav(self, tmp_path):
+        from tpu_audio.utils.audio_io import write_wav
+
+        path = str(tmp_path / "clip.wav")
+        write_wav(path, np.ones(16000, np.float32) * 0.1, 16000)
+        return path
+
+    def test_load_play_to_end(self, tmp_path):
+        from tpu_audio.api.player import AudioFilePlayer
+
+        p = AudioFilePlayer(backend="clock", time_scale=0.0)
+        p.load(self._wav(tmp_path))
+        assert p.duration == pytest.approx(1.0, abs=0.01)
+        p.play()
+        assert wait_until(lambda: not p.is_playing)
+        assert p.current_time == pytest.approx(p.duration, abs=0.05)
+        p.stop()
+        assert p.current_time == 0.0
+
+    def test_pause_resume_and_seek(self, tmp_path):
+        from tpu_audio.api.player import AudioFilePlayer
+
+        p = AudioFilePlayer(backend="clock", time_scale=1.0)
+        p.load(self._wav(tmp_path))
+        p.play()
+        time.sleep(0.08)
+        p.pause()
+        t1 = p.current_time
+        assert 0 < t1 < 1.0
+        time.sleep(0.05)
+        assert p.current_time == t1  # paused: no progress
+        p.seek(0.5)
+        assert p.current_time == pytest.approx(0.5, abs=0.01)
+        p.toggle_play_pause()
+        assert p.is_playing
+        p.stop()

@@ -264,3 +264,88 @@ class AudioSamplePlayer:
         if self._output_started:
             self._output.stop()
             self._output_started = False
+
+
+class AudioFilePlayer:
+    """File playback with progress tracking — parity with the reference's
+    AudioFilePlayer (Audio/AudioFilePlayer.swift: load/play/pause/stop/
+    seek, is_playing, current_time, duration). Decodes the whole WAV into
+    memory and feeds the same pluggable outputs as AudioSamplePlayer."""
+
+    def __init__(self, backend: str | None = None, time_scale: float = 1.0):
+        self._backend = _pick_backend(backend)
+        self._time_scale = time_scale
+        self._samples = np.zeros(0, np.float32)
+        self.sample_rate = 24000
+        self._pos = 0
+        self._lock = threading.Lock()
+        self.is_playing = False
+        self.current_audio_path: str | None = None
+        self._output = None
+
+    # ------------------------------------------------------------- state
+
+    @property
+    def duration(self) -> float:
+        return len(self._samples) / self.sample_rate
+
+    @property
+    def current_time(self) -> float:
+        return self._pos / self.sample_rate
+
+    # ------------------------------------------------------------- API
+
+    def load(self, path: str) -> None:
+        from tpu_audio.utils.audio_io import read_wav
+
+        self.stop()
+        self._samples, self.sample_rate = read_wav(path)
+        self._samples = np.asarray(self._samples, np.float32)
+        self.current_audio_path = path
+        self._pos = 0
+
+    def _pull(self, n: int, out: np.ndarray | None = None) -> int:
+        with self._lock:
+            if not self.is_playing:
+                if out is not None:
+                    out[:] = 0.0
+                return 0
+            piece = self._samples[self._pos: self._pos + n]
+            self._pos += len(piece)
+            if self._pos >= len(self._samples):
+                self.is_playing = False
+        if out is not None and len(piece):
+            out[:len(piece)] = piece
+        return len(piece)
+
+    def play(self) -> None:
+        if self._output is None:
+            cls = _OUTPUTS[self._backend]
+            self._output = (cls(self.sample_rate,
+                                time_scale=self._time_scale)
+                            if cls is _ClockOutput else cls(self.sample_rate))
+            self._output.start(self._pull)
+        with self._lock:
+            if self._pos >= len(self._samples):
+                self._pos = 0
+            self.is_playing = True
+
+    def pause(self) -> None:
+        with self._lock:
+            self.is_playing = False
+
+    def toggle_play_pause(self) -> None:
+        self.pause() if self.is_playing else self.play()
+
+    def seek(self, seconds: float) -> None:
+        with self._lock:
+            self._pos = int(np.clip(seconds, 0, self.duration)
+                            * self.sample_rate)
+
+    def stop(self) -> None:
+        with self._lock:
+            self.is_playing = False
+            self._pos = 0
+        if self._output is not None:
+            self._output.stop()
+            self._output = None
