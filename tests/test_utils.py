@@ -161,3 +161,33 @@ class TestRecorder:
         assert chunk is not None and len(chunk) == 8000
         assert rec.pull(1.0) is None
         assert len(rec.drain()) > 0
+
+
+class TestStreamingWavWriter:
+    def test_progressive_write_matches_oneshot(self, tmp_path, rng):
+        from tpu_audio.utils.audio_io import (StreamingWavWriter, read_wav,
+                                              write_wav)
+
+        samples = rng.standard_normal(12000).astype(np.float32) * 0.3
+        p1 = str(tmp_path / "stream.wav")
+        with StreamingWavWriter(p1, 16000, dtype="float32") as w:
+            for i in range(0, len(samples), 1000):
+                w.write(samples[i: i + 1000])
+        p2 = str(tmp_path / "oneshot.wav")
+        write_wav(p2, samples, 16000, dtype="float32")
+        a, sra = read_wav(p1)
+        b, srb = read_wav(p2)
+        assert sra == srb == 16000
+        np.testing.assert_array_equal(a, b)
+
+    def test_int16_header_sizes(self, tmp_path):
+        from tpu_audio.utils.audio_io import StreamingWavWriter, read_wav
+
+        p = str(tmp_path / "i16.wav")
+        w = StreamingWavWriter(p, 24000, dtype="int16")
+        w.write(np.ones(2400, np.float32) * 0.5)
+        w.write(np.ones(2400, np.float32) * -0.5)
+        w.close()
+        x, sr = read_wav(p)
+        assert sr == 24000 and len(x) == 4800
+        assert abs(float(x[0]) - 0.5) < 1e-3

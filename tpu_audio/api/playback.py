@@ -59,23 +59,22 @@ class RingBufferSink:
 
 
 class FileSink:
-    """Accumulates chunks and writes one WAV on close."""
+    """Streams chunks straight to disk (progressive WAV — header patched on
+    close, so long streams never buffer in memory; reference
+    Audio/AudioFileWriter.swift)."""
 
-    def __init__(self, path: str, sample_rate: int):
+    def __init__(self, path: str, sample_rate: int, dtype: str = "int16"):
+        from tpu_audio.utils.audio_io import StreamingWavWriter
+
         self.path = path
         self.sample_rate = sample_rate
-        self._parts: list[np.ndarray] = []
+        self._writer = StreamingWavWriter(path, sample_rate, dtype=dtype)
 
     def write(self, chunk: AudioChunk) -> None:
-        self._parts.append(np.asarray(chunk.samples, np.float32))
+        self._writer.write(np.asarray(chunk.samples, np.float32))
 
     def close(self) -> str:
-        from tpu_audio.utils.audio_io import write_wav
-
-        samples = (np.concatenate(self._parts) if self._parts
-                   else np.zeros(0, np.float32))
-        write_wav(self.path, samples, self.sample_rate, dtype="int16")
-        return self.path
+        return self._writer.close()
 
 
 class NullSink:

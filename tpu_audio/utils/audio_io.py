@@ -83,6 +83,56 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int,
         f.write(payload)
 
 
+class StreamingWavWriter:
+    """Progressive WAV writing for long streams — samples hit disk as they
+    arrive, with RIFF/data sizes patched on close (reference
+    Audio/AudioFileWriter.swift writes float32 PCM the same way). Usable as
+    a context manager."""
+
+    def __init__(self, path: str, sample_rate: int, channels: int = 1,
+                 dtype: str = "float32"):
+        self.path = path
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.dtype = dtype
+        self.frames_written = 0
+        fmt_code, bits = (1, 16) if dtype == "int16" else (3, 32)
+        self._bits = bits
+        self._fmt = fmt_code
+        self._f = open(path, "wb")
+        byte_rate = sample_rate * channels * bits // 8
+        block_align = channels * bits // 8
+        self._f.write(b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt ")
+        self._f.write(struct.pack("<IHHIIHH", 16, fmt_code, channels,
+                                  sample_rate, byte_rate, block_align, bits))
+        self._f.write(b"data" + struct.pack("<I", 0))
+
+    def write(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples)
+        if self.dtype == "int16":
+            payload = (np.clip(samples, -1.0, 1.0)
+                       * 32767.0).astype("<i2").tobytes()
+        else:
+            payload = samples.astype("<f4").tobytes()
+        self._f.write(payload)
+        self.frames_written += samples.size // self.channels
+
+    def close(self) -> str:
+        data_bytes = self.frames_written * self.channels * self._bits // 8
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + data_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", data_bytes))
+        self._f.close()
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def to_mono(x: np.ndarray) -> np.ndarray:
     return x.mean(axis=1).astype(np.float32) if x.ndim == 2 else x
 
