@@ -76,17 +76,20 @@ def main() -> None:
     ap.add_argument("--full", action="store_true",
                     help="production-size configs (slow first compile)")
     ap.add_argument("--chunks", type=int, default=10)
-    ap.add_argument("--no-o1-flow", action="store_true",
-                    help="disable the O(1) cached DiT flow (reference-style "
-                         "full-window recompute per chunk)")
+    ap.add_argument("--o1", default="auto", choices=["auto", "on", "off"],
+                    help="cached O(1) DiT flow: auto switches past the "
+                         "window threshold; off = reference-style full "
+                         "recompute per chunk")
+    ap.add_argument("--o1-switch", type=int, default=600)
     args = ap.parse_args()
 
     import jax
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     syn, cfg = build(args.full)
-    syn.o1_flow = not args.no_o1_flow
-    print(f"o1_flow: {syn.o1_flow}")
+    syn.o1_flow = {"auto": "auto", "on": True, "off": False}[args.o1]
+    syn.o1_switch_frames = args.o1_switch
+    print(f"o1_flow: {syn.o1_flow} (switch at {syn.o1_switch_frames} frames)")
     sr = 24000
 
     print("[warmup] compiling stream graphs...")

@@ -274,3 +274,43 @@ class TestChunkedCFM:
         got, _ = cv3.cfm_solve_chunk(params, cfg, z, mu, emb, cond, caches)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-5)
+
+
+class TestO1FlowPolicy:
+    """Auto-switch policy: full recompute below the threshold, cached flow
+    (with horizon bootstrap) beyond it; forced True from the first chunk."""
+
+    def _stream(self, flow_params, rng, **syn_kw):
+        synth = cv3.CV3Synthesizer(flow_params, TINY_FLOW, **syn_kw)
+        token_chunks = [list(rng.integers(3, 60, 6)) for _ in range(4)]
+        out = list(synth.stream(iter(token_chunks), [0, 1],
+                                rng.standard_normal((4, 16)).astype(
+                                    np.float32),
+                                np.zeros((1, 24), np.float32), seed=0,
+                                chunk_size=6))
+        return sum(len(a) for a in out), out
+
+    def test_forced_o1_yields_full_audio(self, flow_params):
+        rng = np.random.default_rng(0)
+        total, out = self._stream(flow_params, rng, o1_flow=True)
+        ups = TINY_FLOW.hift.upsample_scale
+        assert total == 24 * 2 * ups
+        assert all(np.isfinite(a).all() for a in out)
+
+    def test_auto_switch_mid_stream(self, flow_params):
+        """Tiny threshold forces the bootstrap path after the first full-
+        recompute chunk."""
+        rng = np.random.default_rng(1)
+        total, out = self._stream(flow_params, rng, o1_flow="auto",
+                                  o1_switch_frames=10)
+        ups = TINY_FLOW.hift.upsample_scale
+        assert total == 24 * 2 * ups
+        assert all(np.isfinite(a).all() for a in out)
+
+    def test_auto_stays_full_below_threshold(self, flow_params):
+        rng = np.random.default_rng(2)
+        total_auto, _ = self._stream(flow_params, rng, o1_flow="auto",
+                                     o1_switch_frames=10_000)
+        rng = np.random.default_rng(2)
+        total_off, _ = self._stream(flow_params, rng, o1_flow=False)
+        assert total_auto == total_off

@@ -178,12 +178,22 @@ class CV3Synthesizer:
     ring holds stream_cache_frames slots; the chunk-causal mask only ever
     reads (num_left_chunks+1) static chunks back, so the ring slides."""
 
-    def __init__(self, params, cfg: CV3FlowConfig, o1_flow: bool = True,
-                 stream_cache_frames: int = 512):
+    def __init__(self, params, cfg: CV3FlowConfig, o1_flow="auto",
+                 stream_cache_frames: int = 512,
+                 o1_switch_frames: int = 600):
+        """o1_flow: "auto" (default) runs the reference-style full-window
+        recompute — which is FASTER while the window is small (bigger ops,
+        fewer dispatches) and numerically identical to the reference — and
+        switches to the O(1) cached flow once the window crosses
+        o1_switch_frames, bootstrapping the DiT cache over the attention
+        horizon in one call. True forces cached flow from the first chunk;
+        False never switches (per-chunk latency then grows with the
+        window)."""
         self.params = params
         self.cfg = cfg
         self.o1_flow = o1_flow
         self.stream_cache_frames = stream_cache_frames
+        self.o1_switch_frames = o1_switch_frames
         self._flow_fns = {}
         self._voc_fns = {}
         self._mu_fns = {}
@@ -294,7 +304,8 @@ class CV3Synthesizer:
         pm_np = np.asarray(pm[0], np.float32)
         noise_key = jax.random.PRNGKey(seed + 7)
         static = cfg.dit.static_chunk_size
-        use_o1 = None  # decided on the first chunk, fixed for the stream
+        horizon = (cfg.dit.num_left_chunks + 1) * static
+        o1_active = False
 
         while True:
             while (not done
@@ -317,42 +328,67 @@ class CV3Synthesizer:
             valid_frames = (p_len + emit_upto) * mel_ratio
             lb = min(hift.LOOKBACK_FRAMES, voc_frames)
             n_new = valid_frames - voc_frames
-            if use_o1 is None:
-                # one-shot synthesis (everything arrived before the first
-                # flow call) keeps the reference's full non-streaming
-                # finalize pass; real streams use the O(1) cached flow
-                use_o1 = self.o1_flow and not done
+            if not o1_active:
+                # one-shot synthesis keeps the reference's full finalize
+                # pass; streams switch when forced (True) or when the
+                # window crosses the auto threshold
+                multi_chunk = not (done and emitted == 0)
+                if multi_chunk and (
+                        self.o1_flow is True
+                        or (self.o1_flow == "auto"
+                            and valid_frames > self.o1_switch_frames)):
+                    o1_active = True
 
-            if use_o1:
+            if o1_active:
                 mu, spks = self._mu_fn(t_pad)(
                     self.params, jnp.asarray(toks), jnp.asarray([n]), emb)
                 mu_np = np.asarray(mu[0], np.float32)
-                chunk_frames = valid_frames - voc_frames
-                chunk_pad = max(32, -(-chunk_frames // 32) * 32)
-                lo = voc_frames
-                mu_new = np.zeros((1, chunk_pad, cfg.mel_dim), np.float32)
-                mu_new[0, :chunk_frames] = mu_np[lo:valid_frames]
-                cond_new = np.zeros((1, chunk_pad, cfg.mel_dim), np.float32)
-                p_over = max(0, min(pm_np.shape[0], valid_frames) - lo)
-                if p_over > 0:
-                    cond_new[0, :p_over] = pm_np[lo: lo + p_over]
-                z_new = jax.random.normal(
-                    jax.random.fold_in(noise_key, lo),
-                    (1, chunk_pad, cfg.mel_dim), jnp.float32)
-                if caches is None:
-                    s_max = max(self.stream_cache_frames,
-                                -(-(chunk_pad + static) // static) * static)
-                    caches = make_flow_stream_caches(self.cfg, s_max)
-                slot = lo - cache_base
-                s_max = caches.k.shape[3]
-                if slot + chunk_pad > s_max:
-                    shift = -(-(slot + chunk_pad - s_max) // static) * static
-                    caches = roll_stream_caches(caches, jnp.int32(shift))
-                    cache_base += shift
-                x_new, caches = self._chunk_fn(chunk_pad)(
-                    self.params, z_new, jnp.asarray(mu_new), spks,
-                    jnp.asarray(cond_new), caches, jnp.int32(chunk_frames))
-                new_mel = np.asarray(x_new[0, :chunk_frames], np.float32)
+
+                def run_chunk(lo, hi, caches, cache_base):
+                    """Flow frames [lo, hi) through the cached DiT."""
+                    chunk_frames = hi - lo
+                    chunk_pad = max(32, -(-chunk_frames // 32) * 32)
+                    mu_new = np.zeros((1, chunk_pad, cfg.mel_dim), np.float32)
+                    mu_new[0, :chunk_frames] = mu_np[lo:hi]
+                    cond_new = np.zeros((1, chunk_pad, cfg.mel_dim),
+                                        np.float32)
+                    p_over = max(0, min(pm_np.shape[0], hi) - lo)
+                    if p_over > 0:
+                        cond_new[0, :p_over] = pm_np[lo: lo + p_over]
+                    z_new = jax.random.normal(
+                        jax.random.fold_in(noise_key, lo),
+                        (1, chunk_pad, cfg.mel_dim), jnp.float32)
+                    if caches is None:
+                        s_max = max(self.stream_cache_frames,
+                                    -(-(chunk_pad + static) // static)
+                                    * static)
+                        caches = make_flow_stream_caches(self.cfg, s_max)
+                        cache_base = lo  # static-aligned by construction
+                    slot = lo - cache_base
+                    s_max = caches.k.shape[3]
+                    if slot + chunk_pad > s_max:
+                        shift = (-(-(slot + chunk_pad - s_max) // static)
+                                 * static)
+                        caches = roll_stream_caches(caches, jnp.int32(shift))
+                        cache_base += shift
+                    x_new, caches = self._chunk_fn(chunk_pad)(
+                        self.params, z_new, jnp.asarray(mu_new), spks,
+                        jnp.asarray(cond_new), caches,
+                        jnp.int32(chunk_frames))
+                    return (np.asarray(x_new[0, :chunk_frames], np.float32),
+                            caches, cache_base)
+
+                if caches is None and voc_frames > 0:
+                    # auto-switch bootstrap: prime the cache over the DiT
+                    # attention horizon (older frames are never attended —
+                    # num_left_chunks bounds the mask); output discarded
+                    # (those frames are already vocoded)
+                    h_start = max(0, (voc_frames - horizon) // static
+                                  * static)
+                    _, caches, cache_base = run_chunk(
+                        h_start, voc_frames, None, 0)
+                new_mel, caches, cache_base = run_chunk(
+                    voc_frames, valid_frames, caches, cache_base)
                 window = np.concatenate(
                     [mel_tail[len(mel_tail) - lb:], new_mel], axis=0)
                 mel_tail = window[max(0, len(window)
@@ -363,6 +399,11 @@ class CV3Synthesizer:
                     jnp.asarray([pm.shape[1]]), emb, jax.random.PRNGKey(seed))
                 mel_np = np.asarray(mel[0])
                 window = mel_np[voc_frames - lb: valid_frames]
+                # keep the vocoder-lookback tail in case the auto policy
+                # switches to the cached flow on a later chunk
+                mel_tail = np.asarray(
+                    mel_np[max(0, valid_frames - hift.LOOKBACK_FRAMES):
+                           valid_frames], np.float32)
             audio_w, phase, source_w = self._voc_fn(lb, n_new)(
                 self.params, jnp.asarray(window[None]), voc_key, phase,
                 source_tail[:, source_tail.shape[1] - lb * ups:],
