@@ -53,6 +53,10 @@ class MarvisEngine(TTSEngineBase):
         self._frame_fns = {}
         self._mimi_fns = {}
         self.max_frames = 512  # 40 s cap per sentence
+        # frames generated per device dispatch (also the streaming decode
+        # chunk): one host sync per span, EOS checked between spans
+        self.frame_span = constants.streaming_interval_tokens(
+            constants.DEFAULT_STREAMING_INTERVAL) or 6
 
     @property
     def n_codebooks(self) -> int:
@@ -96,18 +100,17 @@ class MarvisEngine(TTSEngineBase):
 
         @jax.jit
         def prefill(params, tokens, mask, pad_amount, key):
-            cache = transformer.make_cache(cfg.backbone, 1,
-                                           prompt_pad + self.max_frames + 8,
-                                           dtype=jnp.float32,
-                                           quantized=self.kv_quantized)
+            cache = transformer.make_cache(
+                cfg.backbone, 1,
+                prompt_pad + self.max_frames + self.frame_span + 8,
+                dtype=jnp.float32, quantized=self.kv_quantized)
             slot = jnp.arange(cache.max_len)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
             frame, cache = step(params, tokens=tokens, mask=mask,
                                 bb_cache=cache, key=key, extra_mask=extra)
             return frame, cache, extra
 
-        @jax.jit
-        def frame_fn(params, frame, cache, extra, key):
+        def one_frame(params, frame, cache, extra, key):
             tokens = jnp.concatenate(
                 [frame, jnp.zeros((1, 1), jnp.int32)], axis=-1)[:, None, :]
             mask = jnp.concatenate(
@@ -126,7 +129,20 @@ class MarvisEngine(TTSEngineBase):
             return step(params, tokens=tokens, mask=mask, bb_cache=cache,
                         key=key, extra_mask=extra)
 
-        self._frame_fns[key_] = (prefill, frame_fn)
+        @jax.jit
+        def span_fn(params, frame, cache, extra, key):
+            """SPAN frames per dispatch via lax.scan — one host sync per
+            span instead of per frame (the per-frame sync over the axon
+            tunnel dominated generation: 50 round-trips for 4 s of audio)."""
+            def body(carry, k_):
+                f, c = carry
+                f2, c = one_frame(params, f, c, extra, k_)
+                return (f2, c), f2
+            keys = jax.random.split(key, self.frame_span)
+            (last, cache2), frames = jax.lax.scan(body, (frame, cache), keys)
+            return frames, last, cache2
+
+        self._frame_fns[key_] = (prefill, span_fn)
         return self._frame_fns[key_]
 
     def _tokenize_text(self, text: str):
@@ -189,7 +205,7 @@ class MarvisEngine(TTSEngineBase):
             tok_pad[0, pad - n:] = tokens
             mask_pad[0, pad - n:] = mask
 
-            prefill, frame_fn = self._fns(pad, k)
+            prefill, span_fn = self._fns(pad, k)
             key = jax.random.PRNGKey(si)
             key, sub = jax.random.split(key)
             frame, cache, extra = prefill(self.params, jnp.asarray(tok_pad),
@@ -205,23 +221,43 @@ class MarvisEngine(TTSEngineBase):
                                                  self.mimi_cfg, 1,
                                                  stream_frames)
                 dec_fn = self._stream_dec_fn(stream_frames, k)
-            for fi in range(self.max_frames):
-                f_host = np.asarray(frame[0])
-                if np.all(f_host == 0):
+            f_host = np.asarray(frame[0])
+            done = np.all(f_host == 0)
+            span_host: list[np.ndarray] = [] if done else [f_host]
+            while True:
+                self._check_stopped()
+                # keep the device busy: dispatch the next span before
+                # consuming the frames already on the host
+                if not done and len(frames) + len(span_host) < self.max_frames:
+                    key, sub = jax.random.split(key)
+                    nxt, frame, cache = span_fn(self.params, frame, cache,
+                                                extra, sub)
+                else:
+                    nxt = None
+                for f in span_host:
+                    if np.all(f == 0):
+                        done = True
+                        break
+                    frames.append(f)
+                    pending.append(f)
+                    if streamed and len(pending) >= stream_frames:
+                        codes = np.stack(pending).T[None]  # (1, K, chunk)
+                        audio, dec_state = dec_fn(self.mimi_params,
+                                                  jnp.asarray(codes),
+                                                  dec_state)
+                        pending = []
+                        yield AudioChunk(
+                            samples=np.asarray(audio[0], np.float32),
+                            sample_rate=self.sample_rate,
+                            text=sentence, is_final=False)
+                    if len(frames) >= self.max_frames:
+                        done = True
+                        break
+                if nxt is None:
                     break
-                frames.append(f_host)
-                pending.append(f_host)
-                if streamed and len(pending) >= stream_frames:
-                    codes = np.stack(pending).T[None]  # (1, K, chunk)
-                    audio, dec_state = dec_fn(self.mimi_params,
-                                              jnp.asarray(codes), dec_state)
-                    pending = []
-                    yield AudioChunk(samples=np.asarray(audio[0], np.float32),
-                                     sample_rate=self.sample_rate,
-                                     text=sentence, is_final=False)
-                key, sub = jax.random.split(key)
-                frame, cache = frame_fn(self.params, jnp.asarray(f_host[None]),
-                                        cache, extra, sub)
+                span_host = list(np.asarray(nxt[:, 0]))  # one sync per span
+                if done:
+                    break
 
             if streamed:
                 # final partial group: pad to the chunk, emit valid samples
