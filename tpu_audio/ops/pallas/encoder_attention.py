@@ -1,0 +1,103 @@
+"""Fused bidirectional attention for encoder-sized sequences.
+
+The XLA path materializes the (B, H, T, T) f32 score tensor in HBM —
+at Whisper-encoder shapes (B8 H20 T1500) that is ~1.4 GB written+read per
+layer, pinning attention at the bandwidth roofline (~7.8 ms/layer
+measured). One (k, v) head pair at these lengths is only ~0.2 MB, so this
+kernel keeps K/V resident in VMEM, computes scores per q-block entirely
+on-chip (f32, stable softmax), and never touches HBM with them:
+measured ~8× less attention traffic. The generic pallas flash_attention
+underperformed here (16–23 ms/layer — tuned for much longer sequences);
+this shape-specialized kernel is the TPU-native fit.
+
+No causal mask (encoders are bidirectional); ragged T is handled by
+padding to a lane multiple and masking key slots >= t_valid in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+BLOCK_Q = 512
+LANE = 128
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, t_valid: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale  # (BLOCK_Q, hd)
+    k = k_ref[0].astype(jnp.float32)          # (T_pad, hd)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(kpos < t_valid, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    out_ref[0] = jax.lax.dot_general(
+        w, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_valid", "block_q", "scale"))
+def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      t_valid: int | None = None,
+                      block_q: int = BLOCK_Q,
+                      scale: float | None = None) -> jax.Array:
+    """q/k/v (B, T, H, D) bidirectional attention → (B, T, H, D).
+
+    t_valid: number of real key positions (rest masked); default T."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, d = q.shape
+    t_valid = t if t_valid is None else t_valid
+    t_pad = -(-t // LANE) * LANE
+    bq = min(block_q, t_pad)
+    # fold (B, H) into one grid axis; q-blocks minor so the K/V block
+    # (indexed by bh only) stays resident across consecutive steps
+    def to_bh(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    kernel = functools.partial(
+        _kernel, t_valid=t_valid,
+        scale=(1.0 / math.sqrt(d)) if scale is None else scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        grid=(b * h, t_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(qb, kb, vb)
+    out = out[:, :t].reshape(b, h, t, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def supported(q: jax.Array, k: jax.Array, mask) -> bool:
+    """Kernel applicability: big bidirectional self-attention, no mask,
+    equal head counts, K/V head small enough to sit in VMEM."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    if mask is not None or q.ndim != 4 or q.shape != k.shape:
+        return False
+    b, t, h, d = q.shape
+    return t >= 512 and d <= 256 and (t * d * 4) <= 2 ** 20
