@@ -43,11 +43,12 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, t_valid: int, scale: float):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("t_valid", "block_q", "scale"))
+                   static_argnames=("t_valid", "block_q", "scale", "interpret"))
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       t_valid: int | None = None,
                       block_q: int = BLOCK_Q,
-                      scale: float | None = None) -> jax.Array:
+                      scale: float | None = None,
+                      interpret: bool = False) -> jax.Array:
     """q/k/v (B, T, H, D) bidirectional attention → (B, T, H, D).
 
     t_valid: number of real key positions (rest masked); default T."""
@@ -84,6 +85,7 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,  # CPU-testable (tests/test_pallas_kernels.py)
     )(qb, kb, vb)
     out = out[:, :t].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -46,9 +46,10 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return xq, sx
 
 
-@functools.partial(jax.jit, static_argnames=("block_o",))
+@functools.partial(jax.jit, static_argnames=("block_o", "interpret"))
 def int8_matmul(x: jax.Array, w_i8: jax.Array, scale: jax.Array,
-                block_o: int | None = None) -> jax.Array:
+                block_o: int | None = None,
+                interpret: bool = False) -> jax.Array:
     """x (B, I) float · (w_i8 (O, I) int8 · scale (O, 1)).T → (B, O) f32."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -88,6 +89,7 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, scale: jax.Array,
             ],
             out_specs=pl.BlockSpec((b_pad, block_o), lambda g: (0, g),
                                    memory_space=pltpu.VMEM),
+            interpret=interpret,  # CPU-testable
         )(xq, sx, w_i8, s_row)
         parts.append(out[:b])
     if o_main < o:
