@@ -27,6 +27,9 @@ _LAZY = {
     "AudioResult": "tpu_audio.api.results",
     "TranscriptionResult": "tpu_audio.api.results",
     "StreamingGranularity": "tpu_audio.api.tts",
+    "AudioSamplePlayer": "tpu_audio.api.player",
+    "AudioFilePlayer": "tpu_audio.api.player",
+    "PlaybackController": "tpu_audio.api.playback",
 }
 
 
