@@ -16,7 +16,8 @@ from tpu_audio.nn import transformer
 TINY_T3 = turbo.T3TurboConfig(
     gpt2=transformer.TransformerConfig(dim=48, n_layers=2, n_heads=4,
                                        n_kv_heads=4, hidden_dim=96,
-                                       mlp="gelu", norm="ln", pos_emb="none"),
+                                       mlp="gelu_new", norm="ln",
+                                       pos_emb="none"),
     text_tokens_dict_size=300, speech_tokens_dict_size=80,
     start_speech_token=70, stop_speech_token=71, speaker_embed_size=32,
     max_positions=512)

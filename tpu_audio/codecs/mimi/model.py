@@ -168,7 +168,9 @@ def init_params(key, cfg: MimiConfig, dtype=jnp.float32) -> dict:
                       "rvq_rest": rvq(cfg.n_q - 1, True)},
         "downsample": {"conv": _conv_init(next(ks), d, d, 2 * cfg.downsample_stride,
                                           dtype, bias=False)},
-        "upsample": {"convtr": _conv_init(next(ks), d, d, 2 * cfg.downsample_stride,
+        # depthwise (groups=dim), per reference Mimi/Conv.swift:357-365:
+        # weight (K, 1, d)
+        "upsample": {"convtr": _conv_init(next(ks), 1, d, 2 * cfg.downsample_stride,
                                           dtype, bias=False)},
     }
 
@@ -288,8 +290,13 @@ def encode(params, cfg: MimiConfig, audio: jax.Array) -> jax.Array:
     """(B, T samples) → codes (B, n_q, T/1920)."""
     z = seanet_encode(params, cfg, audio)
     z = transformer_apply(params["encoder_transformer"], cfg, z)
-    z = causal_conv(params["downsample"]["conv"], z,
-                    stride=cfg.downsample_stride)
+    # ×2 downsample pads with EDGE replication, not zeros (reference
+    # Mimi/Conv.swift:341-349 padMode .edge)
+    k = params["downsample"]["conv"]["weight"].shape[0]
+    pad = k - cfg.downsample_stride
+    z = jnp.pad(z, ((0, 0), (pad, 0), (0, 0)), mode="edge")
+    z = layers.conv1d(params["downsample"]["conv"], z,
+                      stride=cfg.downsample_stride)
     return split_rvq_encode(params, cfg, z)
 
 

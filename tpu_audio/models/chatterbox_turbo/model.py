@@ -25,7 +25,7 @@ from tpu_audio.ops import sampling
 
 GPT2_MEDIUM = transformer.TransformerConfig(
     dim=1024, n_layers=24, n_heads=16, n_kv_heads=16, hidden_dim=4096,
-    mlp="gelu", norm="ln", pos_emb="none",  # positions added manually
+    mlp="gelu_new", norm="ln", pos_emb="none",  # positions added manually
     max_position_embeddings=8192)
 
 SILENCE_TOKEN = 4299

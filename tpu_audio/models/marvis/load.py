@@ -106,7 +106,10 @@ def load_mimi_dir(path: str, dtype=jnp.float32):
         nk = re.sub(r"^decoder\.model\.", "decoder.layers.", nk)
         if v.ndim == 3:
             if "convtr" in k or ".upsample." in k:
-                v = v.transpose(2, 0, 1)  # (I, O, K) → (K, I, O)
+                if v.shape[1] == 1:  # depthwise (C, 1, K) → (K, 1, C)
+                    v = v.transpose(2, 1, 0)
+                else:
+                    v = v.transpose(2, 0, 1)  # dense (I, O, K) → (K, I, O)
             else:
                 v = v.transpose(2, 1, 0)
         out[nk] = v

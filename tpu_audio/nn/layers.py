@@ -155,11 +155,18 @@ def conv1d(p: dict, x: jax.Array, stride: int = 1, padding: int | tuple = 0,
 def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
                      groups: int = 1) -> jax.Array:
     """Transposed 1-D conv over (B, T, C_in); weight (K, I/g, O) — same WIO
-    orientation as conv1d; loaders map PyTorch's (I, O/g, K) via
-    transpose(2,0,1). out_len = (T-1)*stride - 2*padding + K."""
-    if groups != 1:
-        raise NotImplementedError("grouped transposed conv not needed yet")
+    orientation as conv1d; loaders map PyTorch's dense (I, O, K) via
+    transpose(2,0,1) and depthwise (C, 1, K) via transpose(2,1,0).
+    out_len = (T-1)*stride - 2*padding + K. Depthwise grouping (the Mimi
+    ×2 upsampler, reference Mimi/Conv.swift:357-365 groups=dim) is inferred
+    from the weight's singleton I/g axis."""
     w = p["weight"]
+    if groups == 1 and w.shape[1] != x.shape[-1]:
+        groups = x.shape[-1] // w.shape[1]
+        if w.shape[1] != 1 or w.shape[2] != x.shape[-1]:
+            raise NotImplementedError(
+                f"only dense or depthwise transposed conv supported; "
+                f"weight {w.shape} vs input C={x.shape[-1]}")
     k = w.shape[0]
     # Transposed conv = lhs-dilated conv with the kernel flipped along K.
     y = jax.lax.conv_general_dilated(
@@ -190,6 +197,12 @@ def weight_norm_conv1d(p: dict, x: jax.Array, **kw) -> jax.Array:
 
 def gelu(x):
     return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_new(x):
+    """GPT-2's tanh-approximate gelu (HF `gelu_new`), used by the Chatterbox
+    Turbo backbone (reference TTS/ChatterboxTurbo/T3/GPT2.swift:64)."""
+    return jax.nn.gelu(x, approximate=True)
 
 
 def silu(x):

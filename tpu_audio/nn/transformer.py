@@ -40,7 +40,7 @@ class TransformerConfig:
     attn_qkv_bias: bool = False  # Qwen2
     attn_o_bias: bool = False
     qk_norm: bool = False  # Qwen3
-    mlp: str = "swiglu"  # or "gelu"
+    mlp: str = "swiglu"  # or "gelu" (erf) / "gelu_new" (GPT-2 tanh approx)
     norm: str = "rms"  # or "ln"
     pos_emb: str = "rope"  # "rope" | "learned" | "none"
     max_position_embeddings: int = 8192
@@ -73,7 +73,8 @@ def _mlp(cfg: TransformerConfig, p, x):
         return layers.linear(
             p["down"], layers.silu(layers.linear(p["gate"], x)) * layers.linear(p["up"], x)
         )
-    return layers.linear(p["fc2"], layers.gelu(layers.linear(p["fc1"], x)))
+    act = layers.gelu_new if cfg.mlp == "gelu_new" else layers.gelu
+    return layers.linear(p["fc2"], act(layers.linear(p["fc1"], x)))
 
 
 def _qkv(cfg: TransformerConfig, attn_p, hn, b, t):
