@@ -302,3 +302,126 @@ def test_mimi_codec_vs_torch():
     jaudio = np.asarray(mm.decode(tree, cfg, jnp.asarray(codes, jnp.int32)))
     assert taudio.shape == jaudio.shape
     assert np.abs(taudio - jaudio).max() < ATOL
+
+
+# ------------------------------------------------------------------ DAC codec
+
+def test_dac_codec_vs_torch():
+    # OuteTTS's codec: weight-norm convs, snake activations, cosine RVQ
+    from transformers import DacConfig
+    from transformers.models.dac.modeling_dac import DacModel
+
+    from tpu_audio.codecs.dac import model as dm
+    from tpu_audio.codecs.dac.model import DACConfig
+    from tpu_audio.utils import pytree
+
+    hf = DacConfig(encoder_hidden_size=8, downsampling_ratios=[2, 4],
+                   decoder_hidden_size=16, upsampling_ratios=[4, 2],
+                   n_codebooks=2, codebook_size=32, codebook_dim=4,
+                   sampling_rate=24000, hidden_size=16)
+    torch.manual_seed(0)
+    tm = DacModel(hf).eval()
+
+    cfg = DACConfig(sampling_rate=24000, encoder_dim=8, encoder_rates=(2, 4),
+                    decoder_dim=16, decoder_rates=(4, 2), n_codebooks=2,
+                    codebook_size=32, codebook_dim=4, latent_dim=16)
+
+    flat = {}
+    for k, v in tm.state_dict().items():
+        v = v.float().numpy()
+        nk = (k.replace("encoder.conv1.", "encoder.conv_in.")
+              .replace("encoder.snake1.", "encoder.snake_out.")
+              .replace("encoder.conv2.", "encoder.conv_out.")
+              .replace("decoder.conv1.", "decoder.conv_in.")
+              .replace("decoder.snake1.", "decoder.snake_out.")
+              .replace("decoder.conv2.", "decoder.conv_out."))
+        m = re.match(r"^(encoder|decoder)\.block\.(\d+)\.(.*)$", nk)
+        if m:
+            side, i, rest = m.group(1), m.group(2), m.group(3)
+            rest = re.sub(r"^res_unit(\d)\.",
+                          lambda mm: f"residuals.{int(mm.group(1)) - 1}.",
+                          rest)
+            rest = re.sub(r"^snake1\.", "snake.", rest)
+            rest = re.sub(r"^conv1\.", "conv.", rest)
+            rest = re.sub(r"^conv_t1\.", "convT.", rest)
+            nk = f"{side}.blocks.{i}.{rest}"
+        nk = re.sub(r"^quantizer\.quantizers\.(\d+)\.", r"quantizer.\1.", nk)
+        if v.ndim == 3 and nk.endswith("alpha"):
+            v = v.transpose(0, 2, 1)  # (1, C, 1) → (1, 1, C)
+        elif v.ndim == 3:
+            # HF ships folded (plain) conv weights; this framework stores the
+            # weight-norm (v, g) decomposition the mlx checkpoints use.
+            # Re-decompose with the same norm axes the forward uses.
+            if ".convT." in nk:
+                v = v.transpose(2, 0, 1)  # (I, O, K) → (K, I, O)
+                axes = (0, 2)  # per input channel (torch weight_norm dim=1)
+            else:
+                v = v.transpose(2, 1, 0)  # (O, I, K) → (K, I, O)
+                axes = (0, 1)  # per output channel (torch weight_norm dim=0)
+            flat[nk.replace(".weight", ".weight_g")] = np.linalg.norm(
+                v, axis=axes, keepdims=True)
+            flat[nk.replace(".weight", ".weight_v")] = v
+            continue
+        flat[nk] = v
+    tree = pytree.unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(8 * 50) * 0.2).astype(np.float32)[None]
+    with torch.no_grad():
+        tcodes = tm.encode(torch.from_numpy(audio)[:, None]).audio_codes
+    jcodes = np.asarray(dm.encode(tree, cfg, jnp.asarray(audio)))
+    assert (tcodes.numpy() == jcodes).all(), "DAC codes diverge"
+
+    codes = rng.integers(0, 32, (1, 2, 12)).astype(np.int64)
+    with torch.no_grad():
+        taud = tm.decode(
+            audio_codes=torch.from_numpy(codes)).audio_values.numpy()
+    jaud = np.asarray(dm.decode_codes(tree, cfg, jnp.asarray(codes,
+                                                             jnp.int32)))
+    assert taud.shape == jaud.shape
+    assert np.abs(taud - jaud).max() < ATOL
+
+
+# ------------------------------------------------------------------ ALBERT
+
+def test_albert_vs_torch():
+    # Kokoro's text encoder (layer-shared BERT; reference uses MLX's exact
+    # erf gelu, so hidden_act="gelu" here, not HF's default gelu_new)
+    from transformers import AlbertConfig as HFAlbertConfig
+    from transformers import AlbertModel
+
+    from tpu_audio.models.kokoro import albert
+    from tpu_audio.models.kokoro.config import AlbertConfig
+    from tpu_audio.utils import pytree
+
+    hf = HFAlbertConfig(vocab_size=100, embedding_size=16, hidden_size=32,
+                        num_hidden_layers=3, num_hidden_groups=1,
+                        num_attention_heads=4, intermediate_size=64,
+                        inner_group_num=1, hidden_act="gelu",
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0,
+                        max_position_embeddings=64, type_vocab_size=2,
+                        layer_norm_eps=1e-12)
+    torch.manual_seed(0)
+    tm = AlbertModel(hf, add_pooling_layer=False).eval()
+
+    cfg = AlbertConfig(vocab_size=100, embedding_size=16, hidden_size=32,
+                       num_hidden_layers=3, num_attention_heads=4,
+                       intermediate_size=64, max_position_embeddings=64,
+                       type_vocab_size=2, layer_norm_eps=1e-12)
+
+    flat = {k: jnp.asarray(v.float().numpy())
+            for k, v in tm.state_dict().items() if "position_ids" not in k}
+    tree = pytree.unflatten(flat)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 100, (2, 11)).astype(np.int64)
+    mask = np.ones((2, 11), np.int64)
+    mask[1, 8:] = 0
+    with torch.no_grad():
+        th = tm(input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask)
+                ).last_hidden_state.numpy()
+    jh = np.asarray(albert.forward(tree, cfg, jnp.asarray(ids, jnp.int32),
+                                   jnp.asarray(mask, jnp.int32)))
+    assert np.abs(jh - th)[mask.astype(bool)].max() < ATOL
