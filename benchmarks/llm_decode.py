@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--w8a8", action="store_true",
                     help="per-channel int8 weights + int8 activations via "
                          "the MXU-native Pallas int8 matmul")
+    ap.add_argument("--w4a8", action="store_true",
+                    help="group-affine int4 weights unpacked to int8 "
+                         "in-kernel + int8 activations (0.5 B/weight)")
     ap.add_argument("--greedy", action="store_true",
                     help="temperature 0 (isolates sampler cost)")
     args = ap.parse_args()
@@ -115,12 +118,43 @@ def main() -> None:
         params["lm_head"] = i8_leaf(jax.random.fold_in(k, 3), (vocab, dim))
         from tpu_audio.ops import quant
         params = quant.fuse_int8_tree(params)
+    if args.w4a8:
+        def q4p_leaf(key, shape):
+            o, i = shape[-2], shape[-1]
+            lead = shape[:-2]
+            return {
+                "weight_q4p": jax.random.randint(key, (*lead, o, i // 2),
+                                                 -128, 128, jnp.int8),
+                "scales": jax.random.uniform(key, (*lead, o, i // 64),
+                                             jnp.float32, 0.001, 0.02),
+                "biases": jax.random.normal(key, (*lead, o, i // 64),
+                                            jnp.float32) * 0.01,
+            }
+        k = jax.random.PRNGKey(7)
+        L = cfg.n_layers
+        lay = params["layers"]
+        hd = cfg.hd
+        for name, shape in (("q", (L, cfg.n_heads * hd, dim)),
+                            ("k", (L, cfg.kv_heads * hd, dim)),
+                            ("v", (L, cfg.kv_heads * hd, dim)),
+                            ("o", (L, dim, cfg.n_heads * hd))):
+            lay["attn"][name] = q4p_leaf(
+                jax.random.fold_in(k, hash(name) % 97), shape)
+        for name, shape in (("gate", (L, hidden, dim)),
+                            ("up", (L, hidden, dim)),
+                            ("down", (L, dim, hidden))):
+            lay["mlp"][name] = q4p_leaf(
+                jax.random.fold_in(k, hash(name) % 89), shape)
+        params["lm_head"] = q4p_leaf(jax.random.fold_in(k, 3), (vocab, dim))
+        from tpu_audio.ops import quant
+        params = quant.fuse_w4a8_tree(params)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     np.asarray(np.asarray(jax.tree_util.tree_leaves(params)[0])[:1])  # sync
     gb = sum(x.size * x.dtype.itemsize
              for x in jax.tree_util.tree_leaves(params)) / 1e9
-    kind = "q4" if args.q4 else ("w8a8" if args.w8a8 else "bf16")
+    kind = ("q4" if args.q4 else "w8a8" if args.w8a8
+            else "w4a8" if args.w4a8 else "bf16")
     print(f"init {n_params / 1e9:.2f}B params ({gb:.1f} GB "
           f"{kind}) in {time.perf_counter() - t0:.1f}s")
 

@@ -83,3 +83,88 @@ class TestEncoderAttentionKernel:
                                            interpret=True))
         ref = self._ref(q, q, q, 1.0)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestW4A8Matmul:
+    """W4A8 kernel (ops/pallas/w4a8_matmul.py): packed int4 → in-kernel int8
+    unpack → per-group MXU dots. Interpret mode pins the nibble packing,
+    group-scale segmentation, k-accumulation grid, and the affine-bias term."""
+
+    def _quantized(self, rng, o, i):
+        from tpu_audio.ops import quant
+
+        w = rng.standard_normal((o, i)).astype(np.float32) * 0.05
+        qd = {k: jnp.asarray(v)
+              for k, v in quant.quantize_array(w, bits=4, group=64).items()}
+        return qd, quant.repack_w4a8(qd)
+
+    def _reference(self, x, qd):
+        """Exact kernel semantics: int8 activations on the scale term,
+        exact f32 x on the group-bias term."""
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.pallas.int8_matmul import quantize_rows
+
+        i = x.shape[-1]
+        g = i // 64
+        xq, sx = quantize_rows(jnp.asarray(x))
+        xdq = np.asarray(xq, np.float32) * np.asarray(sx)
+        qv = np.asarray(quant.unpack_uint32(qd["weight_q4"], 4), np.float32)
+        sfull = np.repeat(np.asarray(qd["scales"]), 64, axis=-1)
+        return (xdq @ (qv * sfull).T
+                + x.reshape(-1, g, 64).sum(-1) @ np.asarray(qd["biases"]).T)
+
+    def test_matches_reference(self, rng):
+        from tpu_audio.ops.pallas.w4a8_matmul import w4a8_matmul
+
+        x = rng.standard_normal((3, 1024)).astype(np.float32)
+        qd, p = self._quantized(rng, 512, 1024)
+        got = np.asarray(w4a8_matmul(jnp.asarray(x), p["weight_q4p"],
+                                     p["scales"], p["biases"], block_o=256,
+                                     interpret=True))
+        ref = self._reference(x, qd)
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max() + 1e-5
+
+    def test_ragged_tail_rows(self, rng):
+        from tpu_audio.ops.pallas.w4a8_matmul import w4a8_matmul
+
+        x = rng.standard_normal((2, 1024)).astype(np.float32)
+        qd, p = self._quantized(rng, 640, 1024)  # 640 = 2*256 + 128 tail
+        got = np.asarray(w4a8_matmul(jnp.asarray(x), p["weight_q4p"],
+                                     p["scales"], p["biases"], block_o=256,
+                                     interpret=True))
+        ref = self._reference(x, qd)
+        assert got.shape == (2, 640)
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max() + 1e-5
+
+    def test_repack_roundtrip(self, rng):
+        from tpu_audio.ops import quant
+
+        qd, p = self._quantized(rng, 128, 384)
+        wa = np.asarray(quant.dequantize(qd))
+        wb = np.asarray(quant.dequantize_w4a8(p))
+        assert np.abs(wa - wb).max() < 1e-6
+
+    def test_w4a8_linear_fallback_matches(self, rng):
+        """Prefill-shaped inputs route to the XLA dequant path; same math
+        up to activation-int8 rounding."""
+        from tpu_audio.ops import quant
+
+        qd, p = self._quantized(rng, 128, 256)
+        x = rng.standard_normal((64, 256)).astype(np.float32)  # rows > 32
+        y = np.asarray(quant.w4a8_linear(p, jnp.asarray(x)))
+        wref = np.asarray(quant.dequantize(qd))
+        assert np.abs(y - x @ wref.T).max() < 1e-4
+
+    def test_fuse_w4a8_tree(self, rng):
+        from tpu_audio.ops import quant
+
+        _, q = self._quantized(rng, 128, 256)
+        _, k = self._quantized(rng, 64, 256)
+        _, v = self._quantized(rng, 64, 256)
+        tree = {"attn": {"q": q, "k": k, "v": v}}
+        fused = quant.fuse_w4a8_tree(tree)
+        assert "qkv" in fused["attn"]
+        wf = np.asarray(quant.dequantize_w4a8(fused["attn"]["qkv"]))
+        ws = np.concatenate([np.asarray(quant.dequantize_w4a8(d))
+                             for d in (q, k, v)], axis=0)
+        assert np.abs(wf - ws).max() < 1e-6

@@ -177,10 +177,12 @@ class TTS:
         return KokoroEngine(voice=voice)
 
     @staticmethod
-    def orpheus(voice: str = "tara"):
+    def orpheus(voice: str = "tara", mesh=None):
+        """mesh: optional Mesh with a "tp" axis for tensor-parallel serving
+        of the 3B LM (see OrpheusEngine)."""
         from tpu_audio.models.orpheus.engine import OrpheusEngine
 
-        return OrpheusEngine(voice=voice)
+        return OrpheusEngine(voice=voice, mesh=mesh)
 
     @staticmethod
     def marvis(quality: str = "high"):

@@ -34,16 +34,24 @@ class OrpheusEngine(TTSEngineBase):
     expression_tags = omodel.EXPRESSION_TAGS
 
     def __init__(self, voice: str = "tara", temperature: float = 0.6,
-                 top_p: float = 0.8, quantization: str = "w8a8"):
+                 top_p: float = 0.8, quantization: str = "w8a8",
+                 mesh=None):
         """quantization: "w8a8" (default — per-channel int8 serving format,
         3B decode 6.1 ms/token vs 11.0 bf16 on v5e) requantizes the 4-bit
-        checkpoint at load; "q4" keeps the checkpoint's group-affine int4
-        (fused Pallas dequant kernel, 2.6× less HBM, bf16-parity speed)."""
+        checkpoint at load; "w4a8" repacks it losslessly for the int4→int8
+        MXU kernel (0.5 B/weight); "q4" keeps the checkpoint's group-affine
+        int4 (fused Pallas dequant kernel, 2.6× less HBM, bf16-parity
+        speed).
+
+        mesh: optional jax.sharding.Mesh with a "tp" axis — the 3B LM then
+        serves tensor-parallel (megatron rules + head-sharded KV cache),
+        token-identical to single-device decode (SURVEY §2C)."""
         super().__init__()
         self.voice = voice
         self.temperature = temperature
         self.top_p = top_p
         self.quantization = quantization
+        self.mesh = mesh
         self.lm: CausalLMGenerator | None = None
         self.snac_params = None
         self.snac_cfg = snac.SNACConfig()
@@ -60,8 +68,13 @@ class OrpheusEngine(TTSEngineBase):
             from tpu_audio.ops import quant
 
             lm_params = quant.requantize_tree_int8(lm_params)
+        elif self.quantization == "w4a8":
+            from tpu_audio.ops import quant
+
+            lm_params = quant.repack_tree_w4a8(lm_params)
         self.lm = CausalLMGenerator(lm_params, cfg,
-                                    max_cache=2048, pad_id=omodel.PAD_TOKEN)
+                                    max_cache=2048, pad_id=omodel.PAD_TOKEN,
+                                    mesh=self.mesh)
         self.tokenizer = tok
         self.snac_params = snac_params
         self.snac_cfg = snac_cfg
@@ -69,10 +82,11 @@ class OrpheusEngine(TTSEngineBase):
 
     @classmethod
     def from_params(cls, lm_params, cfg, snac_params,
-                    snac_cfg=None, max_cache: int = 512) -> "OrpheusEngine":
-        eng = cls()
+                    snac_cfg=None, max_cache: int = 512,
+                    mesh=None) -> "OrpheusEngine":
+        eng = cls(mesh=mesh)
         eng.lm = CausalLMGenerator(lm_params, cfg, max_cache=max_cache,
-                                   pad_id=omodel.PAD_TOKEN)
+                                   pad_id=omodel.PAD_TOKEN, mesh=mesh)
         eng.snac_params = snac_params
         eng.snac_cfg = snac_cfg or snac.SNACConfig()
         eng.tokenizer = load_tokenizer(None)

@@ -64,9 +64,13 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, scale: jax.Array,
         sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)))
 
     if block_o is None:
-        block_o = 2048
-        while block_o > 256 and block_o * i > VMEM_BUDGET:
-            block_o //= 2
+        # prefer a block that divides O exactly so every row runs in the
+        # kernel (the XLA tail dot below re-reads xq and w at worse layouts)
+        cap = 2048
+        while cap > 256 and cap * i > VMEM_BUDGET:
+            cap //= 2
+        block_o = next((cand for cand in range(cap, 255, -128)
+                        if o % cand == 0), cap)
     # ragged tail rows (e.g. the 156940-row lm_head) run as an XLA int8 dot;
     # the Pallas grid covers only whole blocks
     o_main = (o // block_o) * block_o

@@ -1,0 +1,226 @@
+"""W4A8 decode matmul: packed int4 weights unpacked to int8 IN-KERNEL,
+consumed by int8 MXU dots — 0.5 B/weight HBM traffic at group-64 accuracy.
+
+Why this kernel exists (the round-1 verdict's named lever): the fused int4
+float kernel (quant_matmul.py) spends ~6 VPU ops per weight composing floats
+from nibbles, which caps 3B decode at bf16 latency parity; the W8A8 kernel
+(int8_matmul.py) has zero per-weight VPU work but streams 1 B/weight and
+gives up the checkpoint's group-64 scale resolution. This kernel keeps both:
+
+  - storage (PAIR layout): one int8 byte packs two int4 codes from ADJACENT
+    groups: byte 64p+j of group-pair p holds col 128p+j (group 2p) in the
+    low nibble and col 128p+64+j (group 2p+1) in the high nibble. The high
+    nibble is stored BIASED by −8, because Mosaic has no int8 vector shifts
+    (arith.shrsi fails to legalize): both planes then extract with pure
+    AND masks — `lo = b & 15` (codes 0..15) and `hi16 = b & -16`
+    (= 16·(h−8), a valid int8) — i.e. ONE VPU op per weight.
+    Pairing the groups (rather than splitting one group across nibbles)
+    makes every nibble-plane dot span a FULL group of 64 columns, doubling
+    the MXU contraction depth per dot vs a split-group layout — measured
+    ~25% faster at 3B shapes;
+  - compute: per-group 64-deep int8×int8 MXU dots (exact int32); the hi
+    dot is 16× the true value, folded into the f32 group-scale multiply
+    (×1/16), and the −8 bias folds into a (B, P)·(P, O) f32 GEMM on
+    int8-activation group sums outside the kernel;
+  - the affine zero-point term Σ_g bias[o,g]·Σ_{i∈g}x_i likewise never
+    enters the kernel: another tiny f32 GEMM on group sums, fused by XLA.
+
+Quantization semantics are EXACTLY the mlx checkpoint's group-affine int4
+(w = scale·q + bias, q ∈ [0,16)) with int8 per-row activations — no
+requantization loss on the weights (unlike the W8A8 path).
+
+Accuracy: y = (Σ_g s[o,g]·(xq·q)_g)·sx[b] + Σ_g b[o,g]·xsum[b,g]; the only
+approximation is the int8 activation rounding, shared with the W8A8 path.
+
+Reference motivation: the reference ships 4-bit checkpoints for its largest
+TTS LLM (TTS/Orpheus/TTSEngine/OrpheusWeightLoader.swift:31).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.ops.pallas.int8_matmul import SUBLANE_I8, quantize_rows
+
+GROUP = 64
+PAIR = 2 * GROUP  # columns covered by one packed byte-span of 64
+VMEM_BUDGET = 8 * 2 ** 20
+
+
+def pack_w4a8(q: np.ndarray) -> np.ndarray:
+    """Unpacked int4 codes (O, I) in [0, 16) → pair-packed int8 (O, I/2).
+
+    Byte 64p+j holds col 128p+j (group 2p) in the low nibble and col
+    128p+64+j (group 2p+1) in the high nibble, the latter biased by −8
+    (stored as (h−8) mod 16) so the kernel can extract it with a single
+    AND mask (see module docstring).
+    """
+    o, i = q.shape
+    assert i % PAIR == 0, i
+    g3 = q.reshape(o, i // PAIR, PAIR).astype(np.uint8)
+    lo, hi = g3[..., :GROUP], g3[..., GROUP:]
+    hib = (hi - 8) & 15
+    return (lo | (hib << 4)).reshape(o, i // 2).astype(np.int8)
+
+
+def split_activations(xq: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, I) int8 → even/odd-group (B, I/2) halves in packed byte order."""
+    b, i = xq.shape
+    g3 = xq.reshape(b, i // PAIR, PAIR)
+    return (g3[..., :GROUP].reshape(b, i // 2),
+            g3[..., GROUP:].reshape(b, i // 2))
+
+
+def _pick_pps(p: int, target: int) -> int:
+    """Largest divisor of p that is ≤ target and a multiple of 8 (the f32
+    sublane tile for the streamed scale planes); 0 if none exists."""
+    for cand in range(min(p, target), 7, -1):
+        if p % cand == 0 and cand % 8 == 0:
+            return cand
+    return 0
+
+
+def _kernel(pps, x_lo_ref, x_hi_ref, sx_ref, wp_ref, se_ref, so_ref,
+            out_ref):
+    import jax.experimental.pallas as pl
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    wp = wp_ref[:, :]
+    lo = wp & 15  # even-group codes 0..15 (AND keeps bits 0-3)
+    hi16 = wp & (-16)  # 16·(h−8) as signed int8; no vector shift needed
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for pp in range(pps):
+        sl = slice(pp * GROUP, (pp + 1) * GROUP)
+        dlo = jax.lax.dot_general(
+            x_lo_ref[:, sl], lo[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dhi = jax.lax.dot_general(
+            x_hi_ref[:, sl], hi16[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc += (dlo.astype(jnp.float32) * se_ref[pp, :][None, :]
+                + dhi.astype(jnp.float32) * so_ref[pp, :][None, :])
+    out_ref[:, :] += acc * sx_ref[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_o", "pairs_per_step", "interpret"))
+def w4a8_matmul(x: jax.Array, wp: jax.Array, scales: jax.Array,
+                biases: jax.Array, block_o: int | None = None,
+                pairs_per_step: int = 24,
+                interpret: bool = False) -> jax.Array:
+    """x (B, I) float · group-affine int4 (O, I) → (B, O) f32.
+
+    wp: pair-packed int8 (O, I/2) from pack_w4a8; scales/biases (O, G) f32.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, i = x.shape
+    o = wp.shape[0]
+    g = i // GROUP
+    p = i // PAIR
+    pps = _pick_pps(p, pairs_per_step)
+
+    xq, sx = quantize_rows(x)
+    x_lo, x_hi = split_activations(xq)
+    # affine zero-point term on exact f32 group sums (fused by XLA)
+    xsum = x.astype(jnp.float32).reshape(b, g, GROUP).sum(-1)
+    y_bias = jax.lax.dot_general(xsum, biases.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+    # the stored odd-group nibbles are biased by −8: add back
+    # 8·sx·Σ_odd-groups s[o,g]·Σ_{i∈g} xq — another tiny f32 GEMM
+    s_odd = scales.astype(jnp.float32)[..., 1::2]  # (O, P)
+    xqsum_odd = x_hi.astype(jnp.float32).reshape(b, p, GROUP).sum(-1)
+    y_bias += 8.0 * sx * jax.lax.dot_general(
+        xqsum_odd, s_odd, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+    b_pad = -(-b // SUBLANE_I8) * SUBLANE_I8
+    if b_pad != b:
+        x_lo = jnp.pad(x_lo, ((0, b_pad - b), (0, 0)))
+        x_hi = jnp.pad(x_hi, ((0, b_pad - b), (0, 0)))
+        sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)))
+
+    if block_o is None:
+        # prefer a block that divides O exactly: the ragged-tail fallback
+        # below materializes int32 unpacks in XLA, which is far costlier
+        # than a slightly smaller Pallas block (e.g. qkv O=5120 → 1024)
+        cap = 2048
+        while cap > 256 and cap * i // 2 > VMEM_BUDGET:
+            cap //= 2
+        block_o = next((cand for cand in range(cap, 255, -128)
+                        if o % cand == 0), cap)
+    o_main = (o // block_o) * block_o if pps else 0
+    kb = pps * GROUP  # packed bytes (and x_lo/x_hi cols) per k-step
+    parts = []
+    if o_main:
+        # (P, O): the lane axis must be 128-divisible in block shapes, so
+        # scales stream transposed with the pair axis on sublanes
+        se = scales.astype(jnp.float32)[:, 0::2].T
+        so = (s_odd * (1.0 / 16.0)).T
+        out = pl.pallas_call(
+            functools.partial(_kernel, pps),
+            out_shape=jax.ShapeDtypeStruct((b_pad, o_main), jnp.float32),
+            grid=(o_main // block_o, p // pps),
+            in_specs=[
+                pl.BlockSpec((b_pad, kb), lambda ob, k: (0, k),
+                             memory_space=pltpu.VMEM),  # x_lo
+                pl.BlockSpec((b_pad, kb), lambda ob, k: (0, k),
+                             memory_space=pltpu.VMEM),  # x_hi
+                pl.BlockSpec((b_pad, 1), lambda ob, k: (0, 0),
+                             memory_space=pltpu.VMEM),  # sx
+                pl.BlockSpec((block_o, kb), lambda ob, k: (ob, k),
+                             memory_space=pltpu.VMEM),  # wp
+                pl.BlockSpec((pps, block_o), lambda ob, k: (k, ob),
+                             memory_space=pltpu.VMEM),  # even scales (P, O)
+                pl.BlockSpec((pps, block_o), lambda ob, k: (k, ob),
+                             memory_space=pltpu.VMEM),  # odd scales/16
+            ],
+            out_specs=pl.BlockSpec((b_pad, block_o), lambda ob, k: (0, ob),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x_lo, x_hi, sx, wp, se, so)
+        parts.append(out[:b])
+    if o_main < o:
+        # ragged tail rows: per-group int8 dots in XLA, same decomposition
+        # (the −8 correction GEMM above spans ALL output rows)
+        wp_t = wp[o_main:]
+        lo = (wp_t & 15).astype(jnp.int32)
+        hi16 = (wp_t & (-16)).astype(jnp.int32)
+        x3l = x_lo[:b].reshape(b, p, GROUP).astype(jnp.int32)
+        x3h = x_hi[:b].reshape(b, p, GROUP).astype(jnp.int32)
+        w3l = lo.reshape(o - o_main, p, GROUP)
+        w3h = hi16.reshape(o - o_main, p, GROUP)
+        dpl = jnp.einsum("bpk,opk->bpo", x3l, w3l).astype(jnp.float32)
+        dph = jnp.einsum("bpk,opk->bpo", x3h, w3h).astype(jnp.float32) / 16.0
+        se_t = scales[o_main:].astype(jnp.float32)[:, 0::2]
+        so_t = scales[o_main:].astype(jnp.float32)[:, 1::2]
+        tail = (jnp.einsum("bpo,op->bo", dpl, se_t)
+                + jnp.einsum("bpo,op->bo", dph, so_t))
+        parts.append(tail * sx[:b])
+    y = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return y + y_bias
+
+
+def supported(x: jax.Array, p: dict) -> bool:
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    if x.ndim != 2 or "weight_q4p" not in p:
+        return False
+    i = x.shape[-1]
+    return (i % PAIR == 0
+            and p["weight_q4p"].shape[-1] * 2 == i
+            and _pick_pps(i // PAIR, 24) > 0)

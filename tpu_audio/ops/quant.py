@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-QKEYS = ("weight_q4", "weight_q8", "weight_i8")
+QKEYS = ("weight_q4", "weight_q8", "weight_i8", "weight_q4p")
 
 _fallback_warned = False
 
@@ -65,6 +65,8 @@ def dequantize(p: dict) -> jax.Array:
     """Quantized param dict → (O, I) float32 weight."""
     if "weight_i8" in p:
         return dequantize_int8(p)
+    if "weight_q4p" in p:
+        return dequantize_w4a8(p)
     bits = 4 if "weight_q4" in p else 8
     packed = p["weight_q4"] if bits == 4 else p["weight_q8"]
     q = unpack_uint32(packed, bits).astype(jnp.float32)
@@ -81,6 +83,10 @@ def dequantize_rows(p: dict, ids: jax.Array) -> jax.Array:
     if "weight_i8" in p:
         return (p["weight_i8"][ids].astype(jnp.float32)
                 * p["scale_i8"][ids])
+    if "weight_q4p" in p:
+        return dequantize_w4a8({**p, "weight_q4p": p["weight_q4p"][ids],
+                                "scales": p["scales"][ids],
+                                "biases": p["biases"][ids]})
     bits = 4 if "weight_q4" in p else 8
     packed = (p["weight_q4"] if bits == 4 else p["weight_q8"])[ids]
     q = unpack_uint32(packed, bits).astype(jnp.float32)
@@ -103,6 +109,8 @@ def expand_for_kernel(p: dict) -> dict:
 def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
     if "weight_i8" in p:
         return int8_linear(p, x)
+    if "weight_q4p" in p:
+        return w4a8_linear(p, x)
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
     # the fused kernel is weight-streaming-optimal; for big GEMMs (prefill)
@@ -128,6 +136,122 @@ def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+# ---------------------------------------------------------------- W4A8
+
+def repack_w4a8(p: dict) -> dict:
+    """Group-affine q4 dict (mlx packed uint32) → W4A8 kernel layout:
+    {"weight_q4p": int8 (..., O, I/2) group-packed nibbles,
+     "scales"/"biases": (..., O, G) f32}. Lossless repack (host, load time):
+    the int4 codes and group scales are byte-identical to the checkpoint's."""
+    from tpu_audio.ops.pallas.w4a8_matmul import pack_w4a8
+
+    q = np.asarray(unpack_uint32(jnp.asarray(p["weight_q4"]), 4))
+    *lead, o, i = q.shape
+    packed = pack_w4a8(q.reshape(-1, i)).reshape(*lead, o, i // 2)
+    out = {"weight_q4p": jnp.asarray(packed),
+           "scales": jnp.asarray(p["scales"], jnp.float32),
+           "biases": jnp.asarray(p["biases"], jnp.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def dequantize_w4a8(p: dict) -> jax.Array:
+    """W4A8 pair-packed dict → (..., O, I) float32 (prefill / fallback)."""
+    from tpu_audio.ops.pallas.w4a8_matmul import GROUP
+
+    wp = p["weight_q4p"]
+    *lead, o, half = wp.shape
+    g = half * 2 // GROUP
+    np_ = half // GROUP  # group-pairs
+    lo = (wp & 15).astype(jnp.float32).reshape(*lead, o, np_, GROUP)
+    # high nibble is stored biased by −8 (arithmetic >> 4 sign-extends the
+    # stored (h−8), so +8 recovers the code)
+    hi = ((wp >> 4) + 8).astype(jnp.float32).reshape(*lead, o, np_, GROUP)
+    # pair p: lo = group 2p (cols 128p..128p+64), hi = group 2p+1 — the
+    # concat along the last axis restores natural column order
+    q = jnp.concatenate([lo, hi], axis=-1).reshape(*lead, o, g, GROUP)
+    s = p["scales"].astype(jnp.float32)[..., None]
+    b = p["biases"].astype(jnp.float32)[..., None]
+    return (q * s + b).reshape(*lead, o, half * 2)
+
+
+def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
+    lead = x.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(rows, x.shape[-1])
+    if rows <= 32:
+        try:
+            from tpu_audio.ops.pallas import w4a8_matmul as w4mm
+
+            if w4mm.supported(x2, p):
+                y = w4mm.w4a8_matmul(x2, p["weight_q4p"], p["scales"],
+                                     p["biases"]).astype(x.dtype)
+                y = y.reshape(*lead, y.shape[-1])
+                if "bias" in p:
+                    y = y + p["bias"].astype(x.dtype)
+                return y
+        except Exception as exc:
+            _warn_kernel_fallback(exc)
+    w = dequantize_w4a8(p).astype(x.dtype)
+    y = x2 @ w.T
+    y = y.reshape(*lead, y.shape[-1])
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def repack_tree_w4a8(tree: dict, fuse: bool = True) -> dict:
+    """Convert every group-affine q4 leaf-dict to the W4A8 serving layout
+    (q8 and fp leaves pass through). Losslessly preserves the checkpoint's
+    group-64 affine quantization, unlike requantize_tree_int8."""
+    if not isinstance(tree, dict):
+        return tree
+    if "weight_q4" in tree:
+        # pair packing needs in_features % 128; narrower leaves keep the
+        # group-affine q4 layout (fused dequant kernel path)
+        if (tree["weight_q4"].shape[-1] * 8) % 128 == 0:
+            return repack_w4a8(tree)
+        return tree
+    out = {k: repack_tree_w4a8(v, fuse=False) if isinstance(v, dict) else v
+           for k, v in tree.items()}
+    return fuse_w4a8_tree(out) if fuse else out
+
+
+def fuse_w4a8_tree(tree: dict) -> dict:
+    """Fuse q/k/v → qkv and gate/up → gateup W4A8 leaves (output-channel
+    concat of packed weights and group scales/biases is exact)."""
+    if not isinstance(tree, dict):
+        return tree
+
+    def all_q4p(names, d):
+        return all(n in d and isinstance(d[n], dict)
+                   and "weight_q4p" in d[n] for n in names)
+
+    def cat(ds):
+        out = {k: jnp.concatenate([d[k] for d in ds], axis=-2)
+               for k in ("weight_q4p", "scales", "biases")}
+        if all("bias" in d for d in ds):
+            out["bias"] = jnp.concatenate([d["bias"] for d in ds], axis=-1)
+        return out
+
+    out = {}
+    for k, v in tree.items():
+        if k == "attn" and all_q4p(("q", "k", "v"), v):
+            nv = {kk: vv for kk, vv in v.items() if kk not in ("q", "k", "v")}
+            nv["qkv"] = cat([v["q"], v["k"], v["v"]])
+            out[k] = nv
+        elif k == "mlp" and all_q4p(("gate", "up"), v):
+            nv = {kk: vv for kk, vv in v.items() if kk not in ("gate", "up")}
+            nv["gateup"] = cat([v["gate"], v["up"]])
+            out[k] = nv
+        elif isinstance(v, dict):
+            out[k] = fuse_w4a8_tree(v)
+        else:
+            out[k] = v
+    return out
 
 
 # ---------------------------------------------------------------- int8 (W8A8)
