@@ -44,3 +44,21 @@ class TestBatchDecoder:
             batch_size=4, temperature=0.0)
         assert len(texts) == 2
         assert all(isinstance(t, str) for t in texts)
+
+
+def test_engine_transcribe_batch(setup):
+    """Public-surface batch API: WhisperEngine.transcribe_batch wraps
+    transcribe_windows (one text per clip, state flags maintained)."""
+    from tpu_audio.api.stt import WhisperEngine
+    from tpu_audio.models.whisper.pipeline import WhisperPipeline
+
+    params, tok = setup
+    eng = WhisperEngine.from_pipeline(WhisperPipeline(params, TINY, tok))
+    rng = np.random.default_rng(0)
+    clips = [rng.standard_normal(16000).astype(np.float32) * 0.05
+             for _ in range(3)]
+    texts = eng.transcribe_batch(clips, batch_size=2)
+    assert len(texts) == 3
+    assert all(isinstance(t, str) for t in texts)
+    assert not eng.is_transcribing
+    assert eng.transcription_time > 0

@@ -110,3 +110,18 @@ class TestOuteEngine:
         res = eng.generate("Hi.", max_new_tokens=16)
         assert res.sample_rate == 24000
         assert np.isfinite(res.samples).all()
+
+    def test_generate_batch(self, dac_params):
+        cfg = transformer.TransformerConfig(
+            dim=32, n_layers=2, n_heads=4, hidden_dim=64, vocab_size=512,
+            tie_word_embeddings=True)
+        lm_params = transformer.init_params(jax.random.PRNGKey(1), cfg)
+        eng = OuteTTSEngine.from_params(lm_params, cfg, dac_params, TINY_DAC,
+                                        max_cache=256)
+        results = eng.generate_batch(["Hi.", "Hello there."],
+                                     max_new_tokens=16)
+        assert len(results) == 2
+        for r in results:
+            assert r.sample_rate == 24000
+            assert np.isfinite(r.samples).all()
+        assert not eng.is_generating

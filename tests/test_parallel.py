@@ -9,6 +9,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_audio.models.whisper import model as wmodel
 from tpu_audio.models.whisper.config import WhisperConfig
+from tpu_audio.nn import transformer as transformer_mod
 from tpu_audio.parallel import make_mesh, param_shardings, whisper_rules
 from tpu_audio.parallel.sp import encode_sequence_parallel
 
@@ -191,3 +192,81 @@ class TestEngineTPServing:
 
         assert r0.samples.shape == r1.samples.shape
         assert np.allclose(r0.samples, r1.samples, atol=1e-5)
+
+
+class TestTPQuantServing:
+    """shard_map TP for QUANTIZED params (parallel/tp_quant.py): per-shard
+    megatron slices + explicit psums must reproduce the single-device
+    quantized decode (CPU mesh; kernels take the exact-dequant fallback, so
+    partial-sum == full matmul up to float association)."""
+
+    def _quant_params(self, fuse):
+        from tpu_audio.ops import quant
+
+        cfg = transformer_mod.TransformerConfig(
+            dim=32, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=64,
+            vocab_size=96, tie_word_embeddings=True)
+        params = transformer_mod.init_params(jax.random.PRNGKey(0), cfg)
+        qp = jax.tree_util.tree_map(lambda x: x, params)
+        for sub, names in (("attn", ("q", "k", "v", "o")),
+                           ("mlp", ("gate", "up", "down"))):
+            for name in names:
+                w = np.asarray(params["layers"][sub][name]["weight"])
+                d = quant.quantize_array_int8(w)
+                qp["layers"][sub][name] = {k: jnp.asarray(v)
+                                           for k, v in d.items()}
+        if fuse:
+            qp["layers"] = quant.fuse_int8_tree(qp["layers"])
+        return qp, cfg
+
+    @pytest.mark.parametrize("fuse", [False, True])
+    def test_tp_quant_decode_matches_single(self, fuse):
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        qp, cfg = self._quant_params(fuse)
+        sampler = SamplerConfig(temperature=0.0)
+        kw = dict(sampler=sampler, eos_ids=(95,), max_new=12, seed=4)
+        single = CausalLMGenerator(qp, cfg, max_cache=64)
+        ref = single.generate([3, 5, 7], **kw)
+
+        mesh = make_mesh(dp=4, tp=2)
+        gen = CausalLMGenerator(qp, cfg, max_cache=64, mesh=mesh)
+        assert gen._axis == "tp"  # quantized params -> shard_map mode
+        got = gen.generate([3, 5, 7], **kw)
+        assert got == ref
+
+    def test_tp_quant_batch(self):
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        qp, cfg = self._quant_params(True)
+        sampler = SamplerConfig(temperature=0.0)
+        mesh = make_mesh(dp=4, tp=2)
+        gen = CausalLMGenerator(qp, cfg, max_cache=64, mesh=mesh)
+        outs = gen.generate_batch([[3, 5, 7], [2, 4, 6, 8]],
+                                  sampler=sampler, eos_ids=(95,),
+                                  max_new=10, seed=1)
+        assert len(outs) == 2
+        single = CausalLMGenerator(qp, cfg, max_cache=64)
+        souts = single.generate_batch([[3, 5, 7], [2, 4, 6, 8]],
+                                      sampler=sampler, eos_ids=(95,),
+                                      max_new=10, seed=1)
+        assert outs == souts
+
+    def test_tp_quant_spanned_cancellation(self):
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        qp, cfg = self._quant_params(True)
+        sampler = SamplerConfig(temperature=0.0)
+        mesh = make_mesh(dp=4, tp=2)
+        gen = CausalLMGenerator(qp, cfg, max_cache=64, mesh=mesh)
+        got = gen.generate([3, 5, 7], sampler=sampler, eos_ids=(95,),
+                           max_new=12, seed=4, should_stop=lambda: False,
+                           span=4)
+        single = CausalLMGenerator(qp, cfg, max_cache=64)
+        ref = single.generate([3, 5, 7], sampler=sampler, eos_ids=(95,),
+                              max_new=12, seed=4, should_stop=lambda: False,
+                              span=4)
+        assert got == ref

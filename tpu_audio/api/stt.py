@@ -101,6 +101,32 @@ class WhisperEngine(STTEngineBase):
         self._ensure_loaded()
         return self.pipeline.detect_language(self._resolve_audio(audio))
 
+    def transcribe_batch(self, audios, *, batch_size: int = 8,
+                         language: str = "en", **kw) -> list[str]:
+        """Throughput-mode transcription of many clips at once.
+
+        Splits every clip into 30 s windows and decodes `batch_size`
+        windows per compiled step (weights stream from HBM once for the
+        whole batch — the measured batch-8 path is ~2.2× the aggregate
+        throughput of single-stream decode, see bench.py). Trades the seek
+        loop's content-aware window advance and temperature fallback for
+        fixed-stride windows, so prefer `transcribe` for single clips
+        where quality dominates. Returns one text per input clip."""
+        self._ensure_loaded()
+        from tpu_audio.models.whisper import batch as wbatch
+
+        samples = [self._resolve_audio(a) for a in audios]
+        self.is_transcribing = True
+        t0 = time.perf_counter()
+        try:
+            return wbatch.transcribe_windows(
+                self.pipeline.params, self.pipeline.cfg,
+                self.pipeline.tok, samples,
+                batch_size=batch_size, language=language, **kw)
+        finally:
+            self.is_transcribing = False
+            self.transcription_time = time.perf_counter() - t0
+
     def _run(self, audio, **kw) -> TranscriptionResult:
         self._ensure_loaded()
         samples = self._resolve_audio(audio)

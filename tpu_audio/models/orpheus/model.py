@@ -68,31 +68,65 @@ class CausalLMGenerator:
     the row-parallel o/down projections. Decode is token-identical to the
     single-device path (verified in tests/test_parallel.py and the driver
     dryrun). Requires n_heads, kv_heads and hidden_dim divisible by tp.
+
+    TP has two modes, selected automatically by the param dtypes:
+      - float/bf16 params: NamedSharding + GSPMD (megatron rules from
+        parallel/shardings.py) — XLA inserts the collectives.
+      - quantized params (int8 / pair-packed int4 leaf-dicts): GSPMD
+        cannot partition the Pallas quant matmuls (custom calls), so the
+        whole step runs under `shard_map` instead — each device holds its
+        megatron weight shard and runs the quant kernels on LOCAL shapes,
+        with explicit psums after the row-parallel projections
+        (parallel/tp_quant.py). Every device samples the same token from
+        the replicated logits, so decode stays deterministic.
     """
 
     def __init__(self, params, cfg: transformer.TransformerConfig,
                  max_cache: int = 2048, pad_id: int = 0,
                  cache_dtype=jnp.bfloat16, mesh=None):
         self.cfg = cfg
+        self.cfg_run = cfg  # per-shard local config under TP-quant
         self.max_cache = max_cache
         self.pad_id = pad_id
         self.mesh = mesh
+        self._axis = None
+        self._pspecs = None
         self._fns = {}
         if mesh is not None:
-            from tpu_audio.parallel import shard_tree, transformer_rules
             tp = mesh.shape["tp"]
             if cfg.kv_heads % tp or cfg.n_heads % tp:
                 raise ValueError(
                     f"heads ({cfg.n_heads}/{cfg.kv_heads}) not divisible by "
                     f"tp={tp}")
-            self.params = shard_tree(params, mesh, transformer_rules,
-                                     layer_prefixes=("layers",))
+            from tpu_audio.ops import quant as _q
+
+            def _any_quant(t):
+                if isinstance(t, dict):
+                    return _q.is_quantized(t) or any(
+                        _any_quant(v) for v in t.values())
+                return False
+
+            if _any_quant(params):
+                from tpu_audio.parallel import tp_quant
+
+                tp_quant.check_tp_quant_supported(params, cfg, tp)
+                self.params, self._pspecs = tp_quant.shard_params(
+                    params, cfg, mesh)
+                self.cfg_run = tp_quant.local_config(cfg, tp)
+                self._axis = "tp"
+            else:
+                from tpu_audio.parallel import shard_tree, transformer_rules
+
+                self.params = shard_tree(params, mesh, transformer_rules,
+                                         layer_prefixes=("layers",))
         else:
             self.params = params
 
     def _constrain_cache(self, cache):
         """Pin the KV cache (L, B, S, H_kv, D) to head-sharding on tp."""
-        if self.mesh is None:
+        if self.mesh is None or self._axis is not None:
+            # shard_map mode: the cache is created per-device with local
+            # head counts — nothing to constrain
             return cache
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -104,12 +138,47 @@ class CausalLMGenerator:
 
         return jax.tree_util.tree_map(pin, cache)
 
+    def _cache_specs(self, batch: int):
+        """PartitionSpec pytree for a KV cache crossing the shard_map
+        boundary: (L, B, S, H_kv, D) sharded on heads, scalars replicated.
+        Structure comes from eval_shape on the LOCAL config (only tree
+        structure and ranks matter)."""
+        from jax.sharding import PartitionSpec as P
+
+        shapes = jax.eval_shape(
+            lambda: transformer.make_cache(self.cfg_run, batch,
+                                           self.max_cache))
+        return jax.tree_util.tree_map(
+            lambda s: (P(None, None, None, "tp", None)
+                       if len(s.shape) == 5 else P()), shapes)
+
+    def _compile(self, run, in_extra=None, out_specs=None, n_extra_args=0):
+        """jit, or shard_map+jit in TP-quant mode. The params arg comes
+        first (sharded by self._pspecs); in_extra/out_specs default to
+        replicated P() for every other arg / output."""
+        if self._axis is None:
+            return jax.jit(run)
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if in_extra is None:
+            in_extra = [P()] * n_extra_args
+        if out_specs is None:
+            out_specs = P()
+        sm = shard_map(run, mesh=self.mesh,
+                       in_specs=(self._pspecs, *in_extra),
+                       out_specs=out_specs, check_vma=False)
+        return jax.jit(sm)
+
     def _fn(self, prompt_pad: int, max_new: int, sampler: SamplerConfig,
             eos_ids: tuple):
         key_ = (prompt_pad, max_new, sampler, eos_ids)
         if key_ in self._fns:
             return self._fns[key_]
-        cfg = self.cfg
+        cfg = self.cfg_run
 
         def run(params, prompt, pad_amount, key):
             cache = self._constrain_cache(
@@ -118,12 +187,14 @@ class CausalLMGenerator:
             slot = jnp.arange(self.max_cache)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
             logits, cache = transformer.forward(params, cfg, prompt[None],
-                                                cache, extra_mask=extra)
+                                                cache, extra_mask=extra,
+                                                axis_name=self._axis)
             first_logits = logits[0, -1].astype(jnp.float32)
 
             def step(tok, cache):
                 lg, cache = transformer.forward(params, cfg, tok, cache,
-                                                extra_mask=extra)
+                                                extra_mask=extra,
+                                                axis_name=self._axis)
                 return lg[:, -1].astype(jnp.float32), cache
 
             from tpu_audio.ops import sampling as S
@@ -143,7 +214,7 @@ class CausalLMGenerator:
                               pad_id=self.pad_id)
             return first, res.tokens, res.lengths
 
-        fn = jax.jit(run)
+        fn = self._compile(run, n_extra_args=3)
         self._fns[key_] = fn
         return fn
 
@@ -177,13 +248,88 @@ class CausalLMGenerator:
         return [first] + [int(t) for t in
                           np.asarray(tokens[0][: int(lengths[0])])]
 
+    def _batch_fn(self, b: int, prompt_pad: int, max_new: int,
+                  sampler: SamplerConfig, eos_ids: tuple):
+        key_ = ("batch", b, prompt_pad, max_new, sampler, eos_ids)
+        if key_ in self._fns:
+            return self._fns[key_]
+        cfg = self.cfg_run
+
+        def run(params, prompts, pad_amounts, key):
+            cache = self._constrain_cache(
+                transformer.make_cache(cfg, b, self.max_cache))
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot[None] >= pad_amounts[:, None],
+                              0.0, -1e30)[:, None, None, :]
+            logits, cache = transformer.forward(params, cfg, prompts, cache,
+                                                extra_mask=extra,
+                                                axis_name=self._axis)
+            from tpu_audio.ops import sampling as S
+
+            k1, k2 = jax.random.split(key)
+            first = S.sample(k1, logits[:, -1].astype(jnp.float32),
+                             sampler).astype(jnp.int32)
+
+            def step(tok, cache):
+                lg, cache = transformer.forward(params, cfg, tok, cache,
+                                                extra_mask=extra,
+                                                axis_name=self._axis)
+                return lg[:, -1].astype(jnp.float32), cache
+
+            res = decode_loop(k2, step, cache, first, max_new - 1,
+                              eos_ids=eos_ids, sampler=sampler,
+                              pad_id=self.pad_id)
+            return first, res.tokens, res.lengths
+
+        fn = self._compile(run, n_extra_args=3)
+        self._fns[key_] = fn
+        return fn
+
+    def generate_batch(self, prompts: list[list[int]], *,
+                       sampler: SamplerConfig, eos_ids: tuple,
+                       max_new: int, seed: int = 0,
+                       bucket: int = 32) -> list[list[int]]:
+        """Decode B prompts in one compiled loop (multi-stream serving).
+
+        Weights stream from HBM once per step for the whole batch, so
+        aggregate throughput scales ~7× at B=8 for the 3B model (see
+        benchmarks/llm_decode.py --batch). Rows finish independently via
+        per-row EOS masking; all rows run until the slowest finishes
+        (decode_loop's early-exit needs every row done). Per-row outputs
+        are identical in distribution to generate() but not bit-identical
+        to single-stream runs (one shared PRNG stream is split across the
+        batch)."""
+        b = len(prompts)
+        n_max = max(len(p) for p in prompts)
+        pad = -(-n_max // bucket) * bucket
+        arr = np.full((b, pad), self.pad_id, np.int32)
+        pad_amounts = np.zeros((b,), np.int32)
+        for r, ids in enumerate(prompts):
+            arr[r, pad - len(ids):] = ids
+            pad_amounts[r] = pad - len(ids)
+        fn = self._batch_fn(b, pad, max_new, sampler, tuple(eos_ids))
+        first, tokens, lengths = fn(self.params, jnp.asarray(arr),
+                                    jnp.asarray(pad_amounts),
+                                    jax.random.PRNGKey(seed))
+        first = np.asarray(first)
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        out = []
+        for r in range(b):
+            if int(first[r]) in eos_ids:
+                out.append([])
+            else:
+                out.append([int(first[r])] +
+                           [int(t) for t in tokens[r][: int(lengths[r])]])
+        return out
+
     # ------------------------------------------------------------- spans
 
     def _prefill_fn(self, prompt_pad: int, sampler: SamplerConfig):
         key_ = ("prefill", prompt_pad, sampler)
         if key_ in self._fns:
             return self._fns[key_]
-        cfg = self.cfg
+        cfg = self.cfg_run
 
         def run(params, prompt, pad_amount, key):
             cache = self._constrain_cache(
@@ -191,14 +337,18 @@ class CausalLMGenerator:
             slot = jnp.arange(self.max_cache)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
             logits, cache = transformer.forward(params, cfg, prompt[None],
-                                                cache, extra_mask=extra)
+                                                cache, extra_mask=extra,
+                                                axis_name=self._axis)
             from tpu_audio.ops import sampling as S
 
             fl = logits[0, -1].astype(jnp.float32)[None]
             first = S.sample(key, fl, sampler).astype(jnp.int32)
             return first, cache
 
-        fn = jax.jit(run)
+        from jax.sharding import PartitionSpec as P
+        fn = self._compile(
+            run, in_extra=[P(), P(), P()],
+            out_specs=(P(), self._cache_specs(1)) if self._axis else None)
         self._fns[key_] = fn
         return fn
 
@@ -206,7 +356,7 @@ class CausalLMGenerator:
         key_ = ("span", span, sampler, eos_ids)
         if key_ in self._fns:
             return self._fns[key_]
-        cfg = self.cfg
+        cfg = self.cfg_run
 
         def run(params, cache, last, recent, finished, pad_amount, key):
             slot = jnp.arange(self.max_cache)
@@ -214,7 +364,8 @@ class CausalLMGenerator:
 
             def step(tok, cache):
                 lg, cache = transformer.forward(params, cfg, tok, cache,
-                                                extra_mask=extra)
+                                                extra_mask=extra,
+                                                axis_name=self._axis)
                 return lg[:, -1].astype(jnp.float32), cache
 
             res = decode_loop(key, step, cache, last, span, eos_ids=eos_ids,
@@ -223,7 +374,13 @@ class CausalLMGenerator:
             return (res.tokens, res.lengths, res.last_state, res.recent,
                     res.finished, res.last_token)
 
-        fn = jax.jit(run)
+        from jax.sharding import PartitionSpec as P
+        cs = self._cache_specs(1) if self._axis else None
+        fn = self._compile(
+            run,
+            in_extra=[cs, P(), P(), P(), P(), P()] if self._axis else None,
+            out_specs=(P(), P(), cs, P(), P(), P()) if self._axis else None,
+            n_extra_args=6)
         self._fns[key_] = fn
         return fn
 

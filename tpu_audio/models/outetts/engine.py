@@ -187,6 +187,39 @@ class OuteTTSEngine(TTSEngineBase):
         audio = self._dac_fns[bucket](self.dac_params, jnp.asarray(codes))
         return np.asarray(audio[0][: frames * self.dac_cfg.hop], np.float32)
 
+    def generate_batch(self, texts: list[str], max_new_tokens: int = 2048,
+                       seed: int = 0) -> list["AudioResult"]:
+        """Multi-stream synthesis: one compiled batch decode for all texts
+        (weights stream once per step for the whole batch — see
+        OrpheusEngine.generate_batch). One AudioResult per text."""
+        import time as _time
+
+        from tpu_audio.api.results import AudioResult
+
+        if self.lm is None:
+            self.load()
+        self._stop_flag.clear()
+        self.is_generating = True
+        t0 = _time.perf_counter()
+        try:
+            prompts = [self.tokenizer.encode(build_prompt(t, self.speaker))
+                       for t in texts]
+            outs = self.lm.generate_batch(
+                prompts, sampler=SAMPLER, eos_ids=self._eos_ids(),
+                max_new=max_new_tokens, seed=seed)
+            results = []
+            for ids in outs:
+                c1, c2 = extract_codes(self.tokenizer.decode_raw(ids))
+                audio = self._decode_dac(c1, c2)
+                results.append(AudioResult(
+                    samples=audio, sample_rate=self.sample_rate))
+        finally:
+            self.is_generating = False
+        self.generation_time = _time.perf_counter() - t0
+        for r in results:
+            r.processing_time = self.generation_time
+        return results
+
     def generate_streaming(self, text: str,
                            granularity: StreamingGranularity | None = None,
                            max_new_tokens: int = 2048,

@@ -58,6 +58,51 @@ class TransformerConfig:
         return rope.make_inv_freq(self.hd, self.rope_theta, self.rope_scaling)
 
 
+_STACKED_KEYS = ("weight_i8", "weight_q4p")
+
+
+def _split_stacked_quant(layers_tree: dict):
+    """Pull the big stacked quantized weight arrays out of the scan tree.
+
+    XLA materializes a full HBM copy of every lax.scan-sliced operand that
+    feeds a Pallas custom call, so scanning over stacked int8/int4 weights
+    triples weight traffic on the decode hot path. The big arrays are
+    instead closed over whole and indexed inside the kernels via scalar
+    prefetch (int8_matmul_stacked / w4a8_matmul_stacked); the small
+    scales/biases stay scanned. Returns (scan_tree, {path: array})."""
+    stacked = {}
+
+    def rec(d, path):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                hit = [b for b in _STACKED_KEYS if b in v]
+                if hit:
+                    keep = dict(v)
+                    for b in hit:
+                        stacked[path + (k, b)] = keep.pop(b)
+                    out[k] = keep
+                else:
+                    out[k] = rec(v, path + (k,))
+            else:
+                out[k] = v
+        return out
+
+    return rec(layers_tree, ()), stacked
+
+
+def _reinject_stacked(lp: dict, stacked: dict, li) -> dict:
+    """Rebuild the per-layer tree: sliced small leaves + whole stacked
+    weights tagged with the layer index for the prefetch kernels."""
+    for path, arr in stacked.items():
+        d = lp
+        for k in path[:-1]:
+            d = d[k]
+        d[path[-1] + "_stacked"] = arr
+        d["layer_idx"] = li
+    return lp
+
+
 def _norm(cfg: TransformerConfig, p, x):
     if cfg.norm == "rms":
         return layers.rms_norm(p, x, cfg.norm_eps)
@@ -153,13 +198,21 @@ def make_cache(cfg: TransformerConfig, batch: int, max_len: int,
 
 
 def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
-                   cache: KVCache, extra_mask: jax.Array | None = None
+                   cache: KVCache, extra_mask: jax.Array | None = None,
+                   axis_name: str | None = None
                    ) -> tuple[jax.Array, KVCache]:
     """Run the stack on embedded inputs x (B, T, D) writing into `cache` at
     cache.pos. Returns (hidden (B, T, D), advanced cache).
 
     extra_mask: optional additive (B, 1, T, S_max) bias composed onto the
     causal decode mask (e.g. CFG-pair or prompt-padding masks).
+
+    axis_name: set when running INSIDE shard_map with megatron-sharded
+    params (parallel/tp_quant.py): cfg must then be the per-shard local
+    config (n_heads/kv_heads divided by tp), and the row-parallel o/down
+    projections psum their partial outputs over the axis before the
+    residual adds. Row-parallel biases are unsupported here (they would be
+    multiplied by tp) — tp_quant validates that at setup.
     """
     b, t, _ = x.shape
     s_max = cache.max_len
@@ -175,12 +228,15 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
     h_, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
     quant = isinstance(cache, QuantizedKVCache)
 
+    scan_layers, stacked = _split_stacked_quant(params["layers"])
+
     def body(carry, xs):
         if quant:
             x, kq, vq, ks, vs = carry
         else:
             x, kbuf, vbuf = carry
         lp, li = xs
+        lp = _reinject_stacked(lp, stacked, li)
         hn = _norm(cfg, lp["ln1"], x)
         q, k, v = _qkv(cfg, lp["attn"], hn, b, t)
         if cfg.qk_norm:
@@ -214,13 +270,19 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
             vl = jax.lax.dynamic_index_in_dim(
                 vbuf, li, 0, keepdims=False).astype(q.dtype)
         o = attention.attend(q, kl, vl, mask)
-        x = x + layers.linear(lp["attn"]["o"], o.reshape(b, t, h_ * hd))
-        x = x + _mlp(cfg, lp["mlp"], _norm(cfg, lp["ln2"], x))
+        o_proj = layers.linear(lp["attn"]["o"], o.reshape(b, t, h_ * hd))
+        if axis_name is not None:  # row-parallel partial sum (megatron)
+            o_proj = jax.lax.psum(o_proj, axis_name)
+        x = x + o_proj
+        mlp_out = _mlp(cfg, lp["mlp"], _norm(cfg, lp["ln2"], x))
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        x = x + mlp_out
         if quant:
             return (x, kq, vq, ks, vs), None
         return (x, kbuf, vbuf), None
 
-    xs = (params["layers"], jnp.arange(cfg.n_layers))
+    xs = (scan_layers, jnp.arange(cfg.n_layers))
     if quant:
         (x, kq, vq, ks, vs), _ = jax.lax.scan(
             body, (x, cache.k_q, cache.v_q, cache.k_s, cache.v_s), xs)
@@ -233,11 +295,12 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
 
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
-            cache: KVCache, extra_mask: jax.Array | None = None
-            ) -> tuple[jax.Array, KVCache]:
+            cache: KVCache, extra_mask: jax.Array | None = None,
+            axis_name: str | None = None) -> tuple[jax.Array, KVCache]:
     """Token ids (B, T) → (logits (B, T, V), advanced cache)."""
     x = layers.embedding(params["embed"], tokens)
-    h, cache = forward_hidden(params, cfg, x, cache, extra_mask)
+    h, cache = forward_hidden(params, cfg, x, cache, extra_mask,
+                              axis_name=axis_name)
     return logits(params, cfg, h), cache
 
 

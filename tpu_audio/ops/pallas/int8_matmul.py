@@ -105,6 +105,76 @@ def int8_matmul(x: jax.Array, w_i8: jax.Array, scale: jax.Array,
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def _kernel_stacked(l_ref, xq_ref, sx_ref, w_ref, s_ref, out_ref):
+    acc = jax.lax.dot_general(
+        xq_ref[:, :], w_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:, :] = acc.astype(jnp.float32) * sx_ref[:, :] * s_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "interpret"))
+def int8_matmul_stacked(x: jax.Array, w_st: jax.Array, scale: jax.Array,
+                        layer: jax.Array, block_o: int | None = None,
+                        interpret: bool = False) -> jax.Array:
+    """x (B, I) float · layer `layer` of stacked int8 weights (L, O, I).
+
+    The layer index rides Pallas scalar prefetch: the kernel's block
+    index_map selects the layer slice of the stacked HBM array directly, so
+    a lax.scan over layer indices runs copy-free. (XLA materializes a full
+    HBM copy of any scan-sliced operand that feeds a custom call — this
+    entry point exists to avoid exactly that on the decode hot path.)
+
+    scale: this layer's (O, 1) f32 — small, fine to slice outside.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, i = x.shape
+    _, o, _ = w_st.shape
+    xq, sx = quantize_rows(x)
+    b_pad = -(-b // SUBLANE_I8) * SUBLANE_I8
+    if b_pad != b:
+        xq = jnp.pad(xq, ((0, b_pad - b), (0, 0)))
+        sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)))
+    if block_o is None:
+        cap = 2048
+        while cap > 256 and cap * i > VMEM_BUDGET:
+            cap //= 2
+        block_o = next((cand for cand in range(cap, 255, -128)
+                        if o % cand == 0), cap)
+    assert o % block_o == 0, (o, block_o)  # gated by supported_stacked
+    s_row = scale.reshape(1, o).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(o // block_o,),
+        in_specs=[
+            pl.BlockSpec((b_pad, i), lambda g, l: (0, 0)),
+            pl.BlockSpec((b_pad, 1), lambda g, l: (0, 0)),
+            pl.BlockSpec((1, block_o, i), lambda g, l: (l[0], g, 0)),
+            pl.BlockSpec((1, block_o), lambda g, l: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_o), lambda g, l: (0, g)),
+    )
+    out = pl.pallas_call(
+        _kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, o), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, sx, w_st, s_row)
+    return out[:b]
+
+
+def supported_stacked(x: jax.Array, w_st) -> bool:
+    if not supported(x, {"weight_i8": w_st[0] if w_st.ndim == 3 else w_st}):
+        return False
+    o = w_st.shape[-2]
+    i = x.shape[-1]
+    cap = 2048
+    while cap > 256 and cap * i > VMEM_BUDGET:
+        cap //= 2
+    return any(o % cand == 0 for cand in range(cap, 255, -128))
+
+
 def supported(x: jax.Array, p: dict) -> bool:
     try:
         if jax.default_backend() not in ("tpu", "axon"):

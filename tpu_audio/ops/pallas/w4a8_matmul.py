@@ -212,6 +212,124 @@ def w4a8_matmul(x: jax.Array, wp: jax.Array, scales: jax.Array,
     return y + y_bias
 
 
+def _kernel_stacked(pps, l_ref, x_lo_ref, x_hi_ref, sx_ref, wp_ref, se_ref,
+                    so_ref, out_ref):
+    import jax.experimental.pallas as pl
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    wp = wp_ref[0]
+    lo = wp & 15
+    hi16 = wp & (-16)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for pp in range(pps):
+        sl = slice(pp * GROUP, (pp + 1) * GROUP)
+        dlo = jax.lax.dot_general(
+            x_lo_ref[:, sl], lo[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        dhi = jax.lax.dot_general(
+            x_hi_ref[:, sl], hi16[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc += (dlo.astype(jnp.float32) * se_ref[pp, :][None, :]
+                + dhi.astype(jnp.float32) * so_ref[pp, :][None, :])
+    out_ref[:, :] += acc * sx_ref[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_o", "pairs_per_step", "interpret"))
+def w4a8_matmul_stacked(x: jax.Array, wp_st: jax.Array, scales: jax.Array,
+                        biases: jax.Array, layer: jax.Array,
+                        block_o: int | None = None,
+                        pairs_per_step: int = 24,
+                        interpret: bool = False) -> jax.Array:
+    """x (B, I) · layer `layer` of stacked pair-packed int4 (L, O, I/2).
+
+    The layer index rides Pallas scalar prefetch so a lax.scan over layer
+    indices streams the packed weights straight from the stacked HBM array
+    (no per-step scan-slice copy — see int8_matmul_stacked). scales/biases
+    are this layer's (O, G) slices (small; sliced outside).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, i = x.shape
+    _, o, _ = wp_st.shape
+    g = i // GROUP
+    p = i // PAIR
+    pps = _pick_pps(p, pairs_per_step)
+
+    xq, sx = quantize_rows(x)
+    x_lo, x_hi = split_activations(xq)
+    xsum = x.astype(jnp.float32).reshape(b, g, GROUP).sum(-1)
+    y_bias = jax.lax.dot_general(xsum, biases.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+    s_odd = scales.astype(jnp.float32)[..., 1::2]
+    xqsum_odd = x_hi.astype(jnp.float32).reshape(b, p, GROUP).sum(-1)
+    y_bias += 8.0 * sx * jax.lax.dot_general(
+        xqsum_odd, s_odd, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+    b_pad = -(-b // SUBLANE_I8) * SUBLANE_I8
+    if b_pad != b:
+        x_lo = jnp.pad(x_lo, ((0, b_pad - b), (0, 0)))
+        x_hi = jnp.pad(x_hi, ((0, b_pad - b), (0, 0)))
+        sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)))
+
+    if block_o is None:
+        cap = 2048
+        while cap > 256 and cap * i // 2 > VMEM_BUDGET:
+            cap //= 2
+        block_o = next((cand for cand in range(cap, 255, -128)
+                        if o % cand == 0), cap)
+    assert pps and o % block_o == 0, (o, block_o, pps)
+    kb = pps * GROUP
+    se = scales.astype(jnp.float32)[:, 0::2].T
+    so = (s_odd * (1.0 / 16.0)).T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(o // block_o, p // pps),
+        in_specs=[
+            pl.BlockSpec((b_pad, kb), lambda ob, k, l: (0, k)),
+            pl.BlockSpec((b_pad, kb), lambda ob, k, l: (0, k)),
+            pl.BlockSpec((b_pad, 1), lambda ob, k, l: (0, 0)),
+            pl.BlockSpec((1, block_o, kb), lambda ob, k, l: (l[0], ob, k)),
+            pl.BlockSpec((pps, block_o), lambda ob, k, l: (k, ob)),
+            pl.BlockSpec((pps, block_o), lambda ob, k, l: (k, ob)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, block_o), lambda ob, k, l: (0, ob)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, pps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, o), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x_lo, x_hi, sx, wp_st, se, so)
+    return out[:b] + y_bias
+
+
+def supported_stacked(x: jax.Array, wp_st) -> bool:
+    i = x.shape[-1]
+    if not (x.ndim == 2 and i % PAIR == 0
+            and wp_st.shape[-1] * 2 == i
+            and _pick_pps(i // PAIR, 24) > 0):
+        return False
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    o = wp_st.shape[-2]
+    cap = 2048
+    while cap > 256 and cap * i // 2 > VMEM_BUDGET:
+        cap //= 2
+    return any(o % cand == 0 for cand in range(cap, 255, -128))
+
+
 def supported(x: jax.Array, p: dict) -> bool:
     try:
         if jax.default_backend() not in ("tpu", "axon"):

@@ -107,9 +107,9 @@ def expand_for_kernel(p: dict) -> dict:
 
 
 def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
-    if "weight_i8" in p:
+    if "weight_i8" in p or "weight_i8_stacked" in p:
         return int8_linear(p, x)
-    if "weight_q4p" in p:
+    if "weight_q4p" in p or "weight_q4p_stacked" in p:
         return w4a8_linear(p, x)
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
@@ -179,6 +179,30 @@ def dequantize_w4a8(p: dict) -> jax.Array:
 
 
 def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
+    if "weight_q4p_stacked" in p:
+        lead = x.shape[:-1]
+        rows = int(np.prod(lead)) if lead else 1
+        x2 = x.reshape(rows, x.shape[-1])
+        wp_st = p["weight_q4p_stacked"]
+        if rows <= 32:
+            try:
+                from tpu_audio.ops.pallas import w4a8_matmul as w4mm
+
+                if w4mm.supported_stacked(x2, wp_st):
+                    y = w4mm.w4a8_matmul_stacked(
+                        x2, wp_st, p["scales"], p["biases"],
+                        p["layer_idx"]).astype(x.dtype)
+                    y = y.reshape(*lead, y.shape[-1])
+                    if "bias" in p:
+                        y = y + p["bias"].astype(x.dtype)
+                    return y
+            except Exception as exc:
+                _warn_kernel_fallback(exc)
+        sliced = {k: v for k, v in p.items()
+                  if k not in ("weight_q4p_stacked", "layer_idx")}
+        sliced["weight_q4p"] = jax.lax.dynamic_index_in_dim(
+            wp_st, p["layer_idx"], 0, keepdims=False)
+        return w4a8_linear(sliced, x)
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(rows, x.shape[-1])
@@ -284,6 +308,33 @@ def dequantize_int8(p: dict) -> jax.Array:
 
 
 def int8_linear(p: dict, x: jax.Array) -> jax.Array:
+    if "weight_i8_stacked" in p:
+        # scan-over-layers serving layout: the Pallas kernel indexes the
+        # stacked HBM weight itself (scalar prefetch), so no scan-slice
+        # copy materializes; fall back to an explicit slice elsewhere
+        lead = x.shape[:-1]
+        rows = int(np.prod(lead)) if lead else 1
+        x2 = x.reshape(rows, x.shape[-1])
+        w_st = p["weight_i8_stacked"]
+        if rows <= 32:
+            try:
+                from tpu_audio.ops.pallas import int8_matmul as i8mm
+
+                if i8mm.supported_stacked(x2, w_st):
+                    y = i8mm.int8_matmul_stacked(
+                        x2, w_st, p["scale_i8"],
+                        p["layer_idx"]).astype(x.dtype)
+                    y = y.reshape(*lead, y.shape[-1])
+                    if "bias" in p:
+                        y = y + p["bias"].astype(x.dtype)
+                    return y
+            except Exception as exc:
+                _warn_kernel_fallback(exc)
+        sliced = {k: v for k, v in p.items()
+                  if k not in ("weight_i8_stacked", "layer_idx")}
+        sliced["weight_i8"] = jax.lax.dynamic_index_in_dim(
+            w_st, p["layer_idx"], 0, keepdims=False)
+        return int8_linear(sliced, x)
     lead = x.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(rows, x.shape[-1])
