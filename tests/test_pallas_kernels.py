@@ -168,3 +168,19 @@ class TestW4A8Matmul:
         ws = np.concatenate([np.asarray(quant.dequantize_w4a8(d))
                              for d in (q, k, v)], axis=0)
         assert np.abs(wf - ws).max() < 1e-6
+
+    def test_small_pair_count_single_step(self, rng):
+        """TP-sharded widths: p=12 pairs (I=1536) has no divisor that is a
+        multiple of 8, so the kernel runs one k-step with sublane-padded
+        scale planes (_pick_pps fallback)."""
+        from tpu_audio.ops.pallas.w4a8_matmul import _pick_pps, w4a8_matmul
+
+        assert _pick_pps(12, 24) == 12
+        assert _pick_pps(6, 24) == 6
+        x = rng.standard_normal((2, 1536)).astype(np.float32)
+        qd, p = self._quantized(rng, 256, 1536)
+        got = np.asarray(w4a8_matmul(jnp.asarray(x), p["weight_q4p"],
+                                     p["scales"], p["biases"], block_o=256,
+                                     interpret=True))
+        ref = self._reference(x, qd)
+        assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max() + 1e-5

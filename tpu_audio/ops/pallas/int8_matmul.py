@@ -137,8 +137,11 @@ def int8_matmul_stacked(x: jax.Array, w_st: jax.Array, scale: jax.Array,
         xq = jnp.pad(xq, ((0, b_pad - b), (0, 0)))
         sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)))
     if block_o is None:
+        # the scalar-prefetch pipeline buffers more deeply than the plain
+        # kernel (observed scoped-vmem OOM at (3072, 8192) with the full
+        # budget): run at half budget
         cap = 2048
-        while cap > 256 and cap * i > VMEM_BUDGET:
+        while cap > 256 and cap * i > VMEM_BUDGET // 2:
             cap //= 2
         block_o = next((cand for cand in range(cap, 255, -128)
                         if o % cand == 0), cap)
@@ -170,7 +173,7 @@ def supported_stacked(x: jax.Array, w_st) -> bool:
     o = w_st.shape[-2]
     i = x.shape[-1]
     cap = 2048
-    while cap > 256 and cap * i > VMEM_BUDGET:
+    while cap > 256 and cap * i > VMEM_BUDGET // 2:  # matches the kernel
         cap //= 2
     return any(o % cand == 0 for cand in range(cap, 255, -128))
 

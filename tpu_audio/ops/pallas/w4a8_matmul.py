@@ -77,10 +77,15 @@ def split_activations(xq: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _pick_pps(p: int, target: int) -> int:
     """Largest divisor of p that is ≤ target and a multiple of 8 (the f32
-    sublane tile for the streamed scale planes); 0 if none exists."""
+    sublane tile for the streamed scale planes). When no such divisor
+    exists but p itself is small (TP-sharded widths like p=6 or 12), the
+    whole contraction runs as ONE k-step with the scale planes padded up
+    to the sublane tile — returns p in that case; 0 if unsupported."""
     for cand in range(min(p, target), 7, -1):
         if p % cand == 0 and cand % 8 == 0:
             return cand
+    if p <= max(target, 8) and p % 2 == 0:  # kb = 64p must be lane-tiled
+        return p  # single k-step; caller pads the (P, O) scale planes
     return 0
 
 
@@ -168,6 +173,13 @@ def w4a8_matmul(x: jax.Array, wp: jax.Array, scales: jax.Array,
         # scales stream transposed with the pair axis on sublanes
         se = scales.astype(jnp.float32)[:, 0::2].T
         so = (s_odd * (1.0 / 16.0)).T
+        # sublane tile: pad the plane rows when pps isn't a multiple of 8
+        # (single-k-step mode for TP-sharded widths — see _pick_pps)
+        pps_pad = -(-pps // 8) * 8
+        if pps_pad != pps:
+            assert p // pps == 1, (p, pps)
+            se = jnp.pad(se, ((0, pps_pad - pps), (0, 0)))
+            so = jnp.pad(so, ((0, pps_pad - pps), (0, 0)))
         out = pl.pallas_call(
             functools.partial(_kernel, pps),
             out_shape=jax.ShapeDtypeStruct((b_pad, o_main), jnp.float32),
@@ -181,9 +193,9 @@ def w4a8_matmul(x: jax.Array, wp: jax.Array, scales: jax.Array,
                              memory_space=pltpu.VMEM),  # sx
                 pl.BlockSpec((block_o, kb), lambda ob, k: (ob, k),
                              memory_space=pltpu.VMEM),  # wp
-                pl.BlockSpec((pps, block_o), lambda ob, k: (k, ob),
+                pl.BlockSpec((pps_pad, block_o), lambda ob, k: (k, ob),
                              memory_space=pltpu.VMEM),  # even scales (P, O)
-                pl.BlockSpec((pps, block_o), lambda ob, k: (k, ob),
+                pl.BlockSpec((pps_pad, block_o), lambda ob, k: (k, ob),
                              memory_space=pltpu.VMEM),  # odd scales/16
             ],
             out_specs=pl.BlockSpec((b_pad, block_o), lambda ob, k: (0, ob),
@@ -281,8 +293,10 @@ def w4a8_matmul_stacked(x: jax.Array, wp_st: jax.Array, scales: jax.Array,
         sx = jnp.pad(sx, ((0, b_pad - b), (0, 0)))
 
     if block_o is None:
+        # half budget: the scalar-prefetch pipeline buffers more deeply
+        # than the plain kernel (see int8_matmul_stacked)
         cap = 2048
-        while cap > 256 and cap * i // 2 > VMEM_BUDGET:
+        while cap > 256 and cap * i // 2 > VMEM_BUDGET // 2:
             cap //= 2
         block_o = next((cand for cand in range(cap, 255, -128)
                         if o % cand == 0), cap)
@@ -290,6 +304,11 @@ def w4a8_matmul_stacked(x: jax.Array, wp_st: jax.Array, scales: jax.Array,
     kb = pps * GROUP
     se = scales.astype(jnp.float32)[:, 0::2].T
     so = (s_odd * (1.0 / 16.0)).T
+    pps_pad = -(-pps // 8) * 8
+    if pps_pad != pps:
+        assert p // pps == 1, (p, pps)
+        se = jnp.pad(se, ((0, pps_pad - pps), (0, 0)))
+        so = jnp.pad(so, ((0, pps_pad - pps), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(o // block_o, p // pps),
@@ -298,8 +317,8 @@ def w4a8_matmul_stacked(x: jax.Array, wp_st: jax.Array, scales: jax.Array,
             pl.BlockSpec((b_pad, kb), lambda ob, k, l: (0, k)),
             pl.BlockSpec((b_pad, 1), lambda ob, k, l: (0, 0)),
             pl.BlockSpec((1, block_o, kb), lambda ob, k, l: (l[0], ob, k)),
-            pl.BlockSpec((pps, block_o), lambda ob, k, l: (k, ob)),
-            pl.BlockSpec((pps, block_o), lambda ob, k, l: (k, ob)),
+            pl.BlockSpec((pps_pad, block_o), lambda ob, k, l: (k, ob)),
+            pl.BlockSpec((pps_pad, block_o), lambda ob, k, l: (k, ob)),
         ],
         out_specs=pl.BlockSpec((b_pad, block_o), lambda ob, k, l: (0, ob)),
     )
@@ -325,7 +344,7 @@ def supported_stacked(x: jax.Array, wp_st) -> bool:
         return False
     o = wp_st.shape[-2]
     cap = 2048
-    while cap > 256 and cap * i // 2 > VMEM_BUDGET:
+    while cap > 256 and cap * i // 2 > VMEM_BUDGET // 2:  # matches kernel
         cap //= 2
     return any(o % cand == 0 for cand in range(cap, 255, -128))
 
