@@ -47,9 +47,14 @@ class CosyVoice2Engine(TTSEngineBase):
     sample_rate = SR_OUT
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
 
-    def __init__(self, speed: float = 1.0):
+    def __init__(self, speed: float = 1.0, quantization: str = "w8a8"):
+        """quantization: "w8a8" (default) requantizes the 4-bit checkpoint
+        LM to the per-channel int8 serving format at load; "w4a8" repacks
+        losslessly for the int4→int8 MXU kernel; "q4" keeps the
+        checkpoint's group-affine layout (fused dequant kernel)."""
         super().__init__()
         self.speed = speed
+        self.quantization = quantization
         self.lm: lm_mod.CosyLMGenerator | None = None
         self.lm_cfg = lm_mod.CosyLMConfig()
         self.s3gen_params = None
@@ -68,6 +73,14 @@ class CosyVoice2Engine(TTSEngineBase):
 
         (lm_params, self.lm_cfg, self.s3gen_params, self.s3gen_cfg,
          self.tok_params, self.tok_cfg, self.tokenizer) = cvload.load()
+        if self.quantization == "w8a8":
+            from tpu_audio.ops import quant
+
+            lm_params = quant.requantize_tree_int8(lm_params)
+        elif self.quantization == "w4a8":
+            from tpu_audio.ops import quant
+
+            lm_params = quant.repack_tree_w4a8(lm_params)
         self.lm = lm_mod.CosyLMGenerator(lm_params, self.lm_cfg)
         self.is_loaded = True
 

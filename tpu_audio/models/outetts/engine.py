@@ -89,9 +89,15 @@ class OuteTTSEngine(TTSEngineBase):
     sample_rate = 24000
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
 
-    def __init__(self, speaker: SpeakerProfile | None = None):
+    def __init__(self, speaker: SpeakerProfile | None = None,
+                 quantization: str = "w8a8"):
+        """quantization: "w8a8" (default) requantizes the 4-bit checkpoint
+        to the per-channel int8 serving format at load (1B decode 2.66
+        ms/token vs 5.6 bf16-parity q4); "w4a8" repacks losslessly for the
+        int4→int8 MXU kernel; "q4" keeps the checkpoint layout."""
         super().__init__()
         self.speaker = speaker
+        self.quantization = quantization
         self.lm: CausalLMGenerator | None = None
         self.tokenizer = None
         self.dac_params = None
@@ -108,6 +114,14 @@ class OuteTTSEngine(TTSEngineBase):
         path = hub.snapshot(LLM_REPO, matching=["*.safetensors", "config.json",
                                                 "tokenizer.json"])
         params, cfg = load_llama.load_llama_dir(path)
+        if self.quantization == "w8a8":
+            from tpu_audio.ops import quant
+
+            params = quant.requantize_tree_int8(params)
+        elif self.quantization == "w4a8":
+            from tpu_audio.ops import quant
+
+            params = quant.repack_tree_w4a8(params)
         self.lm = CausalLMGenerator(params, cfg, max_cache=4096)
         self.tokenizer = load_tokenizer(path)
         dac_path = hub.snapshot(DAC_REPO, matching=["*.safetensors",
