@@ -24,7 +24,7 @@ import numpy as np
 TOKENS_PER_WINDOW = 200  # typical upper bound for 30 s of speech
 AUDIO_SECONDS = 30.0
 BASELINE_XRT = 50.0
-BATCH = 8
+BATCH = 16
 
 
 def main():
