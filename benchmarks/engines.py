@@ -194,9 +194,13 @@ def run_tts(eng, kw: dict, sr: int) -> None:
 
 def run_stt(eng, kw: dict, sr: int) -> None:
     audio = _ref_audio(seconds=10.0, sr=sr)
+    # random weights never sample EOS, so an uncapped run decodes the full
+    # max_new budget (256 tokens ≈ a minute of speech text) — cap at the
+    # realistic output length for 10 s of speech (~30 words ≈ 48 tokens)
+    # so the measured decode matches production behavior
     for run in range(WARMUP + RUNS):
         t0 = time.perf_counter()
-        res = eng.transcribe(audio)
+        res = eng.transcribe(audio, max_new_tokens=48)
         total = time.perf_counter() - t0
         tag = "warmup" if run < WARMUP else f"run {run - WARMUP + 1}"
         print(f"[{tag}] 10.0s audio in {total:.2f}s -> {10.0 / total:.1f}x RT"

@@ -85,3 +85,38 @@ class TestEngine:
         assert isinstance(res.text, str)
         chunks = list(eng.transcribe_streaming(audio, max_new_tokens=8))
         assert len(chunks) >= 1
+
+
+def test_adaptor_fused_qkv_matches_unfused():
+    """fuse_int8_tree fuses the adaptor's q/k/v; adapt() must handle the
+    fused leaf identically (this broke the w8a8 serving path)."""
+    from tpu_audio.models.funasr import model as fmodel
+    from tpu_audio.ops import quant
+
+    cfg = fmodel.FunASRConfig()
+    acfg = cfg.adaptor
+    params = fmodel.init_adaptor(jax.random.PRNGKey(0), acfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (1, 8 * acfg.downsample_rate, acfg.encoder_dim)), jnp.float32)
+    lens = jnp.asarray([8 * acfg.downsample_rate], jnp.int32)
+    ref, _ = fmodel.adapt(params, acfg, x, lens)
+
+    def to_i8(leaf):
+        d = quant.quantize_array_int8(np.asarray(leaf["weight"], np.float32))
+        out = {k: jnp.asarray(v) for k, v in d.items()}
+        if "bias" in leaf:
+            out["bias"] = leaf["bias"]
+        return out
+
+    qp = jax.tree_util.tree_map(lambda a: a, params)
+    for i in range(acfg.n_layer):
+        at = qp["blocks"][str(i)]["attn"]
+        qp["blocks"][str(i)]["attn"] = {k: to_i8(v) if k in "qkvo" else v
+                                        for k, v in at.items()}
+    fused = quant.fuse_int8_tree(qp)
+    assert "qkv" in fused["blocks"]["0"]["attn"]
+    got, _ = fmodel.adapt(fused, acfg, x, lens)
+    # int8 quantization error only — fused vs unfused is the same math
+    assert np.corrcoef(np.asarray(got).ravel(),
+                       np.asarray(ref).ravel())[0, 1] > 0.999

@@ -197,9 +197,14 @@ def adapt(params, cfg: AdaptorConfig, x: jax.Array, lengths):
     for i in range(cfg.n_layer):
         bp = params["blocks"][str(i)]
         hn = layers.layer_norm(bp["norm1"], x)
-        q = layers.linear(bp["attn"]["q"], hn).reshape(b, t2, h_, hd)
-        kk = layers.linear(bp["attn"]["k"], hn).reshape(b, t2, h_, hd)
-        v = layers.linear(bp["attn"]["v"], hn).reshape(b, t2, h_, hd)
+        if "qkv" in bp["attn"]:  # fused leaf (ops/quant.fuse_int8_tree)
+            qkv = layers.linear(bp["attn"]["qkv"], hn)
+            q, kk, v = (a.reshape(b, t2, h_, hd)
+                        for a in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = layers.linear(bp["attn"]["q"], hn).reshape(b, t2, h_, hd)
+            kk = layers.linear(bp["attn"]["k"], hn).reshape(b, t2, h_, hd)
+            v = layers.linear(bp["attn"]["v"], hn).reshape(b, t2, h_, hd)
         o = attention.attend(q, kk, v, bias)
         x = x + layers.linear(bp["attn"]["o"], o.reshape(b, t2, cfg.llm_dim))
         hn = layers.layer_norm(bp["norm2"], x)
