@@ -270,3 +270,38 @@ class TestTPQuantServing:
                               max_new=12, seed=4, should_stop=lambda: False,
                               span=4)
         assert got == ref
+
+    def test_tp_quant_w4a8_decode_matches_single(self):
+        """W4A8 leaves under shard_map TP: column shards split output
+        channels, row shards split whole group-64s (scales/biases shard on
+        the group axis). CPU-mesh fallback = exact dequant, so partial
+        sums must reproduce the single-device decode exactly."""
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        cfg = transformer_mod.TransformerConfig(
+            dim=256, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=512,
+            vocab_size=96, tie_word_embeddings=True)
+        params = transformer_mod.init_params(jax.random.PRNGKey(1), cfg)
+        qp = jax.tree_util.tree_map(lambda x: x, params)
+        for sub, names in (("attn", ("q", "k", "v", "o")),
+                           ("mlp", ("gate", "up", "down"))):
+            for name in names:
+                w = np.asarray(params["layers"][sub][name]["weight"])
+                qs = [quant.quantize_array(w[l], bits=4, group=64)
+                      for l in range(w.shape[0])]
+                stacked = {k: np.stack([q[k] for q in qs]) for k in qs[0]}
+                qp["layers"][sub][name] = quant.repack_w4a8(stacked)
+        qp["layers"] = quant.fuse_w4a8_tree(qp["layers"])
+        assert "qkv" in qp["layers"]["attn"]
+
+        sampler = SamplerConfig(temperature=0.0)
+        kw = dict(sampler=sampler, eos_ids=(95,), max_new=10, seed=2)
+        single = CausalLMGenerator(qp, cfg, max_cache=64)
+        ref = single.generate([3, 5, 7], **kw)
+        mesh = make_mesh(dp=4, tp=2)
+        gen = CausalLMGenerator(qp, cfg, max_cache=64, mesh=mesh)
+        assert gen._axis == "tp"
+        got = gen.generate([3, 5, 7], **kw)
+        assert got == ref
