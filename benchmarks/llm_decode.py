@@ -23,6 +23,7 @@ SIZES = {
     "3b": (3072, 28, 24, 8, 8192, 128266),   # Orpheus (Llama-3.2-3B)
     "1b": (2048, 16, 32, 8, 8192, 134400),   # OuteTTS (Llama-3.2-1B)
     "0.5b": (896, 24, 14, 2, 4864, 151936),  # CosyVoice2 (Qwen2.5-0.5B)
+    "tiny": (128, 2, 4, 2, 256, 512),        # CPU smoke tests only
 }
 
 
@@ -42,6 +43,14 @@ def main() -> None:
                          "in-kernel + int8 activations (0.5 B/weight)")
     ap.add_argument("--greedy", action="store_true",
                     help="temperature 0 (isolates sampler cost)")
+    ap.add_argument("--spec", default="off",
+                    choices=["off", "ngram", "1b", "0.5b", "self"],
+                    help="speculative decoding: n-gram self-draft, a "
+                         "smaller draft model (same vocab, random init), "
+                         "or 'self' (draft == target; realizes the "
+                         "accept-rate=1 upper bound end-to-end)")
+    ap.add_argument("--gamma", type=int, default=8,
+                    help="drafted tokens per speculative iteration")
     args = ap.parse_args()
 
     import jax
@@ -58,11 +67,18 @@ def main() -> None:
           f"({dim}d x {layers}L, vocab {vocab})")
 
     t0 = time.perf_counter()
-    params = transformer.init_params(jax.random.PRNGKey(0), cfg,
-                                     dtype=jnp.bfloat16)
-    if args.q4:
-        # synthesize MLX-format int4 leaves for every big matmul (random
-        # packed weights: perf depends only on shapes/dtypes)
+    kind = ("q4" if args.q4 else "w8a8" if args.w8a8
+            else "w4a8" if args.w4a8 else "bf16")
+
+    def synth_params(cfg):
+        """Random params at production shapes/dtypes (perf depends only on
+        shapes), with quantized leaves per --q4/--w8a8/--w4a8."""
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg,
+                                         dtype=jnp.bfloat16)
+        if kind == "bf16":
+            return params
+        dim, hidden, vocab = cfg.dim, cfg.hidden_dim, cfg.vocab_size
+
         def q4_leaf(key, shape):
             o, i = shape[-2], shape[-1]
             lead = shape[:-2]
@@ -74,51 +90,17 @@ def main() -> None:
                 "biases": jax.random.normal(key, (*lead, o, i // 64),
                                             jnp.float32) * 0.01,
             }
-        k = jax.random.PRNGKey(7)
-        L = cfg.n_layers
-        lay = params["layers"]
-        hd = cfg.hd
-        for name, shape in (("q", (L, cfg.n_heads * hd, dim)),
-                            ("k", (L, cfg.kv_heads * hd, dim)),
-                            ("v", (L, cfg.kv_heads * hd, dim)),
-                            ("o", (L, dim, cfg.n_heads * hd))):
-            lay["attn"][name] = q4_leaf(jax.random.fold_in(k, hash(name) % 97),
-                                        shape)
-        for name, shape in (("gate", (L, hidden, dim)),
-                            ("up", (L, hidden, dim)),
-                            ("down", (L, dim, hidden))):
-            lay["mlp"][name] = q4_leaf(jax.random.fold_in(k, hash(name) % 89),
-                                       shape)
-        params["lm_head"] = q4_leaf(jax.random.fold_in(k, 3), (vocab, dim))
-    if args.w8a8:
+
         def i8_leaf(key, shape):
             o, i = shape[-2], shape[-1]
             lead = shape[:-2]
             return {
-                "weight_i8": jax.random.randint(key, (*lead, o, i), -127, 128,
-                                                jnp.int8),
+                "weight_i8": jax.random.randint(key, (*lead, o, i), -127,
+                                                128, jnp.int8),
                 "scale_i8": jax.random.uniform(key, (*lead, o, 1),
                                                jnp.float32, 0.001, 0.02),
             }
-        k = jax.random.PRNGKey(7)
-        L = cfg.n_layers
-        lay = params["layers"]
-        hd = cfg.hd
-        for name, shape in (("q", (L, cfg.n_heads * hd, dim)),
-                            ("k", (L, cfg.kv_heads * hd, dim)),
-                            ("v", (L, cfg.kv_heads * hd, dim)),
-                            ("o", (L, dim, cfg.n_heads * hd))):
-            lay["attn"][name] = i8_leaf(jax.random.fold_in(k, hash(name) % 97),
-                                        shape)
-        for name, shape in (("gate", (L, hidden, dim)),
-                            ("up", (L, hidden, dim)),
-                            ("down", (L, dim, hidden))):
-            lay["mlp"][name] = i8_leaf(jax.random.fold_in(k, hash(name) % 89),
-                                       shape)
-        params["lm_head"] = i8_leaf(jax.random.fold_in(k, 3), (vocab, dim))
-        from tpu_audio.ops import quant
-        params = quant.fuse_int8_tree(params)
-    if args.w4a8:
+
         def q4p_leaf(key, shape):
             o, i = shape[-2], shape[-1]
             lead = shape[:-2]
@@ -130,6 +112,8 @@ def main() -> None:
                 "biases": jax.random.normal(key, (*lead, o, i // 64),
                                             jnp.float32) * 0.01,
             }
+
+        leaf = {"q4": q4_leaf, "w8a8": i8_leaf, "w4a8": q4p_leaf}[kind]
         k = jax.random.PRNGKey(7)
         L = cfg.n_layers
         lay = params["layers"]
@@ -138,25 +122,34 @@ def main() -> None:
                             ("k", (L, cfg.kv_heads * hd, dim)),
                             ("v", (L, cfg.kv_heads * hd, dim)),
                             ("o", (L, dim, cfg.n_heads * hd))):
-            lay["attn"][name] = q4p_leaf(
-                jax.random.fold_in(k, hash(name) % 97), shape)
+            lay["attn"][name] = leaf(jax.random.fold_in(k, hash(name) % 97),
+                                     shape)
         for name, shape in (("gate", (L, hidden, dim)),
                             ("up", (L, hidden, dim)),
                             ("down", (L, dim, hidden))):
-            lay["mlp"][name] = q4p_leaf(
-                jax.random.fold_in(k, hash(name) % 89), shape)
-        params["lm_head"] = q4p_leaf(jax.random.fold_in(k, 3), (vocab, dim))
-        from tpu_audio.ops import quant
-        params = quant.fuse_w4a8_tree(params)
+            lay["mlp"][name] = leaf(jax.random.fold_in(k, hash(name) % 89),
+                                    shape)
+        params["lm_head"] = leaf(jax.random.fold_in(k, 3), (vocab, dim))
+        if kind == "w8a8":
+            from tpu_audio.ops import quant
+            params = quant.fuse_int8_tree(params)
+        elif kind == "w4a8":
+            from tpu_audio.ops import quant
+            params = quant.fuse_w4a8_tree(params)
+        return params
+
+    params = synth_params(cfg)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     np.asarray(np.asarray(jax.tree_util.tree_leaves(params)[0])[:1])  # sync
     gb = sum(x.size * x.dtype.itemsize
              for x in jax.tree_util.tree_leaves(params)) / 1e9
-    kind = ("q4" if args.q4 else "w8a8" if args.w8a8
-            else "w4a8" if args.w4a8 else "bf16")
     print(f"init {n_params / 1e9:.2f}B params ({gb:.1f} GB "
           f"{kind}) in {time.perf_counter() - t0:.1f}s")
+
+    if args.spec != "off":
+        _run_spec(args, cfg, params, gb, synth_params)
+        return
 
     max_len = args.prompt + args.tokens + 8
     sampler = (sampling.SamplerConfig(temperature=0.0) if args.greedy
@@ -202,6 +195,117 @@ def main() -> None:
     bw = gb / (per_tok * B)  # weights are read once per STEP, not per token
     print(f"effective weight bandwidth {bw:.0f} GB/s "
           f"(v5e HBM ~819 GB/s -> {bw / 819 * 100:.0f}% of roofline)")
+
+
+def _run_spec(args, cfg, params, gb, synth_params) -> None:
+    """Speculative decoding latency measurement.
+
+    The per-ITERATION cost (gamma draft steps + one chunked verify) is
+    independent of the accept rate — acceptance only changes how many
+    tokens each iteration emits — so ms/iteration measured with random
+    weights is the true hardware number; the checkpoint-dependent accept
+    rate then maps it to ms/token. We print the measured end-to-end run,
+    the projection ms/token(alpha), and the breakeven alpha vs plain
+    decode. --spec self realizes alpha=1 end-to-end (draft == target:
+    rejection sampling provably always accepts), giving the measured
+    upper bound."""
+    import jax
+
+    from tpu_audio.models.orpheus.model import CausalLMGenerator, DraftModel
+    from tpu_audio.nn import transformer
+    from tpu_audio.ops import sampling
+
+    vocab = cfg.vocab_size
+    max_cache = args.prompt + args.tokens + args.gamma + 24
+    sampler = (sampling.SamplerConfig(temperature=0.0) if args.greedy
+               else sampling.SamplerConfig(temperature=0.8, top_k=50))
+    gen = CausalLMGenerator(params, cfg, max_cache=max_cache)
+    prompt_ids = list(np.random.default_rng(0).integers(
+        0, vocab, args.prompt))
+
+    if args.spec == "ngram":
+        draft = None
+    elif args.spec == "self":
+        draft = DraftModel(params, cfg, max_cache=max_cache)
+    else:
+        d, l, h, kv, hid, _ = SIZES[args.spec]
+        dcfg = transformer.TransformerConfig(
+            dim=d, n_layers=l, n_heads=h, n_kv_heads=kv, hidden_dim=hid,
+            vocab_size=vocab)
+        draft = DraftModel(synth_params(dcfg), dcfg, max_cache=max_cache)
+        dgb = sum(x.size * x.dtype.itemsize for x in
+                  jax.tree_util.tree_leaves(draft.params)) / 1e9
+        print(f"draft: {args.spec} ({dgb:.1f} GB)")
+
+    kw = dict(sampler=sampler, eos_ids=(vocab - 1,), max_new=args.tokens,
+              gamma=args.gamma, draft=draft)
+    t0 = time.perf_counter()
+    out = gen.generate_speculative(prompt_ids, seed=1, **kw)
+    print(f"spec compile+first: {time.perf_counter() - t0:.1f}s")
+
+    runs, n_tok, n_iter, n_drafted, n_acc = 3, 0, 0, 0, 0
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = gen.generate_speculative(prompt_ids, seed=2 + i, **kw)
+        st = gen.last_spec_stats
+        n_tok += max(len(out), 1)
+        n_iter += max(st["iterations"], 1)
+        n_drafted += st["drafted"]
+        n_acc += st["accepted"]
+    dt = (time.perf_counter() - t0) / runs
+    ms_iter = dt * runs / n_iter * 1000
+    ms_tok = dt * runs / n_tok * 1000
+    alpha = n_acc / n_drafted if n_drafted else 0.0
+    print(f"spec[{args.spec}] gamma={args.gamma}: {ms_iter:.2f} ms/iter, "
+          f"measured accept_rate={alpha:.2f} -> {ms_tok:.2f} ms/token "
+          f"({n_tok / runs:.0f} tok/run)")
+
+    # plain-decode baseline for breakeven
+    from tpu_audio.ops import decoding
+
+    def fn(params, prompt, key):
+        cache = transformer.make_cache(cfg, 1, max_cache)
+        logits, cache = transformer.forward(params, cfg, prompt, cache)
+
+        def step(tok, cache):
+            lg, cache = transformer.forward(params, cfg, tok, cache)
+            return lg[:, -1], cache
+
+        k1, k2 = jax.random.split(key)
+        first = sampling.sample(k1, logits[:, -1], sampler)
+        res = decoding.decode_loop(k2, step, cache, first, args.tokens,
+                                   eos_ids=(vocab - 1,), sampler=sampler)
+        return res.tokens, res.lengths
+
+    import jax.numpy as jnp
+    jfn = jax.jit(fn)
+    prompt = jnp.asarray(np.asarray(prompt_ids, np.int32)[None])
+    toks, lens = jfn(params, prompt, jax.random.PRNGKey(1))
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    n_gen = 0
+    for i in range(runs):
+        toks, lens = jfn(params, prompt, jax.random.PRNGKey(5 + i))
+        np.asarray(toks)
+        n_gen += max(int(np.asarray(lens).sum()), 1)
+    plain_ms = (time.perf_counter() - t0) / n_gen * 1000
+    print(f"plain decode: {plain_ms:.2f} ms/token")
+
+    def e_tok(a):  # expected emitted tokens per iteration
+        g = args.gamma
+        return g + 1 if a >= 1.0 else (1 - a ** (g + 1)) / (1 - a)
+
+    proj = {f"{a:.1f}": f"{ms_iter / e_tok(a):.2f}"
+            for a in (0.5, 0.7, 0.8, 0.9, 1.0)}
+    print(f"projection ms/token vs accept rate: {proj}")
+    lo, hi = 0.0, 1.0
+    for _ in range(40):
+        mid = (lo + hi) / 2
+        if ms_iter / e_tok(mid) > plain_ms:
+            lo = mid
+        else:
+            hi = mid
+    print(f"breakeven accept rate vs plain decode: {hi:.2f}")
 
 
 if __name__ == "__main__":

@@ -143,6 +143,36 @@ class TestOrpheusEngine:
         assert "tara" in OrpheusEngine.voices
         assert "<laugh>" in OrpheusEngine.expression_tags
 
+    def test_speculative_ngram_engine_matches_plain(self):
+        """speculative="ngram" at temperature 0 produces byte-identical
+        audio to the plain engine (greedy speculative is exact)."""
+        lm_params = transformer.init_params(jax.random.PRNGKey(2), TINY_LM)
+        snac_params = snac.init_params(jax.random.PRNGKey(3), TINY_SNAC)
+        ref = OrpheusEngine.from_params(lm_params, TINY_LM, snac_params,
+                                        TINY_SNAC, max_cache=256)
+        ref.temperature = 0.0
+        r0 = ref.generate("Hello there.", max_new_tokens=48)
+
+        spec = OrpheusEngine.from_params(lm_params, TINY_LM, snac_params,
+                                         TINY_SNAC, max_cache=256)
+        spec.temperature = 0.0
+        spec.speculative = "ngram"
+        spec.gamma = 4
+        r1 = spec.generate("Hello there.", max_new_tokens=48)
+        assert r0.samples.shape == r1.samples.shape
+        assert np.allclose(r0.samples, r1.samples, atol=1e-6)
+        assert spec.lm.last_spec_stats["iterations"] >= 1
+
+    def test_warmup_compiles_and_times(self):
+        lm_params = transformer.init_params(jax.random.PRNGKey(2), TINY_LM)
+        snac_params = snac.init_params(jax.random.PRNGKey(3), TINY_SNAC)
+        eng = OrpheusEngine.from_params(lm_params, TINY_LM, snac_params,
+                                        TINY_SNAC, max_cache=256)
+        t = eng.warmup()
+        assert set(t) == {"short"} and t["short"] > 0
+        t2 = eng.warmup(full=True)
+        assert {"short", "medium", "long"} <= set(t2)
+
 
 class TestBatchGeneration:
     """Multi-stream serving: generate_batch decodes B prompts in one

@@ -37,7 +37,7 @@ class OrpheusEngine(TTSEngineBase):
 
     def __init__(self, voice: str = "tara", temperature: float = 0.6,
                  top_p: float = 0.8, quantization: str = "w8a8",
-                 mesh=None):
+                 mesh=None, speculative=None, gamma: int = 8):
         """quantization: "w8a8" (default — per-channel int8 serving format,
         3B decode 6.1 ms/token vs 11.0 bf16 on v5e) requantizes the 4-bit
         checkpoint at load; "w4a8" repacks it losslessly for the int4→int8
@@ -47,13 +47,23 @@ class OrpheusEngine(TTSEngineBase):
 
         mesh: optional jax.sharding.Mesh with a "tp" axis — the 3B LM then
         serves tensor-parallel (megatron rules + head-sharded KV cache),
-        token-identical to single-device decode (SURVEY §2C)."""
+        token-identical to single-device decode (SURVEY §2C).
+
+        speculative: None (off, bit-stable spanned decode with in-loop
+        cancellation), "ngram" (prompt-lookup self-drafting — no second
+        model), or a DraftModel (a small same-vocab LM, e.g. a distilled
+        1B, drafting for the 3B). Speculative decoding emits up to
+        gamma+1 tokens per 3B weight pass with every token distributed
+        EXACTLY as the normal sampler (ops/speculative.py); cancellation
+        is then checked between sentences rather than between spans."""
         super().__init__()
         self.voice = voice
         self.temperature = temperature
         self.top_p = top_p
         self.quantization = quantization
         self.mesh = mesh
+        self.speculative = speculative
+        self.gamma = gamma
         self.lm: CausalLMGenerator | None = None
         self.snac_params = None
         self.snac_cfg = snac.SNACConfig()
@@ -170,10 +180,18 @@ class OrpheusEngine(TTSEngineBase):
             self._check_stopped()
             prompt = f"{self.voice}: {sentence}"
             ids = build_prompt_ids(self.tokenizer.encode(prompt))
-            generated = self.lm.generate(
-                ids, sampler=sampler, eos_ids=(omodel.END_TOKEN,),
-                max_new=max_new_tokens, seed=si,
-                should_stop=self._stop_flag.is_set)  # cancel between spans
+            if self.speculative is not None:
+                draft = (None if self.speculative == "ngram"
+                         else self.speculative)
+                generated = self.lm.generate_speculative(
+                    ids, sampler=sampler, eos_ids=(omodel.END_TOKEN,),
+                    max_new=max_new_tokens, seed=si, gamma=self.gamma,
+                    draft=draft)
+            else:
+                generated = self.lm.generate(
+                    ids, sampler=sampler, eos_ids=(omodel.END_TOKEN,),
+                    max_new=max_new_tokens, seed=si,
+                    should_stop=self._stop_flag.is_set)  # cancel between spans
             self._check_stopped()
             layers_ = parse_frames(generated)
             audio = self._decode_snac(layers_)

@@ -56,6 +56,22 @@ def build_prompt_ids(text_ids: list[int]) -> list[int]:
     return [START_TOKEN] + list(text_ids) + [TEXT_END_TOKEN, VOICE_PREFIX_TOKEN]
 
 
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DraftModel:
+    """A small same-vocab model used to draft tokens for speculative
+    decoding (e.g. a 1B Llama drafting for the 3B Orpheus — the two share
+    the CausalLMGenerator stack). Params may be bf16 or quantized
+    (ops/quant leaf-dicts); under TP-quant shard_map the draft runs
+    replicated on every device."""
+
+    params: dict = field(repr=False)
+    cfg: transformer.TransformerConfig
+    max_cache: int = 2048
+
+
 class CausalLMGenerator:
     """Compiled prefill+decode over nn/transformer for any Llama-family
     config; shared by Orpheus, OuteTTS, Chatterbox T3 and CosyVoice LMs.
@@ -183,18 +199,23 @@ class CausalLMGenerator:
         def run(params, prompt, pad_amount, key):
             cache = self._constrain_cache(
                 transformer.make_cache(cfg, 1, self.max_cache))
-            # left-padded prompt: mask key slots < pad_amount everywhere
+            # left-padded prompt: mask key slots < pad_amount everywhere;
+            # pos_offset makes RoPE see canonical positions 0,1,2,... so
+            # every bucket size yields BIT-identical logits
             slot = jnp.arange(self.max_cache)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+            off = jnp.reshape(pad_amount, (1,))
             logits, cache = transformer.forward(params, cfg, prompt[None],
                                                 cache, extra_mask=extra,
-                                                axis_name=self._axis)
+                                                axis_name=self._axis,
+                                                pos_offset=off)
             first_logits = logits[0, -1].astype(jnp.float32)
 
             def step(tok, cache):
                 lg, cache = transformer.forward(params, cfg, tok, cache,
                                                 extra_mask=extra,
-                                                axis_name=self._axis)
+                                                axis_name=self._axis,
+                                                pos_offset=off)
                 return lg[:, -1].astype(jnp.float32), cache
 
             from tpu_audio.ops import sampling as S
@@ -263,7 +284,8 @@ class CausalLMGenerator:
                               0.0, -1e30)[:, None, None, :]
             logits, cache = transformer.forward(params, cfg, prompts, cache,
                                                 extra_mask=extra,
-                                                axis_name=self._axis)
+                                                axis_name=self._axis,
+                                                pos_offset=pad_amounts)
             from tpu_audio.ops import sampling as S
 
             k1, k2 = jax.random.split(key)
@@ -273,7 +295,8 @@ class CausalLMGenerator:
             def step(tok, cache):
                 lg, cache = transformer.forward(params, cfg, tok, cache,
                                                 extra_mask=extra,
-                                                axis_name=self._axis)
+                                                axis_name=self._axis,
+                                                pos_offset=pad_amounts)
                 return lg[:, -1].astype(jnp.float32), cache
 
             res = decode_loop(k2, step, cache, first, max_new - 1,
@@ -323,6 +346,128 @@ class CausalLMGenerator:
                            [int(t) for t in tokens[r][: int(lengths[r])]])
         return out
 
+    # ------------------------------------------------------- speculative
+
+    def _spec_fn(self, prompt_pad: int, max_new: int, sampler: SamplerConfig,
+                 eos_ids: tuple, gamma: int, draft):
+        dcfg = draft.cfg if draft is not None else None
+        key_ = ("spec", prompt_pad, max_new, sampler, eos_ids, gamma, dcfg,
+                draft.max_cache if draft is not None else 0)
+        if key_ in self._fns:
+            return self._fns[key_]
+        import dataclasses
+
+        from tpu_audio.ops import sampling as S
+        from tpu_audio.ops.speculative import speculative_decode_loop
+
+        cfg = self.cfg_run
+
+        def run(params, draft_params, prompt, pad_amount, key):
+            cache = self._constrain_cache(
+                transformer.make_cache(cfg, 1, self.max_cache))
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot >= pad_amount, 0.0,
+                              -1e30)[None, None, None, :]
+            off = jnp.reshape(pad_amount, (1,))
+            logits, cache = transformer.forward(params, cfg, prompt[None],
+                                                cache, extra_mask=extra,
+                                                axis_name=self._axis,
+                                                pos_offset=off)
+            k1, k2 = jax.random.split(key)
+            first = S.sample(k1, logits[0, -1].astype(jnp.float32)[None],
+                             sampler).astype(jnp.int32)
+            second_last = prompt[-1][None]  # last real prompt token
+
+            def t_step(toks, c):
+                lg, c = transformer.forward(params, cfg, toks, c,
+                                            extra_mask=extra,
+                                            axis_name=self._axis,
+                                            pos_offset=off)
+                return lg.astype(jnp.float32), c
+
+            common = dict(max_new_tokens=max_new - 1, gamma=gamma,
+                          eos_ids=eos_ids, sampler=sampler,
+                          pad_id=self.pad_id)
+            if draft is not None:
+                # the draft runs replicated (no axis_name): it is small, and
+                # under TP-quant shard_map every device drafts identically
+                d_slot = jnp.arange(draft.max_cache)
+                d_extra = jnp.where(d_slot >= pad_amount, 0.0,
+                                    -1e30)[None, None, None, :]
+                d_cache = transformer.make_cache(dcfg, 1, draft.max_cache)
+                _, d_cache = transformer.forward(draft_params, dcfg,
+                                                 prompt[None], d_cache,
+                                                 extra_mask=d_extra,
+                                                 pos_offset=off)
+                # invariant: draft.pos = target.pos - 1 (the first 2-token
+                # draft step re-deposits the last prompt token's KV)
+                d_cache = dataclasses.replace(d_cache, pos=d_cache.pos - 1)
+
+                def d_step(toks, c):
+                    lg, c = transformer.forward(draft_params, dcfg, toks, c,
+                                                extra_mask=d_extra,
+                                                pos_offset=off)
+                    return lg.astype(jnp.float32), c
+
+                res = speculative_decode_loop(
+                    k2, t_step, cache, first, second_last,
+                    draft_step=d_step, draft_cache=d_cache, **common)
+            else:
+                h = prompt_pad + max_new + 2 * gamma + 4
+                hist = jnp.zeros((1, h), jnp.int32)
+                hist = hist.at[0, :prompt_pad].set(jnp.roll(prompt,
+                                                            -pad_amount))
+                res = speculative_decode_loop(
+                    k2, t_step, cache, first, second_last, history=hist,
+                    history_len=prompt_pad - pad_amount, **common)
+            return (first, res.tokens, res.lengths, res.iterations,
+                    res.drafted, res.accepted)
+
+        if self._axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            dspec = jax.tree_util.tree_map(
+                lambda _: P(), draft.params if draft is not None else {})
+            fn = self._compile(run, in_extra=[dspec, P(), P(), P()])
+        else:
+            fn = self._compile(run, n_extra_args=4)
+        self._fns[key_] = fn
+        return fn
+
+    def generate_speculative(self, prompt_ids: list[int], *,
+                             sampler: SamplerConfig, eos_ids: tuple,
+                             max_new: int, seed: int = 0, bucket: int = 32,
+                             gamma: int = 5,
+                             draft: "DraftModel | None" = None) -> list[int]:
+        """generate(), but emitting up to gamma+1 tokens per target weight
+        pass via speculative decoding (ops/speculative.py). Every emitted
+        token has EXACTLY the same distribution as generate()'s sampler
+        (incl. repetition penalty and RAS), though not the same stream for
+        a given seed. draft=None uses n-gram prompt-lookup self-drafting;
+        pass a DraftModel (same vocab) for model-based drafting.
+
+        Accept statistics from the last call land in self.last_spec_stats."""
+        n = len(prompt_ids)
+        pad = -(-n // bucket) * bucket
+        prompt = np.full(pad, self.pad_id, np.int32)
+        prompt[pad - n:] = prompt_ids
+        fn = self._spec_fn(pad, max_new, sampler, tuple(eos_ids), gamma,
+                           draft)
+        dparams = draft.params if draft is not None else {}
+        first, tokens, lengths, iters, drafted, accepted = fn(
+            self.params, dparams, jnp.asarray(prompt), jnp.int32(pad - n),
+            jax.random.PRNGKey(seed))
+        it, dr, ac = int(iters), int(drafted), int(accepted)
+        self.last_spec_stats = {
+            "iterations": it, "drafted": dr, "accepted": ac,
+            "accept_rate": ac / dr if dr else 0.0,
+            "tokens_per_iteration": (ac + it) / it if it else 0.0}
+        first = int(first[0])
+        if first in eos_ids:
+            return []
+        return [first] + [int(t) for t in
+                          np.asarray(tokens[0][: int(lengths[0])])]
+
     # ------------------------------------------------------------- spans
 
     def _prefill_fn(self, prompt_pad: int, sampler: SamplerConfig):
@@ -338,7 +483,9 @@ class CausalLMGenerator:
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
             logits, cache = transformer.forward(params, cfg, prompt[None],
                                                 cache, extra_mask=extra,
-                                                axis_name=self._axis)
+                                                axis_name=self._axis,
+                                                pos_offset=jnp.reshape(
+                                                    pad_amount, (1,)))
             from tpu_audio.ops import sampling as S
 
             fl = logits[0, -1].astype(jnp.float32)[None]
@@ -365,7 +512,9 @@ class CausalLMGenerator:
             def step(tok, cache):
                 lg, cache = transformer.forward(params, cfg, tok, cache,
                                                 extra_mask=extra,
-                                                axis_name=self._axis)
+                                                axis_name=self._axis,
+                                                pos_offset=jnp.reshape(
+                                                    pad_amount, (1,)))
                 return lg[:, -1].astype(jnp.float32), cache
 
             res = decode_loop(key, step, cache, last, span, eos_ids=eos_ids,

@@ -199,13 +199,24 @@ def make_cache(cfg: TransformerConfig, batch: int, max_len: int,
 
 def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
                    cache: KVCache, extra_mask: jax.Array | None = None,
-                   axis_name: str | None = None
+                   axis_name: str | None = None,
+                   pos_offset: jax.Array | None = None
                    ) -> tuple[jax.Array, KVCache]:
     """Run the stack on embedded inputs x (B, T, D) writing into `cache` at
     cache.pos. Returns (hidden (B, T, D), advanced cache).
 
     extra_mask: optional additive (B, 1, T, S_max) bias composed onto the
     causal decode mask (e.g. CFG-pair or prompt-padding masks).
+
+    pos_offset: optional (B,) per-row offset subtracted from the POSITION
+    values fed to RoPE / learned embeddings (cache slots are unaffected).
+    Left-pad bucketing and rolling admission place a row's first real
+    token at an arbitrary cache slot; with pos_offset = that slot, every
+    row sees canonical positions 0,1,2,... — making differently-padded
+    runs of the same prompt BIT-exact rather than exact-up-to-float-
+    rounding (RoPE depends only on position differences mathematically,
+    but cos/sin of shifted positions round differently, which can flip
+    near-tied argmaxes). Required for correctness with learned positions.
 
     axis_name: set when running INSIDE shard_map with megatron-sharded
     params (parallel/tp_quant.py): cfg must then be the per-shard local
@@ -221,8 +232,13 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
     mask = attention.decode_mask(s_max, pos, t)
     if extra_mask is not None:
         mask = mask + extra_mask
+    if pos_offset is None:
+        rope_pos = positions
+    else:  # pad slots would go negative; they are key-masked, clamp to 0
+        rope_pos = jnp.maximum(positions[None, :] - pos_offset[:, None], 0)
     if cfg.pos_emb == "learned":
-        x = x + layers.embedding(params["pos_embed"], positions)[None]
+        pe = layers.embedding(params["pos_embed"], rope_pos)
+        x = x + (pe if pe.ndim == 3 else pe[None])
     inv_freq = cfg.inv_freq() if cfg.pos_emb == "rope" else None
 
     h_, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
@@ -243,8 +259,8 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
             q = layers.rms_norm(lp["attn"]["q_norm"], q, cfg.norm_eps)
             k = layers.rms_norm(lp["attn"]["k_norm"], k, cfg.norm_eps)
         if inv_freq is not None:
-            q = rope.apply_rope(q, positions, inv_freq)
-            k = rope.apply_rope(k, positions, inv_freq)
+            q = rope.apply_rope(q, rope_pos, inv_freq)
+            k = rope.apply_rope(k, rope_pos, inv_freq)
         at = (li, 0, pos, 0, 0)
         if quant:
             nkq, nks = QuantizedKVCache._quantize(k)
@@ -296,11 +312,12 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,
             cache: KVCache, extra_mask: jax.Array | None = None,
-            axis_name: str | None = None) -> tuple[jax.Array, KVCache]:
+            axis_name: str | None = None,
+            pos_offset: jax.Array | None = None) -> tuple[jax.Array, KVCache]:
     """Token ids (B, T) → (logits (B, T, V), advanced cache)."""
     x = layers.embedding(params["embed"], tokens)
     h, cache = forward_hidden(params, cfg, x, cache, extra_mask,
-                              axis_name=axis_name)
+                              axis_name=axis_name, pos_offset=pos_offset)
     return logits(params, cfg, h), cache
 
 

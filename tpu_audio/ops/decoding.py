@@ -45,24 +45,35 @@ def decode_loop(
     pad_id: int = 0,
     recent0: jax.Array | None = None,
     finished0: jax.Array | None = None,
+    early_exit: bool = True,
 ) -> DecodeResult:
     """Sample up to max_new_tokens, stopping early when every batch row hit
     an EOS id. All shapes static; early exit via lax.while_loop.
 
     recent0/finished0 resume a previous span's sampling state (spanned
-    decode for host-side cancellation)."""
+    decode for host-side cancellation).
+
+    early_exit=False always runs all max_new_tokens steps (finished rows
+    emit pad). Continuous batching needs this: the shared cache position
+    must advance by exactly the span length so admission offsets stay
+    aligned and no stale KV gap is left unwritten."""
     b = first_token.shape[0]
     eos = jnp.asarray(eos_ids, dtype=jnp.int32).reshape(1, -1)
     window = max(sampler.repetition_window, sampler.ras_window, 1)
 
     tokens_buf = jnp.full((b, max_new_tokens), pad_id, dtype=jnp.int32)
     if recent0 is None:
-        recent0 = jnp.full((b, window), -1, dtype=jnp.int32)
+        # seed the repetition window with first_token so the plain and
+        # spanned decode paths agree (the spanned path adds it explicitly)
+        recent0 = update_recent(jnp.full((b, window), -1, dtype=jnp.int32),
+                                first_token.astype(jnp.int32))
     if finished0 is None:
         finished0 = jnp.zeros((b,), dtype=jnp.bool_)
 
     def cond(carry):
         i, _, _, _, finished, _, _ = carry
+        if not early_exit:
+            return i < max_new_tokens
         return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(carry):

@@ -119,13 +119,19 @@ def mask_tokens(logits: jax.Array, mask: jax.Array) -> jax.Array:
     return logits + mask
 
 
-def sample(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
-           recent: jax.Array | None = None) -> jax.Array:
-    """logits (B, V) → token ids (B,). Greedy when temperature == 0."""
+def warp_logits(logits: jax.Array, cfg: SamplerConfig,
+                recent: jax.Array | None = None) -> jax.Array:
+    """The full logit-warp pipeline (repetition penalty → temperature →
+    top-k/top-p → min-p) as a pure function: categorical(warp_logits(...))
+    is exactly the distribution `sample` draws from (before RAS).  Factored
+    out so speculative decoding (ops/speculative.py) can evaluate the SAME
+    warped distributions for draft and target — a requirement for
+    distribution-preserving rejection sampling.
+
+    Not valid for temperature == 0 (greedy has no distribution; callers
+    special-case argmax)."""
     if cfg.repetition_penalty != 1.0 and recent is not None:
         logits = apply_repetition_penalty(logits, recent, cfg.repetition_penalty)
-    if cfg.temperature == 0.0:
-        return jnp.argmax(logits, axis=-1)
     logits = logits / cfg.temperature
     v = logits.shape[-1]
     if 0 < cfg.top_k < v and cfg.top_p < 1.0:
@@ -142,7 +148,44 @@ def sample(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
     else:
         logits = apply_top_k(logits, cfg.top_k)
         logits = apply_top_p(logits, cfg.top_p)
-    logits = apply_min_p(logits, cfg.min_p)
+    return apply_min_p(logits, cfg.min_p)
+
+
+def warped_probs(logits: jax.Array, cfg: SamplerConfig,
+                 recent: jax.Array | None = None) -> jax.Array:
+    """Exact next-token probabilities (B, V) the sampler draws from,
+    including the RAS two-stage resample marginalized in closed form.
+
+    RAS (Qwen2LM.swift:462-478, `_ras_resample`) draws t ~ P, and if t
+    occurred more than `ras_max_repeats` times in the recent window,
+    redraws from P excluding t.  Marginalizing the two draws:
+
+        P'(x) = P(x)·[ok(x)]  +  Σ_{t bad, t≠x} P(t) · P(x)/(1−P(t))
+              = P(x)·([ok(x)] + S − [bad(x)]·P(x)/(1−P(x)))
+        with S = Σ_{t bad} P(t)/(1−P(t))
+
+    which sums to 1 (accepted mass Σ_ok P + resampled mass Σ_bad P)."""
+    p = jax.nn.softmax(warp_logits(logits, cfg, recent), axis=-1)
+    if not (cfg.ras and recent is not None):
+        return p
+    window = recent[:, -cfg.ras_window:]
+    vocab_idx = jnp.arange(p.shape[-1], dtype=window.dtype)
+    reps = jnp.sum(vocab_idx[:, None] == window[:, None, :], axis=-1)  # (B, V)
+    bad = reps > cfg.ras_max_repeats
+    ratio = p / jnp.maximum(1.0 - p, 1e-30)
+    s = jnp.sum(jnp.where(bad, ratio, 0.0), axis=-1, keepdims=True)
+    return p * (jnp.where(bad, 0.0, 1.0) + s - jnp.where(bad, ratio, 0.0))
+
+
+def sample(key: jax.Array, logits: jax.Array, cfg: SamplerConfig,
+           recent: jax.Array | None = None) -> jax.Array:
+    """logits (B, V) → token ids (B,). Greedy when temperature == 0."""
+    if cfg.temperature == 0.0:
+        if cfg.repetition_penalty != 1.0 and recent is not None:
+            logits = apply_repetition_penalty(logits, recent,
+                                              cfg.repetition_penalty)
+        return jnp.argmax(logits, axis=-1)
+    logits = warp_logits(logits, cfg, recent)
     tok = jax.random.categorical(key, logits, axis=-1)
     if cfg.ras and recent is not None:
         tok = _ras_resample(key, logits, tok, recent, cfg)
