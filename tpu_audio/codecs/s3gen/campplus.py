@@ -58,8 +58,10 @@ def init_params(key, cfg: CAMPPlusConfig, dtype=jnp.float32) -> dict:
     head = {
         "conv1": _conv2d_init(next(ks), 1, 32, 3, dtype),
         "bn1": _bn_init(32, dtype),
-        "layer1": {"0": res2d(32, 32, 2)},
-        "layer2": {"0": res2d(32, 32, 2)},
+        # FCM.swift:246-295: each layer holds TWO res blocks (stride 2,
+        # then stride 1) — round-3 fix, the second block was missing
+        "layer1": {"0": res2d(32, 32, 2), "1": res2d(32, 32, 1)},
+        "layer2": {"0": res2d(32, 32, 2), "1": res2d(32, 32, 1)},
         "conv2": _conv2d_init(next(ks), 32, 32, 3, dtype),
         "bn2": _bn_init(32, dtype),
     }
@@ -138,7 +140,9 @@ def _fcm(p, fbank):
     x = fbank[..., None].transpose(0, 2, 1, 3)  # (B, F, T, 1) → NHWC (F=H)
     x = jax.nn.relu(layers.batch_norm(p["bn1"], _conv2d(p["conv1"], x)))
     x = _res2d(p["layer1"]["0"], x, 2)
+    x = _res2d(p["layer1"]["1"], x, 1)
     x = _res2d(p["layer2"]["0"], x, 2)
+    x = _res2d(p["layer2"]["1"], x, 1)
     x = jax.nn.relu(layers.batch_norm(p["bn2"], _conv2d(p["conv2"], x,
                                                         (2, 1))))
     b, f, t, c = x.shape
@@ -167,8 +171,12 @@ def _cam_layer(p, x, k, dil=1):
 def embed(params, cfg: CAMPPlusConfig, fbank: jax.Array) -> jax.Array:
     """fbank (B, T, feat_dim) mean-normalized → x-vector (B, 192)."""
     x = _fcm(params["head"], fbank)
-    x = layers.batch_norm(params["tdnn"]["bn"], jax.nn.relu(
-        layers.conv1d(params["tdnn"]["linear"], x, padding=2)))
+    # TDNN stem: conv k5 STRIDE 2 → BN → ReLU (TDNNLayer "batchnorm-relu"
+    # applies BN first; CAMPPlus.swift:711-719 — round-3 fix: the stride
+    # and the BN/ReLU order were both wrong before the torch parity suite)
+    x = jax.nn.relu(layers.batch_norm(
+        params["tdnn"]["bn"],
+        layers.conv1d(params["tdnn"]["linear"], x, stride=2, padding=2)))
 
     for bi, (n_layers, k, dil) in enumerate(zip(cfg.blocks, cfg.kernels,
                                                 cfg.dilations)):
@@ -186,7 +194,8 @@ def embed(params, cfg: CAMPPlusConfig, fbank: jax.Array) -> jax.Array:
 
     x = jax.nn.relu(layers.batch_norm(params["out_nonlinear_bn"], x))
     mean = x.mean(axis=1)
-    std = jnp.sqrt(jnp.maximum(x.var(axis=1), 1e-7))
+    # statisticsPooling: sqrt(var + 1e-5) (CAMPPlus.swift:327-333)
+    std = jnp.sqrt(x.var(axis=1) + 1e-5)
     stats = jnp.concatenate([mean, std], axis=-1)[:, None, :]
     out = layers.conv1d(params["dense"]["linear"], stats)
     out = layers.batch_norm(params["dense"]["nonlinear_bn"], out)

@@ -51,6 +51,9 @@ class HiFTConfig:
 # ------------------------------------------------------------------ init
 
 def _res_block_init(ks, ch, kernel, dils, dtype):
+    # HiFiGANResBlock (HiFiGAN.swift:75-131): each conv is preceded by a
+    # SNAKE activation with a learned per-channel alpha (round-3 fix —
+    # previously leaky-relu, a silent drift vs the checkpoint)
     return {
         "convs1": {str(i): layers.init_conv1d(next(ks), ch, ch, kernel,
                                               dtype=dtype)
@@ -58,7 +61,21 @@ def _res_block_init(ks, ch, kernel, dils, dtype):
         "convs2": {str(i): layers.init_conv1d(next(ks), ch, ch, kernel,
                                               dtype=dtype)
                    for i in range(len(dils))},
+        "activations1": {str(i): {"alpha": jnp.ones((ch,), dtype)}
+                         for i in range(len(dils))},
+        "activations2": {str(i): {"alpha": jnp.ones((ch,), dtype)}
+                         for i in range(len(dils))},
     }
+
+
+def _snake(x, alpha):
+    """Snake with fp16-safe alpha clamp (HiFiGAN.swift:30-70): magnitude
+    floored at 1e-4, sign preserved (alpha≈0 falls back to +1e-4)."""
+    a = alpha[None, None, :].astype(jnp.float32)
+    sign = jnp.where(jnp.abs(a) < 1e-9, 1.0, jnp.sign(a))
+    a_c = sign * jnp.maximum(jnp.abs(a), 1e-4)
+    xf = x.astype(jnp.float32)
+    return (xf + jnp.sin(xf * a) ** 2 / a_c).astype(x.dtype)
 
 
 def init_params(key, cfg: HiFTConfig, dtype=jnp.float32) -> dict:
@@ -114,12 +131,13 @@ def init_params(key, cfg: HiFTConfig, dtype=jnp.float32) -> dict:
 # ------------------------------------------------------------------ forward
 
 def _res_block(p, x, kernel, dilations, slope):
+    del slope  # the reference resblocks activate with Snake, not leaky-relu
     for i, d in enumerate(dilations):
         i_ = str(i)
-        xt = jax.nn.leaky_relu(x, slope)
+        xt = _snake(x, p["activations1"][i_]["alpha"])
         xt = layers.conv1d(p["convs1"][i_], xt,
                            padding=(kernel * d - d) // 2, dilation=d)
-        xt = jax.nn.leaky_relu(xt, slope)
+        xt = _snake(xt, p["activations2"][i_]["alpha"])
         xt = layers.conv1d(p["convs2"][i_], xt, padding=(kernel - 1) // 2)
         x = x + xt
     return x
@@ -147,7 +165,9 @@ def _position_noise(key, start_frame, n_frames: int, b: int, per: int,
 
 
 def sine_source(p, cfg: HiFTConfig, f0_up: jax.Array, key, *,
-                start_frame=0, init_phase: jax.Array | None = None
+                start_frame=0, init_phase: jax.Array | None = None,
+                rand_ini: jax.Array | None = None,
+                noise: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array]:
     """f0 upsampled to sample rate (B, T, 1) → (merged harmonic source,
     end phase (B, H)) (SourceModuleHnNSF, HiFiGAN.swift:141-255). Unlike
@@ -166,15 +186,17 @@ def sine_source(p, cfg: HiFTConfig, f0_up: jax.Array, key, *,
     if init_phase is not None:
         rad = rad + init_phase[:, None, :]
     end_phase = rad[:, -1, :] % 1.0
-    rand_ini = jax.random.uniform(k1, (f0_up.shape[0], cfg.nb_harmonics + 1))
-    rand_ini = rand_ini.at[:, 0].set(0.0)
+    if rand_ini is None:  # parity tests inject fixed phase offsets / noise
+        rand_ini = jax.random.uniform(k1, (f0_up.shape[0],
+                                           cfg.nb_harmonics + 1))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
     sines = jnp.sin(2 * jnp.pi * (rad + rand_ini[:, None, :]))
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)
     noise_amp = uv * cfg.nsf_sigma + (1 - uv) * cfg.nsf_alpha / 3
-    noise = noise_amp * _position_noise(k2, start_frame,
-                                        f0_up.shape[1] // per,
-                                        f0_up.shape[0], per,
-                                        cfg.nb_harmonics + 1)
+    if noise is None:
+        noise = _position_noise(k2, start_frame, f0_up.shape[1] // per,
+                                f0_up.shape[0], per, cfg.nb_harmonics + 1)
+    noise = noise_amp * noise
     sine_waves = sines * cfg.nsf_alpha * uv + noise
     return jnp.tanh(layers.linear(p["l_linear"], sine_waves)), end_phase
 
@@ -193,6 +215,7 @@ def _istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int):
 
     win_np = windows.hann(n_fft, periodic=True)
     win = jnp.asarray(win_np)
+    mag = jnp.minimum(mag, 1e2)  # istftHiFiGAN clips (HiFiGAN.swift:300)
     spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win
     nf = frames.shape[1]

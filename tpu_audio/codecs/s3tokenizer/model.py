@@ -34,23 +34,27 @@ class S3TokenizerConfig:
 
 @functools.lru_cache(maxsize=None)
 def _freqs_cis(dim: int = 64, end: int = 2048, theta: float = 10000.0):
-    freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    """Reference convention (S3Tokenizer.swift:13-37): freqs use the
+    NON-standard exponent i/dim for i in [0, dim/2) — half the decay rate
+    of standard RoPE's 2i/dim. Fixed in round 3 after the independent
+    torch translation exposed the drift."""
+    half = dim // 2
+    freqs = 1.0 / (theta ** (np.arange(half, dtype=np.float64) / dim))
     t = np.arange(end, dtype=np.float64)
     ang = np.outer(t, freqs)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def _apply_rotary_interleaved(x: jax.Array, cos, sin) -> jax.Array:
-    """GPT-J/llama-style rotation over interleaved pairs. x (B,T,H,D)."""
-    x1 = x[..., 0::2]
-    x2 = x[..., 1::2]
-    c = jnp.asarray(cos)[None, :, None, :].astype(jnp.float32)
-    s = jnp.asarray(sin)[None, :, None, :].astype(jnp.float32)
-    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    o1 = x1f * c - x2f * s
-    o2 = x1f * s + x2f * c
-    out = jnp.stack([o1, o2], axis=-1).reshape(x.shape)
-    return out.astype(x.dtype)
+def _apply_rotary_half(x: jax.Array, cos, sin) -> jax.Array:
+    """HALF-SPLIT (rotate_half) rotation — the reference's applyRotaryEmb
+    (S3Tokenizer.swift:40-68) pairs dims (i, i+D/2), not interleaved
+    (2i, 2i+1). x (B,T,H,D); cos/sin (T, D/2)."""
+    c = jnp.concatenate([jnp.asarray(cos)] * 2, -1)[None, :, None, :]
+    s = jnp.concatenate([jnp.asarray(sin)] * 2, -1)[None, :, None, :]
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    return (xf * c + rot * s).astype(x.dtype)
 
 
 def init_params(key, cfg: S3TokenizerConfig, dtype=jnp.float32) -> dict:
@@ -98,17 +102,23 @@ def encode_hidden(params, cfg: S3TokenizerConfig, mel: jax.Array,
     (B, T//4, D) and token lengths."""
     p = params["encoder"]
     b, t, _ = mel.shape
-    mask = (jnp.arange(t) < mel_len)[None, :, None].astype(mel.dtype)
-    x = layers.gelu(layers.conv1d(p["conv1"], mel * mask, stride=cfg.stride,
-                                  padding=1))
+    mel_len = jnp.atleast_1d(jnp.asarray(mel_len))  # scalar or (B,)
+
+    def row_mask(n, lens):
+        return (jnp.arange(n)[None, :] < lens[:, None])[..., None]
+
+    x = layers.gelu(layers.conv1d(p["conv1"],
+                                  mel * row_mask(t, mel_len).astype(mel.dtype),
+                                  stride=cfg.stride, padding=1))
     len1 = (mel_len + 2 - 2 - 1) // cfg.stride + 1
     t1 = x.shape[1]
-    mask = (jnp.arange(t1) < len1)[None, :, None].astype(x.dtype)
-    x = layers.gelu(layers.conv1d(p["conv2"], x * mask, stride=2, padding=1))
+    x = layers.gelu(layers.conv1d(p["conv2"],
+                                  x * row_mask(t1, len1).astype(x.dtype),
+                                  stride=2, padding=1))
     len2 = (len1 + 2 - 2 - 1) // 2 + 1
     t2 = x.shape[1]
-    pad_mask = (jnp.arange(t2) < len2)[None, :, None].astype(x.dtype)
-    attn_bias = jnp.where(jnp.arange(t2)[None, :] < len2, 0.0,
+    pad_mask = row_mask(t2, len2).astype(x.dtype)
+    attn_bias = jnp.where(jnp.arange(t2)[None, :] < len2[:, None], 0.0,
                           attention.NEG_INF)[:, None, None, :].astype(jnp.float32)
 
     h = cfg.n_audio_head
@@ -123,8 +133,8 @@ def encode_hidden(params, cfg: S3TokenizerConfig, mel: jax.Array,
         q = layers.linear(bp["attn"]["query"], hx).reshape(b, t2, h, hd)
         k = layers.linear(bp["attn"]["key"], hx).reshape(b, t2, h, hd)
         v = layers.linear(bp["attn"]["value"], hx).reshape(b, t2, h, hd)
-        q = _apply_rotary_interleaved(q, cos, sin) * scale
-        k = _apply_rotary_interleaved(k, cos, sin) * scale
+        q = _apply_rotary_half(q, cos, sin) * scale
+        k = _apply_rotary_half(k, cos, sin) * scale
         fsmn_mem = _fsmn(bp["attn"]["fsmn_block"], v, pad_mask,
                          cfg.fsmn_kernel)
         o = attention.attend(q, k, v, attn_bias, q_scaled=True)

@@ -135,8 +135,12 @@ def embed_codes(params, cfg: SNACConfig, codes: list[jax.Array]) -> jax.Array:
 
 
 def decode_latent(params, cfg: SNACConfig, z: jax.Array,
-                  key: jax.Array | None = None) -> jax.Array:
-    """latent (B, T, latent_dim) → waveform (B, T·hop)."""
+                  key: jax.Array | None = None,
+                  noises: list | None = None) -> jax.Array:
+    """latent (B, T, latent_dim) → waveform (B, T·hop).
+
+    noises: optional per-block (B, T_i, 1) arrays replacing the PRNG draw
+    (parity tests inject the same noise into the torch reference)."""
     p = params["decoder"]
     x = _wn(p["depthwise_conv"], z, padding=3, groups=cfg.latent_dim)
     x = _wn(p["pointwise_conv"], x)
@@ -151,7 +155,9 @@ def decode_latent(params, cfg: SNACConfig, z: jax.Array,
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
         if cfg.noise and "noise" in blk:
             h = _wn(blk["noise"]["linear"], x)
-            if key is not None:
+            if noises is not None:
+                noise = jnp.asarray(noises[i], x.dtype)
+            elif key is not None:
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, (x.shape[0], x.shape[1], 1),
                                           x.dtype)

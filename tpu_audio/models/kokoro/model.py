@@ -349,7 +349,11 @@ def _kokoro_stft(x, n_fft, hop):
 
     win = windows.hann(n_fft, periodic=True)
     spec = stft_ops.stft_complex(x, win, n_fft, hop, center=True)
-    return jnp.abs(spec), jnp.angle(spec)  # (B, frames, K)
+    # +0.0 canonicalizes -0.0 imaginary parts (DC/Nyquist bins) so the
+    # ±π branch of atan2 matches torch — the phase feeds a linear conv,
+    # so the branch choice is numerically significant
+    return jnp.abs(spec), jnp.arctan2(jnp.imag(spec) + 0.0,
+                                      jnp.real(spec))  # (B, frames, K)
 
 
 def _kokoro_istft(mag, phase, n_fft, hop):
@@ -373,18 +377,24 @@ def _kokoro_istft(mag, phase, n_fft, hop):
     return out[:, n_fft // 2: out_len - n_fft // 2]
 
 
-def sine_source(params, cfg: KokoroConfig, f0_up, key):
+def sine_source(params, cfg: KokoroConfig, f0_up, key,
+                rand_ini: jax.Array | None = None,
+                noise: jax.Array | None = None):
     """Harmonic NSF source (KokoroSineGen + SourceModuleHnNSF): per-harmonic
-    sines with random phase, voiced/unvoiced gating, tanh-merged."""
+    sines with random phase, voiced/unvoiced gating, tanh-merged.
+
+    rand_ini (B, H+1) / noise (B, T, H+1) override the PRNG draws (parity
+    tests inject the same values into the torch translation)."""
     b, t, _ = f0_up.shape
-    upsample_scale = cfg.samples_per_frame / 2 * 1.0  # 300
+    upsample_scale = float(np.prod(cfg.upsample_rates) * cfg.istft_hop)
     harmonics = jnp.arange(1, cfg.harmonic_num + 2, dtype=jnp.float32)
     fn = f0_up * harmonics[None, None, :]  # (B, T, H+1)
 
     rad = (fn / cfg.sample_rate) % 1.0
     k1, k2 = jax.random.split(key)
-    rand_ini = jax.random.normal(k1, (b, cfg.harmonic_num + 1))
-    rand_ini = rand_ini.at[:, 0].set(0.0)
+    if rand_ini is None:
+        rand_ini = jax.random.normal(k1, (b, cfg.harmonic_num + 1))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
     rad = rad.at[:, 0, :].add(rand_ini)
     # downsample phase increments to frame rate, integrate, upsample back
     down = linear_resize(rad, int(t / upsample_scale))
@@ -394,23 +404,37 @@ def sine_source(params, cfg: KokoroConfig, f0_up, key):
 
     uv = (f0_up > cfg.voiced_threshold).astype(jnp.float32)
     noise_amp = uv * 0.003 + (1 - uv) * 0.1 / 3
-    noise = noise_amp * jax.random.normal(k2, sines.shape)
+    if noise is None:
+        noise = jax.random.normal(k2, sines.shape)
+    noise = noise_amp * noise
     sine_waves = sines * uv + noise
     merged = jnp.tanh(layers.linear(params["m_source"]["l_linear"], sine_waves))
     return merged  # (B, T, 1)
 
 
-def generator(params, cfg: KokoroConfig, x, style, f0_curve, valid_frames, key):
+def generator(params, cfg: KokoroConfig, x, style, f0_curve, valid_frames,
+              key, rand_ini=None, noise=None, har_override=None):
     """iSTFT-NSF generator (Generator.swift:136-199). x (1, 2F, 512),
-    f0_curve (1, 2F) → audio (1, samples)."""
+    f0_curve (1, 2F) → audio (1, samples).
+
+    har_override replaces the internally-computed source spectrum (parity
+    tests: the STFT *phase* of near-silent bins sits on the ±π branch cut,
+    where any two float implementations chaotically disagree by 2π, so the
+    decoder stack is verified against torch with a shared spectrum)."""
     gp = params["decoder"]["generator"]
     n_fft, hop = cfg.istft_n_fft, cfg.istft_hop
     up_total = int(np.prod(cfg.upsample_rates)) * hop  # 300
 
-    f0_up = linear_resize(f0_curve[..., None], f0_curve.shape[1] * up_total)
-    har_source = sine_source(gp, cfg, f0_up, key)[..., 0]
-    har_mag, har_phase = _kokoro_stft(har_source, n_fft, hop)
-    har = jnp.concatenate([har_mag, har_phase], axis=-1)  # (1, frames, n_fft+2)
+    if har_override is None:
+        # f0Upsample is MLX Upsample with default NEAREST mode
+        # (Generator.swift:50 + MLXNN default) — round-3 fix: was linear
+        f0_up = jnp.repeat(f0_curve[..., None], up_total, axis=1)
+        har_source = sine_source(gp, cfg, f0_up, key, rand_ini=rand_ini,
+                                 noise=noise)[..., 0]
+        har_mag, har_phase = _kokoro_stft(har_source, n_fft, hop)
+        har = jnp.concatenate([har_mag, har_phase], axis=-1)
+    else:
+        har = har_override  # (1, frames, n_fft+2)
 
     valid = valid_frames
     n_kernels = len(cfg.resblock_kernels)
@@ -430,10 +454,11 @@ def generator(params, cfg: KokoroConfig, x, style, f0_curve, valid_frames, key):
             x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")
             valid = valid + 1
         t = min(x.shape[1], x_source.shape[1])
+        # noise_res blocks are fixed k7/k11 with dilations (1,3,5)
+        # regardless of the resblock config (Generator.swift:82-107)
         noise_kernel = 7 if i + 1 < len(cfg.upsample_rates) else 11
         x_source = gen_res_block(gp["noise_res"][str(i)], x_source[:, :t],
-                                 style, valid, cfg.resblock_dilations[0],
-                                 noise_kernel)
+                                 style, valid, (1, 3, 5), noise_kernel)
         x = x[:, :t] + x_source
         xs = None
         for j in range(n_kernels):
