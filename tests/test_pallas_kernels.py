@@ -48,6 +48,81 @@ class TestInt8MatmulKernel:
         assert np.abs(rec - np.asarray(x)).max() <= float(sx.max()) * 0.51
 
 
+class TestInt8BigM:
+    """Large-M W8A8 GEMM (int8_matmul_bigm): the int8-MXU encoder/prefill
+    path. Exact vs the reference int8 semantics; close to the fp matmul."""
+
+    def test_matches_int8_reference(self, rng):
+        from tpu_audio.ops.pallas.int8_matmul import int8_matmul_bigm
+
+        m, i, o = 300, 256, 384
+        x = jnp.asarray(rng.standard_normal((m, i)), jnp.float32)
+        w = jnp.asarray(rng.integers(-127, 128, (o, i)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.001, 0.02, (o, 1)), jnp.float32)
+        got = np.asarray(int8_matmul_bigm(x, w, s))
+        xq, sx = quantize_rows(x)
+        ref = (np.asarray(xq, np.int64) @ np.asarray(w, np.int64).T
+               ).astype(np.float32) * np.asarray(sx) * np.asarray(s).T
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_close_to_fp_matmul(self, rng):
+        """Activation-int8 rounding error stays small on encoder-like
+        statistics (the accuracy basis for the w8a8 whisper encoder)."""
+        from tpu_audio.ops.pallas.int8_matmul import int8_matmul_bigm
+        from tpu_audio.ops.quant import quantize_array_int8
+
+        m, i, o = 512, 1280, 1280
+        x = jnp.asarray(rng.standard_normal((m, i)), jnp.float32)
+        wf = rng.standard_normal((o, i)).astype(np.float32) * 0.02
+        q = quantize_array_int8(wf)
+        got = np.asarray(int8_matmul_bigm(x, jnp.asarray(q["weight_i8"]),
+                                          jnp.asarray(q["scale_i8"])))
+        ref = np.asarray(x) @ wf.T
+        cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref))
+        assert cos > 0.9995
+
+
+class TestWhisperW8A8Serving:
+    """serve_tree_int8: block matmul weights convert to per-channel int8,
+    everything else stays fp, and the whisper forward still runs with
+    logits close to the fp model."""
+
+    def test_tree_structure_and_logit_cosine(self, rng):
+        import jax as _jax
+
+        from tpu_audio.models.whisper import load as wload
+        from tpu_audio.models.whisper import model as wmodel
+        from tpu_audio.models.whisper.config import WhisperConfig
+
+        cfg = WhisperConfig(n_mels=80, n_audio_ctx=100, n_audio_state=128,
+                            n_audio_head=4, n_audio_layer=2, n_vocab=1000,
+                            n_text_ctx=24, n_text_state=128, n_text_head=4,
+                            n_text_layer=2)
+        params = wmodel.init_params(_jax.random.PRNGKey(0), cfg)
+        qp = wload.serve_tree_int8(params)
+        blk = qp["encoder"]["blocks"]
+        assert "weight_i8" in blk["attn"]["q"]
+        assert blk["attn"]["q"]["weight_i8"].shape[0] == 2  # stacked layers
+        assert "weight" in qp["encoder"]["conv1"]  # convs stay fp
+        assert "weight" in qp["decoder"]["token_embedding"]
+
+        mel = jnp.asarray(rng.standard_normal((1, 200, 80)), jnp.float32) * .1
+        ref_feats = np.asarray(wmodel.encode(params, cfg, mel))
+        got_feats = np.asarray(wmodel.encode(qp, cfg, mel))
+        cos = (ref_feats * got_feats).sum() / (
+            np.linalg.norm(ref_feats) * np.linalg.norm(got_feats))
+        assert cos > 0.999
+
+        toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+        st_r = wmodel.init_state(params, cfg, jnp.asarray(ref_feats))
+        st_q = wmodel.init_state(qp, cfg, jnp.asarray(got_feats))
+        lr, _ = wmodel.decode_step(params, cfg, toks, st_r)
+        lq, _ = wmodel.decode_step(qp, cfg, toks, st_q)
+        lr, lq = np.asarray(lr).ravel(), np.asarray(lq).ravel()
+        cos = (lr * lq).sum() / (np.linalg.norm(lr) * np.linalg.norm(lq))
+        assert cos > 0.995
+
+
 class TestEncoderAttentionKernel:
     def _ref(self, q, k, v, scale):
         s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q, np.float32),

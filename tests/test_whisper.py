@@ -331,9 +331,13 @@ class TestModelMatrix:
         from tpu_audio.models.whisper.load import (QUANTIZATIONS, SIZES,
                                                    repo_for)
 
-        assert len(SIZES) == 10 and len(QUANTIZATIONS) == 3
+        # 3 checkpoint formats matching the reference enum + the w8a8
+        # serving format (requantized q8, round 3)
+        assert len(SIZES) == 10 and len(QUANTIZATIONS) == 4
         for m in SIZES:
             for q in QUANTIZATIONS:
+                if q == "w8a8":
+                    continue  # serving format: resolves via the q8 repo
                 repo = repo_for(m, q)
                 assert repo.startswith("mlx-community/whisper")
 

@@ -29,7 +29,9 @@ from tpu_audio.utils import hub, weights
 # multilingual tiny..large-v3-turbo plus English-only .en variants.
 SIZES = ("tiny", "base", "small", "medium", "large-v3", "large-v3-turbo",
          "tiny.en", "base.en", "small.en", "medium.en")
-QUANTIZATIONS = ("fp16", "q8", "q4")
+# "w8a8" = q8 checkpoint requantized at load to the per-channel int8
+# serving format (int8 MXU encoder + weight-streaming decode kernel)
+QUANTIZATIONS = ("fp16", "q8", "q4", "w8a8")
 _QUANT_SUFFIX = {"fp16": "fp16", "q8": "8bit", "q4": "4bit"}
 
 # overrides for classic mlx-community repo names known to host these weights
@@ -106,8 +108,17 @@ _HF_RULES = [
 
 def load(model: str = "tiny", quantization: str = "fp16",
          repo: str | None = None, dtype=jnp.float32):
-    """Returns (params, config, tokenizer, pipeline-ready)."""
-    repo = repo or repo_for(model, quantization)
+    """Returns (params, config, tokenizer, pipeline-ready).
+
+    quantization "w8a8" is a SERVING format, not a checkpoint format: the
+    q8 checkpoint (reference serves q8 encoders too,
+    WhisperModel.swift:190-196) is loaded, then the ENCODER blocks are
+    requantized to per-channel int8 so their large-M GEMMs run s8×s8 on
+    the int8 MXU (2× bf16 throughput); the decoder keeps the checkpoint's
+    group-affine format (see serve_tree_int8 for why)."""
+    serve_int8 = quantization == "w8a8"
+    ckpt_q = "q8" if serve_int8 else quantization
+    repo = repo or repo_for(model, ckpt_q)
     path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
                                         "*.tiktoken"])
     cfg = WhisperConfig.from_dict(weights.load_config_json(path))
@@ -123,11 +134,30 @@ def load(model: str = "tiny", quantization: str = "fp16",
     weights.validate_tree(
         tree, functools.partial(wmodel.init_params, jax.random.PRNGKey(0),
                                 cfg), name=repo)
+    if serve_int8:
+        tree = serve_tree_int8(tree)
     params = weights.to_device(tree, dtype=dtype)
 
     tok = WhisperTokenizer.load(path, multilingual=cfg.is_multilingual,
                                 num_languages=cfg.num_languages)
     return params, cfg, tok
+
+
+def serve_tree_int8(tree: dict) -> dict:
+    """Requantize the ENCODER blocks of a loaded whisper tree (group-affine
+    q8/q4 or fp leaves) to per-channel int8 W8A8. Encoder GEMMs are large-M
+    and run as pure-XLA s8×s8 dots on the int8 MXU (2× bf16). The decoder
+    deliberately stays in checkpoint format: its per-step GEMMs are Pallas
+    custom calls, and XLA materializes an HBM copy of every lax.scan-sliced
+    operand feeding a custom call — int8-converting the decoder would
+    triple its weight traffic, not halve it (docs/BENCHMARKS.md, stacked
+    scalar-prefetch notes). Convs / norms / embeddings stay fp."""
+    from tpu_audio.ops import quant
+
+    enc = quant.requantize_tree_int8(tree["encoder"], fuse=False)
+    enc = quant.quantize_tree_int8(enc,
+                                   predicate=lambda k, v: "blocks" in k)
+    return {**tree, "encoder": enc}
 
 
 def sanitize(flat: dict) -> dict:

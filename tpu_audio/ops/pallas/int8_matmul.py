@@ -167,6 +167,22 @@ def int8_matmul_stacked(x: jax.Array, w_st: jax.Array, scale: jax.Array,
     return out[:b]
 
 
+def int8_matmul_bigm(x: jax.Array, w_i8: jax.Array,
+                     scale: jax.Array) -> jax.Array:
+    """Large-M W8A8 GEMM (encoder / prefill shapes): per-row int8
+    activations × int8 weights through XLA's native s8×s8→s32 dot, which
+    the TPU compiler tiles onto the int8 MXU at 2× bf16 throughput (v5e:
+    394 vs 197 TOP/s). No Pallas needed — at M ≥ hundreds the GEMM is
+    compute-bound and XLA's own tiling is already optimal; the Pallas
+    kernels above exist for the small-M weight-streaming regime.
+
+    x (M, I) float → (M, O) f32 = (xq·w_i8ᵀ) · sx · scaleᵀ (int32 exact)."""
+    xq, sx = quantize_rows(x)
+    acc = jax.lax.dot_general(xq, w_i8, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * scale.reshape(1, -1)
+
+
 def supported_stacked(x: jax.Array, w_st) -> bool:
     if not supported(x, {"weight_i8": w_st[0] if w_st.ndim == 3 else w_st}):
         return False
