@@ -14,21 +14,59 @@ sys.path.insert(0, ".")
 from examples.engine_manager import STT_ENGINES, EngineManager
 
 
+def run_mic(engine, args) -> None:
+    """Live microphone → streaming transcription: capture ~utterance-sized
+    windows and transcribe each as it completes (Ctrl-C to stop). Mirrors
+    the reference STT App's AudioRecorder flow (examples/STT App/)."""
+    from tpu_audio.utils.recorder import AudioRecorder
+
+    rec = AudioRecorder(target_rate=engine.sample_rate)
+    window = args.mic_window
+    print(f"listening (windows of {window:.1f}s; Ctrl-C to stop)...")
+    try:
+        for _ in rec.record_stream(chunk_seconds=0.25):
+            chunk = rec.pull(window)
+            if chunk is None:
+                continue
+            result = engine.transcribe(chunk, **(
+                {"language": args.language} if args.language else {}))
+            if result.text.strip():
+                print(result.text.strip(), flush=True)
+    except KeyboardInterrupt:
+        tail = rec.drain()
+        if len(tail) > engine.sample_rate // 2:
+            result = engine.transcribe(tail)
+            if result.text.strip():
+                print(result.text.strip(), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("audio")
+    ap.add_argument("audio", nargs="?", default=None,
+                    help="wav file (omit with --mic)")
     ap.add_argument("--engine", default="whisper", choices=sorted(STT_ENGINES))
     ap.add_argument("--model", default="tiny")
     ap.add_argument("--task", default="transcribe",
                     choices=["transcribe", "translate"])
     ap.add_argument("--language", default=None)
     ap.add_argument("--word-timestamps", action="store_true")
+    ap.add_argument("--mic", action="store_true",
+                    help="transcribe live from the default input device")
+    ap.add_argument("--mic-window", type=float, default=5.0,
+                    help="seconds of audio per transcribed window")
     args = ap.parse_args()
+    if args.audio is None and not args.mic:
+        ap.error("provide an audio file or --mic")
 
     mgr = EngineManager()
     engine = (mgr.stt("whisper", model=args.model) if args.engine == "whisper"
               else mgr.stt("funasr"))
     engine.load()
+
+    if args.mic:
+        engine.warmup()  # compile before audio starts flowing
+        run_mic(engine, args)
+        return
 
     fn = engine.translate if args.task == "translate" else engine.transcribe
     kw = {"language": args.language}

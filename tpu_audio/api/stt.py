@@ -45,6 +45,24 @@ class STTEngineBase:
     def cleanup(self) -> None:
         self.unload()
 
+    def warmup(self, full: bool = False) -> dict[str, float]:
+        """Compile the decode executables before the first real request by
+        transcribing silence (2 s; full=True adds a whole 30 s window).
+        Returns {variant: seconds} — see TTSEngineBase.warmup for the
+        compile-cache rationale."""
+        variants = {"short": 2.0}
+        if full:
+            variants["window"] = 30.0
+        timings: dict[str, float] = {}
+        for name, secs in variants.items():
+            t0 = time.perf_counter()
+            self.transcribe(np.zeros(int(secs * self.sample_rate),
+                                     np.float32))
+            timings[name] = time.perf_counter() - t0
+        _log.info("warmup(%s): %s", type(self).__name__,
+                  {k: f"{v:.2f}s" for k, v in timings.items()})
+        return timings
+
     def _resolve_audio(self, audio) -> np.ndarray:
         """Accept a file path or a float array at self.sample_rate."""
         if isinstance(audio, str):

@@ -118,6 +118,52 @@ class TTSEngineBase:
     def cleanup(self) -> None:
         self.unload()
 
+    # ---------------------------------------------------------------- warmup
+
+    #: texts warmup() synthesizes to populate the jit caches, shortest
+    #: first; keys name the variant. Engines whose compiled shapes depend
+    #: on more than text length (samplers, CFG, streaming chunks) extend
+    #: this or override _warmup_variants.
+    WARMUP_TEXTS = {"short": "Hi."}
+    WARMUP_TEXTS_FULL = {
+        "medium": "This is a medium length warm up sentence for the "
+                  "compiler cache.",
+        "long": "This considerably longer warm up paragraph exists to "
+                "reach the larger prompt-length buckets that production "
+                "requests will hit, so that the first real request of "
+                "every size finds its executable already compiled and "
+                "cached. " * 3,
+    }
+
+    def _warmup_variants(self, full: bool):
+        texts = dict(self.WARMUP_TEXTS)
+        if full:
+            texts.update(self.WARMUP_TEXTS_FULL)
+        return [(name, lambda t=t: self.generate(t))
+                for name, t in texts.items()]
+
+    def warmup(self, full: bool = False) -> dict[str, float]:
+        """Compile (and populate the persistent XLA cache with) the
+        executables this engine will serve, before the first real request.
+
+        The reference pays compile cost implicitly on first use (MLX traces
+        lazily); under XLA each (bucket × sampler) combination is a
+        compiled executable, so a cold engine's first call can cost
+        seconds-to-minutes. warmup() front-loads that: `full=False`
+        compiles the default small bucket, `full=True` walks the
+        production text-length buckets too. Returns {variant: seconds};
+        run once per process — with the persistent compile cache
+        (utils/runtime.py) the cost is once per *machine*.
+        """
+        timings: dict[str, float] = {}
+        for name, call in self._warmup_variants(full):
+            t0 = time.perf_counter()
+            call()
+            timings[name] = time.perf_counter() - t0
+        _log.info("warmup(%s): %s", type(self).__name__,
+                  {k: f"{v:.2f}s" for k, v in timings.items()})
+        return timings
+
     # ---------------------------------------------------------------- synthesis
 
     def generate_streaming(self, text: str,

@@ -85,18 +85,42 @@ def extract_codes(generated_text: str) -> tuple[np.ndarray, np.ndarray]:
     return (np.asarray(c1[:n], np.int32), np.asarray(c2[:n], np.int32))
 
 
+#: bundled default speaker profile (the reference ships
+#: default_speaker.json as a package resource, Package.swift:42).
+#: Generated from reference audio by tools/make_default_speaker.py —
+#: profiles contain DAC codes of real audio, so the asset is produced on a
+#: machine with network access (tools/validate_release.py runs it).
+DEFAULT_SPEAKER_PATH = __file__.rsplit("/", 1)[0] + "/default_speaker.json"
+
+
+def default_speaker() -> SpeakerProfile | None:
+    """The bundled default voice, or None if the asset has not been
+    generated on this machine yet (zero-egress build environments)."""
+    import os
+
+    if not os.path.exists(DEFAULT_SPEAKER_PATH):
+        return None
+    return SpeakerProfile.load(DEFAULT_SPEAKER_PATH)
+
+
 class OuteTTSEngine(TTSEngineBase):
     sample_rate = 24000
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
 
-    def __init__(self, speaker: SpeakerProfile | None = None,
+    def __init__(self, speaker: "SpeakerProfile | str | None" = "default",
                  quantization: str = "w8a8"):
-        """quantization: "w8a8" (default) requantizes the 4-bit checkpoint
+        """speaker: a SpeakerProfile, the string "default" (bundled
+        default_speaker.json, matching the reference's out-of-the-box
+        voice; silently unconditioned if the asset is absent), or None
+        for explicit unconditioned prompts.
+
+        quantization: "w8a8" (default) requantizes the 4-bit checkpoint
         to the per-channel int8 serving format at load (1B decode 2.66
         ms/token vs 5.6 bf16-parity q4); "w4a8" repacks losslessly for the
         int4→int8 MXU kernel; "q4" keeps the checkpoint layout."""
         super().__init__()
-        self.speaker = speaker
+        self.speaker = (default_speaker() if speaker == "default"
+                        else speaker)
         self.quantization = quantization
         self.lm: CausalLMGenerator | None = None
         self.tokenizer = None

@@ -1,14 +1,18 @@
 """Audio capture abstraction.
 
-Analogue of the reference example apps' AVFoundation AudioRecorder: on a
-headless TPU host there is no microphone, so "recording" sources are a
-file, a raw PCM stream (e.g. piped from arecord/ffmpeg on another box), or
-pushed numpy blocks. Consumers pull fixed-size chunks for streaming ASR.
+Analogue of the reference example apps' AVFoundation AudioRecorder
+(examples/STT App AudioRecorder via AVAudioEngine): sources are a LIVE
+input device (sounddevice/PortAudio, mirroring api/player.py's output
+backend), a file, a raw PCM stream (e.g. piped from arecord/ffmpeg on
+another box), or pushed numpy blocks. Consumers pull fixed-size chunks for
+streaming ASR. On a headless TPU host with no input device, live capture
+raises and the push/file/pipe sources remain available.
 """
 
 from __future__ import annotations
 
 import sys
+import threading
 
 import numpy as np
 
@@ -46,6 +50,63 @@ class AudioRecorder:
             x = np.frombuffer(raw, dtype=np_dtype).astype(np.float32) / scale
             self.push(x, sample_rate)
             yield x
+
+    # ------------------------------------------------------------- live mic
+
+    @staticmethod
+    def input_available() -> bool:
+        """True when a PortAudio input device exists (the symmetric check
+        to api/player._pick_backend's output probe)."""
+        try:
+            import sounddevice
+
+            return sounddevice.query_devices(kind="input") is not None
+        except Exception:
+            return False
+
+    def record_stream(self, chunk_seconds: float = 0.5, device=None,
+                      stop_event: "threading.Event | None" = None):
+        """Generator over live microphone chunks at self.target_rate.
+
+        Opens a sounddevice.InputStream whose callback feeds an internal
+        queue; each yielded block is also push()ed into the buffer so
+        pull()/drain() see the full recording. Ends when stop_event is
+        set (or the generator is closed). Raises RuntimeError when no
+        input device is available (headless host) — use push()/
+        read_raw_stream() there instead."""
+        try:
+            import sounddevice
+        except Exception as exc:  # pragma: no cover - env without portaudio
+            raise RuntimeError(
+                "live capture needs the sounddevice package and an input "
+                f"device ({exc}); push blocks or pipe raw PCM instead"
+            ) from exc
+        if sounddevice.query_devices(kind="input") is None:
+            raise RuntimeError("no audio input device available")
+
+        import queue
+
+        q: "queue.Queue[np.ndarray]" = queue.Queue()
+        block = max(1, int(chunk_seconds * self.target_rate))
+
+        def callback(indata, frames, time_info, status):
+            q.put(np.array(indata[:, 0], np.float32))
+
+        stream = sounddevice.InputStream(
+            samplerate=self.target_rate, channels=1, dtype="float32",
+            blocksize=block, device=device, callback=callback)
+        stream.start()
+        try:
+            while stop_event is None or not stop_event.is_set():
+                try:
+                    x = q.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                self.push(x)
+                yield x
+        finally:
+            stream.stop()
+            stream.close()
 
     # -------------------------------------------------------------- consume
 
