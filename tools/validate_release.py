@@ -1,0 +1,213 @@
+"""Launch-day validation: one command, full model matrix, scorecard.
+
+The build environment is zero-egress, so every loader remap, quant repack
+and accuracy claim is locked by offline manifests and torch-parity tests
+but has never touched a production checkpoint. On a machine WITH network,
+this script closes that gap (VERDICT r2 #3):
+
+    python tools/validate_release.py [--only whisper,kokoro,...]
+        [--quick] [--out validation_scorecard.json]
+
+Per family it (1) snapshots the HF repo(s), (2) runs the loader (every
+quantization variant unless --quick), (3) runs a minimal end-to-end
+generation/transcription, and (4) applies the reference's accuracy gates
+where defined: Whisper 100% word-set accuracy on LJ037-0171
+(/root/reference/package/Tests/WhisperTests.swift:62-82) and
+ASR-round-trip word overlap for the TTS engines
+(Tests/CosyVoice2Tests.swift:153). Also regenerates the bundled OuteTTS
+default speaker (tools/make_default_speaker.py). Emits one JSON scorecard;
+exit code 0 iff every attempted row passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+LJ_URL = "https://keithito.com/LJ-Speech-Dataset/LJ037-0171.wav"
+LJ_TRANSCRIPT = (
+    "that he could only testify with respect to his firearms examination "
+    "of the rifle and the bullet fragments"
+)
+ROUND_TRIP_TEXT = "The quick brown fox jumps over the lazy dog."
+MIN_TTS_OVERLAP = 0.6  # word overlap for TTS→ASR round trips
+
+
+def _word_set(text: str) -> set:
+    import re
+
+    return set(re.findall(r"[a-z']+", text.lower()))
+
+
+def _fetch_lj() -> np.ndarray:
+    import urllib.request
+
+    from tpu_audio.utils.audio_io import load_audio
+
+    path = "/tmp/validate_lj.wav"
+    urllib.request.urlretrieve(LJ_URL, path)
+    samples, _ = load_audio(path, target_rate=16000)
+    return samples
+
+
+class Scorecard:
+    def __init__(self):
+        self.rows = []
+
+    def run(self, family: str, variant: str, fn) -> None:
+        t0 = time.perf_counter()
+        row = {"family": family, "variant": variant}
+        try:
+            detail = fn()
+            row.update(status="pass", detail=detail or {})
+        except Exception as exc:
+            row.update(status="FAIL", error=f"{type(exc).__name__}: {exc}",
+                       trace=traceback.format_exc(limit=4))
+        row["seconds"] = round(time.perf_counter() - t0, 1)
+        self.rows.append(row)
+        print(f"[{row['status']:4}] {family}/{variant} "
+              f"({row['seconds']}s)" + (f" — {row.get('error')}"
+                                        if row["status"] == "FAIL" else ""))
+
+
+def validate_whisper(card: Scorecard, quick: bool, lj: np.ndarray) -> None:
+    from tpu_audio.api.stt import STT
+
+    matrix = ([("tiny", "fp16"), ("large-v3-turbo", "q4")] if quick else
+              [(m, q) for m in ("tiny", "base", "small", "large-v3-turbo")
+               for q in ("fp16", "q8", "q4", "w8a8")]
+              + [("tiny.en", "fp16"), ("base.en", "fp16")])
+
+    for model, quant in matrix:
+        def gate(model=model, quant=quant):
+            eng = STT.whisper(model, quant)
+            eng.load()
+            text = eng.transcribe(lj, language="en").text
+            acc = (len(_word_set(text) & _word_set(LJ_TRANSCRIPT))
+                   / len(_word_set(LJ_TRANSCRIPT)))
+            assert acc == 1.0, f"word accuracy {acc:.2f} ({text!r})"
+            return {"word_accuracy": acc}
+
+        card.run("whisper", f"{model}-{quant}", gate)
+
+
+def validate_funasr(card: Scorecard, quick: bool, lj: np.ndarray) -> None:
+    from tpu_audio.api.stt import STT
+
+    variants = [("nano", "q4")] if quick else [
+        (m, q) for m in ("nano", "mlt_nano") for q in ("q4", "q8", "fp16")]
+    for model, quant in variants:
+        def gate(model=model, quant=quant):
+            eng = STT.fun_asr(model, quant)
+            eng.load()
+            text = eng.transcribe(lj).text
+            overlap = (len(_word_set(text) & _word_set(LJ_TRANSCRIPT))
+                       / len(_word_set(LJ_TRANSCRIPT)))
+            assert overlap >= 0.8, f"overlap {overlap:.2f} ({text!r})"
+            return {"word_overlap": overlap}
+
+        card.run("funasr", f"{model}-{quant}", gate)
+
+
+def _round_trip(samples: np.ndarray, sr: int) -> float:
+    """Transcribe generated speech with whisper-tiny; word overlap."""
+    from tpu_audio.api.stt import STT
+    from tpu_audio.ops.resample import resample
+
+    wav16 = resample(np.asarray(samples, np.float32), sr, 16000)
+    eng = STT.whisper("tiny")
+    eng.load()
+    text = eng.transcribe(wav16, language="en").text
+    want = _word_set(ROUND_TRIP_TEXT)
+    return len(_word_set(text) & want) / len(want)
+
+
+def validate_tts(card: Scorecard, quick: bool) -> None:
+    from tpu_audio.api.tts import TTS
+
+    engines = {
+        "kokoro": lambda: TTS.kokoro(),
+        "orpheus": lambda: TTS.orpheus(),
+        "oute": lambda: TTS.oute(),
+        "marvis": lambda: TTS.marvis(),
+        "chatterbox": lambda: TTS.chatterbox(),
+        "chatterbox_turbo": lambda: TTS.chatterbox_turbo(),
+        "cosyvoice2": lambda: TTS.cosyvoice2(),
+        "cosyvoice3": lambda: TTS.cosyvoice3(),
+    }
+    if quick:
+        engines = {"kokoro": engines["kokoro"]}
+    for name, factory in engines.items():
+        def gate(factory=factory):
+            eng = factory()
+            eng.load()
+            eng.warmup()
+            result = eng.generate(ROUND_TRIP_TEXT)
+            assert result.duration > 0.3, "no audio produced"
+            overlap = _round_trip(result.samples, result.sample_rate)
+            assert overlap >= MIN_TTS_OVERLAP, f"round-trip {overlap:.2f}"
+            return {"round_trip_overlap": overlap,
+                    "rtf": round(result.processing_time
+                                 / max(result.duration, 1e-9), 3)}
+
+        card.run("tts", name, gate)
+
+
+def validate_default_speaker(card: Scorecard) -> None:
+    def gate():
+        import subprocess
+
+        r = subprocess.run([sys.executable, "tools/make_default_speaker.py"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-400:]
+        from tpu_audio.models.outetts.engine import default_speaker
+
+        prof = default_speaker()
+        assert prof is not None and len(prof.words) > 3
+        return {"words": len(prof.words)}
+
+    card.run("outetts", "default_speaker", gate)
+
+
+FAMILIES = ("whisper", "funasr", "tts", "default_speaker")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated families " + str(FAMILIES))
+    ap.add_argument("--quick", action="store_true",
+                    help="one variant per family")
+    ap.add_argument("--out", default="validation_scorecard.json")
+    args = ap.parse_args()
+    only = set((args.only or ",".join(FAMILIES)).split(","))
+
+    card = Scorecard()
+    lj = _fetch_lj() if ({"whisper", "funasr"} & only) else None
+    if "whisper" in only:
+        validate_whisper(card, args.quick, lj)
+    if "funasr" in only:
+        validate_funasr(card, args.quick, lj)
+    if "tts" in only:
+        validate_tts(card, args.quick)
+    if "default_speaker" in only:
+        validate_default_speaker(card)
+
+    passed = sum(r["status"] == "pass" for r in card.rows)
+    summary = {"passed": passed, "failed": len(card.rows) - passed,
+               "rows": card.rows}
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\n{passed}/{len(card.rows)} passed -> {args.out}")
+    sys.exit(0 if passed == len(card.rows) else 1)
+
+
+if __name__ == "__main__":
+    main()

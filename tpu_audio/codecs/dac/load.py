@@ -88,7 +88,12 @@ def load_dir(path: str, dtype=jnp.float32):
         codebook_dim=raw.get("codebook_dim", 8),
         latent_dim=raw.get("latent_dim", 1024),
     )
-    flat = weights.load_safetensors_dir(path)
+    tree = convert(weights.load_safetensors_dir(path))
+    return weights.to_device(tree, dtype=dtype), cfg
+
+
+def convert(flat: dict) -> dict:
+    """Pure torch-DAC layout → model tree (no IO; manifest-testable)."""
     out = {}
     for k, v in flat.items():
         nk = _remap(k)
@@ -99,7 +104,7 @@ def load_dir(path: str, dtype=jnp.float32):
             if ".convT." in nk:
                 v = v.transpose(0, 2, 1)
         out[nk] = v
-    return weights.to_device(pytree.unflatten(out), dtype=dtype), cfg
+    return pytree.unflatten(out)
 
 
 def load(repo: str = REPO, dtype=jnp.float32):

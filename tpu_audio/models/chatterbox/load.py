@@ -78,7 +78,8 @@ def load(variant: str = "fp16"):
     tok_path = hub.snapshot(S3TOK_REPO, matching=["*.safetensors",
                                                   "config.json"])
     tok_flat = weights.load_safetensors_dir(tok_path)
-    tok_params = weights.to_device(pytree.unflatten(tok_flat))
+    from tpu_audio.codecs.s3tokenizer import load as s3tok_load
+    tok_params = weights.to_device(s3tok_load.convert(tok_flat))
     tok_cfg = s3tokenizer.S3TokenizerConfig()
 
     return (t3_params, t3_cfg, s3_params, s3_cfg, tok_params, tok_cfg,

@@ -47,7 +47,8 @@ def load(variant: str = "fp16"):
 
     tok_path = hub.snapshot(S3TOK_REPO, matching=["*.safetensors",
                                                   "config.json"])
-    tok_params = weights.to_device(pytree.unflatten(
+    from tpu_audio.codecs.s3tokenizer import load as s3tok_load
+    tok_params = weights.to_device(s3tok_load.convert(
         weights.load_safetensors_dir(tok_path)))
 
     return (t3_params, turbo.T3TurboConfig(), s3_params, s3gen.S3GenConfig(),

@@ -20,11 +20,8 @@ REPO = "mlx-community/CosyVoice2-0.5B-4bit"
 S3TOK_REPO = "mlx-community/S3TokenizerV2"
 
 
-def load(repo: str = REPO):
-    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
-                                        "tokenizer.json"])
-    flat = weights.load_safetensors_dir(path)
-
+def convert(flat: dict) -> tuple[dict, dict]:
+    """Pure checkpoint layout → (lm_params, s3_params) trees (no IO)."""
     lm_flat = {}
     s3_flat = {}
     for k, v in flat.items():
@@ -41,9 +38,8 @@ def load(repo: str = REPO):
     inner = {k[len("llm."):]: v for k, v in lm_flat.items()
              if k.startswith("llm.")}
     rest = {k: v for k, v in lm_flat.items() if not k.startswith("llm.")}
-    llm_tree = load_llama.convert_llama(inner)
-    lm_params = {"llm": llm_tree, **pytree.unflatten(rest)}
-    lm_params = weights.to_device(lm_params)
+    lm_params = {"llm": load_llama.convert_llama(inner),
+                 **pytree.unflatten(rest)}
 
     out = {}
     for k, v in s3_flat.items():
@@ -52,11 +48,20 @@ def load(repo: str = REPO):
             if re.search(r"\.(ups|convT|up_layer)\.", k):
                 v = v.transpose(0, 2, 1)
         out[k] = v
-    s3_params = weights.to_device(pytree.unflatten(out))
+    return lm_params, pytree.unflatten(out)
+
+
+def load(repo: str = REPO):
+    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
+                                        "tokenizer.json"])
+    lm_params, s3_params = convert(weights.load_safetensors_dir(path))
+    lm_params = weights.to_device(lm_params)
+    s3_params = weights.to_device(s3_params)
 
     tok_path = hub.snapshot(S3TOK_REPO, matching=["*.safetensors",
                                                   "config.json"])
-    tok_params = weights.to_device(pytree.unflatten(
+    from tpu_audio.codecs.s3tokenizer import load as s3tok_load
+    tok_params = weights.to_device(s3tok_load.convert(
         weights.load_safetensors_dir(tok_path)))
 
     return (lm_params, lm_mod.CosyLMConfig(), s3_params, s3gen.S3GenConfig(),

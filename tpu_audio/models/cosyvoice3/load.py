@@ -17,11 +17,8 @@ REPO = "mlx-community/Fun-CosyVoice3-0.5B-2512-4bit"
 S3TOK_V3_REPO = "mlx-community/S3TokenizerV3"
 
 
-def load(repo: str = REPO):
-    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
-                                        "tokenizer.json"])
-    flat = weights.load_safetensors_dir(path)
-
+def convert(flat: dict) -> tuple[dict, dict]:
+    """Pure checkpoint layout → (lm_params, flow_params) trees (no IO)."""
     lm_flat, flow_flat = {}, {}
     for k, v in flat.items():
         if k.startswith(("llm.", "llm_", "speech_embedding.")):
@@ -34,8 +31,8 @@ def load(repo: str = REPO):
     inner = {k[len("llm."):]: v for k, v in lm_flat.items()
              if k.startswith("llm.")}
     rest = {k: v for k, v in lm_flat.items() if not k.startswith("llm.")}
-    lm_params = weights.to_device(
-        {"llm": load_llama.convert_llama(inner), **pytree.unflatten(rest)})
+    lm_params = {"llm": load_llama.convert_llama(inner),
+                 **pytree.unflatten(rest)}
 
     out = {}
     for k, v in flow_flat.items():
@@ -44,11 +41,20 @@ def load(repo: str = REPO):
             if re.search(r"\.(ups|convT|up_layer)\.", k):
                 v = v.transpose(0, 2, 1)
         out[k] = v
-    flow_params = weights.to_device(pytree.unflatten(out))
+    return lm_params, pytree.unflatten(out)
+
+
+def load(repo: str = REPO):
+    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
+                                        "tokenizer.json"])
+    lm_params, flow_params = convert(weights.load_safetensors_dir(path))
+    lm_params = weights.to_device(lm_params)
+    flow_params = weights.to_device(flow_params)
 
     tok_path = hub.snapshot(S3TOK_V3_REPO, matching=["*.safetensors",
                                                      "config.json"])
-    tok_params = weights.to_device(pytree.unflatten(
+    from tpu_audio.codecs.s3tokenizer import load as s3tok_load
+    tok_params = weights.to_device(s3tok_load.convert(
         weights.load_safetensors_dir(tok_path)))
 
     return (lm_params, lm_mod.CosyLMConfig(), flow_params,

@@ -13,10 +13,8 @@ from tpu_audio.utils import hub, pytree, weights
 from tpu_audio.utils.tokenizer import load_tokenizer
 
 
-def load(repo: str):
-    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
-                                        "tokenizer.json"])
-    flat = weights.load_safetensors_dir(path)
+def convert(flat: dict) -> dict:
+    """Pure checkpoint-layout → {encoder, adaptor, llm} tree (no IO)."""
     enc, adp, llm = {}, {}, {}
     for k, v in flat.items():
         if v.ndim == 3 and "fsmn" in k:
@@ -28,11 +26,17 @@ def load(repo: str):
         elif k.startswith(("llm.", "model.")):
             llm[k] = v
     llm_inner = {re.sub(r"^llm\.", "", k): v for k, v in llm.items()}
-    params = {
+    return {
         "encoder": pytree.unflatten(enc),
         "adaptor": pytree.unflatten(adp),
         "llm": load_llama.convert_llama(load_llama.fold_quantized(llm_inner)),
     }
+
+
+def load(repo: str):
+    path = hub.snapshot(repo, matching=["*.safetensors", "config.json",
+                                        "tokenizer.json"])
+    params = convert(weights.load_safetensors_dir(path))
     raw = weights.load_config_json(path)
     llm_cfg = (load_llama.config_from_hf(raw.get("llm_config", raw))
                if "hidden_size" in raw or "llm_config" in raw

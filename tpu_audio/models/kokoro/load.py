@@ -54,40 +54,36 @@ def _remap_key(key: str) -> str | None:
 
 
 def _fix_conv_layout(key: str, v: np.ndarray) -> np.ndarray:
-    """Map checkpoint conv layouts to (K, I, O).
+    """Map the MLX checkpoint conv layouts to (K, I, O).
 
-    PyTorch-origin 3-D weights are (O, I, K) for conv and (I, O, K) for
-    transposed conv; MLX conversions may already be (O, K, I). Heuristic on
-    the kernel axis + known module kinds.
-    """
+    mlx-community/Kokoro-82M stores MLX layouts deterministically: Conv1d
+    as (O, K, I), transposed convs (ups / predictor pools) as (I, K, O).
+    Round-3 fix: the previous shape-based MLX-vs-torch heuristic
+    misrouted convs whose kernel exceeds their input channels (F0_conv /
+    N_conv are K=3, I=1 even at production scale) — caught by the
+    loader-manifest suite."""
     if v.ndim != 3:
         return v
-    transposed_conv = bool(re.search(r"\.(ups|pool)\.", key)
-                           or key.endswith("pool.weight_v"))
-    o_or_i, a, b = v.shape
-    # decide which axis is the kernel: kernels here are 1,3,5,7,11,12,20
-    if a <= b:  # (O, K, I) — MLX layout
-        perm = (1, 2, 0)
-    else:  # (O, I, K) — torch layout
-        perm = (2, 1, 0)
-    w = v.transpose(perm)  # → (K, I, O)
-    if transposed_conv:
-        # torch transposed conv stores (I, O, K): after (2,1,0) we got
-        # (K, O, I) — swap to (K, I, O)
-        w = w.transpose(0, 2, 1)
-    return w
+    if re.search(r"\.(ups|pool)\.", key) or key.endswith("pool.weight_v"):
+        return v.transpose(1, 0, 2)  # (I, K, O) → (K, I, O)
+    return v.transpose(1, 2, 0)  # (O, K, I) → (K, I, O)
 
 
-def load(repo: str | None = None, dtype=jnp.float32):
-    path = hub.snapshot(repo or REPO, matching=[WEIGHTS_FILE, "config.json",
-                                               "voices/*"])
-    flat_np = weights.load_safetensors_dir(path)
+def convert(flat_np: dict) -> dict:
+    """Pure checkpoint-layout → model-tree conversion (no IO), so the
+    loader-manifest tests can lock the remap rules offline."""
     out = {}
     for k, v in flat_np.items():
         nk = _remap_key(k)
         if nk is None:
             continue
         out[nk] = _fix_conv_layout(nk, v)
-    tree = pytree.unflatten(out)
+    return pytree.unflatten(out)
+
+
+def load(repo: str | None = None, dtype=jnp.float32):
+    path = hub.snapshot(repo or REPO, matching=[WEIGHTS_FILE, "config.json",
+                                               "voices/*"])
+    tree = convert(weights.load_safetensors_dir(path))
     params = weights.to_device(tree, dtype=dtype)
     return params, KokoroConfig(), path

@@ -92,11 +92,15 @@ def load(repo: str, dtype=jnp.bfloat16):
 
 
 def load_mimi_dir(path: str, dtype=jnp.float32):
-    """kyutai Mimi checkpoint → codecs/mimi tree. Torch conv weights
-    (O, I, K) → (K, I, O); transposed convs (I, O, K) → (K, I, O)."""
+    tree = convert_mimi(weights.load_safetensors_dir(path))
+    return weights.to_device(tree, dtype=dtype), MimiConfig()
+
+
+def convert_mimi(flat: dict) -> dict:
+    """Pure kyutai-Mimi layout → codecs/mimi tree (no IO). Torch conv
+    weights (O, I, K) → (K, I, O); transposed convs (I, O, K) → (K, I, O)."""
     import re
 
-    flat = weights.load_safetensors_dir(path)
     out = {}
     for k, v in flat.items():
         nk = k
@@ -113,4 +117,4 @@ def load_mimi_dir(path: str, dtype=jnp.float32):
             else:
                 v = v.transpose(2, 1, 0)
         out[nk] = v
-    return weights.to_device(pytree.unflatten(out), dtype=dtype), MimiConfig()
+    return pytree.unflatten(out)

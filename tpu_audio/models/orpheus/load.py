@@ -33,7 +33,12 @@ def load_snac(repo: str = SNAC_REPO, dtype=jnp.float32):
         noise=raw.get("noise", True),
         depthwise=raw.get("depthwise", True),
     )
-    flat = weights.load_safetensors_dir(path)
+    tree = convert_snac(weights.load_safetensors_dir(path))
+    return weights.to_device(tree, dtype=dtype), cfg
+
+
+def convert_snac(flat: dict) -> dict:
+    """Pure torch-SNAC layout → model tree (no IO; manifest-testable)."""
     out = {}
     for k, v in flat.items():
         nk = _remap_snac_key(k)
@@ -44,7 +49,7 @@ def load_snac(repo: str = SNAC_REPO, dtype=jnp.float32):
             if ".convT." in nk:  # torch transposed conv (I, O, K)→(K,O,I)→swap
                 v = v.transpose(0, 2, 1)
         out[nk] = v
-    return weights.to_device(pytree.unflatten(out), dtype=dtype), cfg
+    return pytree.unflatten(out)
 
 
 def _remap_snac_key(key: str) -> str | None:
