@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--w4a8", action="store_true",
                     help="group-affine int4 weights unpacked to int8 "
                          "in-kernel + int8 activations (0.5 B/weight)")
+    ap.add_argument("--w4a8sg", action="store_true",
+                    help="super-group signed int4 (one f32 scale / 256 "
+                         "cols): k=128 nibble-plane MXU dots")
     ap.add_argument("--greedy", action="store_true",
                     help="temperature 0 (isolates sampler cost)")
     ap.add_argument("--spec", default="off",
@@ -68,7 +71,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     kind = ("q4" if args.q4 else "w8a8" if args.w8a8
-            else "w4a8" if args.w4a8 else "bf16")
+            else "w4a8" if args.w4a8 else "w4a8sg" if args.w4a8sg
+            else "bf16")
 
     def synth_params(cfg):
         """Random params at production shapes/dtypes (perf depends only on
@@ -113,7 +117,18 @@ def main() -> None:
                                             jnp.float32) * 0.01,
             }
 
-        leaf = {"q4": q4_leaf, "w8a8": i8_leaf, "w4a8": q4p_leaf}[kind]
+        def q4s_leaf(key, shape):
+            o, i = shape[-2], shape[-1]
+            lead = shape[:-2]
+            return {
+                "weight_q4s": jax.random.randint(key, (*lead, o, i // 2),
+                                                 -128, 128, jnp.int8),
+                "scales_sg": jax.random.uniform(key, (*lead, o, i // 256),
+                                                jnp.float32, 0.001, 0.02),
+            }
+
+        leaf = {"q4": q4_leaf, "w8a8": i8_leaf, "w4a8": q4p_leaf,
+                "w4a8sg": q4s_leaf}[kind]
         k = jax.random.PRNGKey(7)
         L = cfg.n_layers
         lay = params["layers"]
@@ -136,6 +151,9 @@ def main() -> None:
         elif kind == "w4a8":
             from tpu_audio.ops import quant
             params = quant.fuse_w4a8_tree(params)
+        elif kind == "w4a8sg":
+            from tpu_audio.ops import quant
+            params = quant.fuse_w4a8_sg_tree(params)
         return params
 
     params = synth_params(cfg)

@@ -259,3 +259,111 @@ class TestW4A8Matmul:
                                      interpret=True))
         ref = self._reference(x, qd)
         assert np.abs(got - ref).max() < 1e-4 * np.abs(ref).max() + 1e-5
+
+
+class TestW4A8SuperGroup:
+    """k=128 super-group W4A8 (VERDICT r2 #6): signed-int4 recode against
+    one f32 scale per 256 columns; the kernel's nibble-plane dots double
+    their contraction depth. Exact kernel semantics + bounded recode loss."""
+
+    def _leaf(self, rng, o=128, i=512):
+        from tpu_audio.ops import quant
+
+        w = (rng.standard_normal((o, i)) * 0.02).astype(np.float32)
+        ga = quant.quantize_array(w, bits=4, group=64)
+        return w, {k: jnp.asarray(v) for k, v in ga.items()}
+
+    def test_recode_cosine_vs_float(self, rng):
+        """Both formats against the ORIGINAL float weights: the super-group
+        recode may cost at most ~3x the group-affine quantization error
+        (it re-quantizes already-quantized values at ~2x coarser step)."""
+        from tpu_audio.ops import quant
+
+        w, ga = self._leaf(rng)
+
+        def cos(a, b):
+            return (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+
+        ga_deq = np.asarray(quant.dequantize(ga))
+        sg = quant.requantize_w4a8_sg(ga)
+        sg_deq = np.asarray(quant.dequantize_w4a8_sg(sg))
+        c_ga, c_sg = cos(ga_deq, w), cos(sg_deq, w)
+        assert c_sg > 0.985, (c_sg, c_ga)
+        assert (1 - c_sg) <= 3.0 * (1 - c_ga), (c_sg, c_ga)
+        # storage really is 0.5 B/weight + 1 f32 per 256 weights
+        assert sg["weight_q4s"].size == w.size // 2
+        assert sg["scales_sg"].size == w.size // 256
+
+    def test_kernel_matches_reference_semantics(self, rng):
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.pallas import w4a8_matmul as w4
+        from tpu_audio.ops.pallas.int8_matmul import quantize_rows
+
+        _, ga = self._leaf(rng, o=128, i=512)
+        sg = quant.requantize_w4a8_sg(ga)
+        x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+        got = np.asarray(w4.w4a8_sg_matmul(x, sg["weight_q4s"],
+                                           sg["scales_sg"], block_o=128,
+                                           interpret=True))
+        xq, sx = quantize_rows(x)
+        wref = np.asarray(quant.dequantize_w4a8_sg(sg))
+        ref = (np.asarray(xq, np.float32) @ wref.T) * np.asarray(sx)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    def test_stacked_kernel_matches_plain(self, rng):
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.pallas import w4a8_matmul as w4
+
+        _, ga = self._leaf(rng, o=128, i=512)
+        sg = quant.requantize_w4a8_sg(ga)
+        wp_st = jnp.stack([sg["weight_q4s"], sg["weight_q4s"] ^ 1])
+        s_st = jnp.stack([sg["scales_sg"], sg["scales_sg"] * 1.1])
+        x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+        for l in (0, 1):
+            got = np.asarray(w4.w4a8_sg_matmul_stacked(
+                x, wp_st, s_st[l], jnp.int32(l), block_o=128,
+                interpret=True))
+            want = np.asarray(w4.w4a8_sg_matmul(
+                x, wp_st[l], s_st[l], block_o=128, interpret=True))
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_tree_requantize_and_decode(self, rng):
+        """Whole-tree conversion: fused qkv/gateup leaves, CPU fallback
+        decode close to the exact-dequant q4 decode."""
+        from tpu_audio.models.orpheus.model import CausalLMGenerator
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        cfg = transformer.TransformerConfig(
+            dim=256, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=512,
+            vocab_size=96, tie_word_embeddings=True)
+        params = transformer.init_params(jax.random.PRNGKey(1), cfg)
+        qp = jax.tree_util.tree_map(lambda x: x, params)
+        for sub, names in (("attn", ("q", "k", "v", "o")),
+                           ("mlp", ("gate", "up", "down"))):
+            for name in names:
+                w = np.asarray(params["layers"][sub][name]["weight"])
+                qs = [quant.quantize_array(w[l], bits=4, group=64)
+                      for l in range(w.shape[0])]
+                stacked = {k: np.stack([q[k] for q in qs]) for k in qs[0]}
+                qp["layers"][sub][name] = {k: jnp.asarray(v)
+                                           for k, v in stacked.items()}
+        ref_qp = quant.repack_tree_w4a8(
+            jax.tree_util.tree_map(lambda x: x, qp))
+        sg_qp = quant.requantize_tree_w4a8_sg(qp)
+        assert "qkv" in sg_qp["layers"]["attn"]
+        assert "weight_q4s" in sg_qp["layers"]["attn"]["qkv"]
+
+        del CausalLMGenerator, SamplerConfig
+        # random tiny LLMs have near-flat logits (argmax chains are not a
+        # meaningful metric); require close LOGITS instead
+        toks = jnp.asarray([[3, 5, 7]], jnp.int32)
+        cache_a = transformer.make_cache(cfg, 1, 16, dtype=jnp.float32)
+        ref_lg, _ = transformer.forward(ref_qp, cfg, toks, cache_a)
+        cache_b = transformer.make_cache(cfg, 1, 16, dtype=jnp.float32)
+        sg_lg, _ = transformer.forward(sg_qp, cfg, toks, cache_b)
+        a = np.asarray(ref_lg).ravel()
+        b = np.asarray(sg_lg).ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.98, cos

@@ -79,13 +79,20 @@ class TestConformer:
         assert y.shape == (1, 24, 32)
         assert int(lens[0]) == 20
 
-    def test_rel_shift(self):
-        x = jnp.arange(2 * 5 * 9, dtype=jnp.float32).reshape(1, 2, 5, 9)
-        out = conformer._rel_shift(x)
-        assert out.shape == (1, 2, 5, 5)
-        # row i should start at position (T-1-i) of the rel axis
-        np.testing.assert_array_equal(np.asarray(out[0, 0, 0, :2]),
-                                      np.asarray(x[0, 0, 0, 4:6]))
+    def test_pos_emb_convention(self):
+        """Round-3 lock: the reference builds POSITIVE positions [0, T)
+        with sin/cos halves CONCATENATED and no rel-shift
+        (Embedding.swift:17-85; createPE concatenates despite its
+        "interleave" comment)."""
+        pe = np.asarray(conformer._rel_pos_emb(4, 8))
+        assert pe.shape == (1, 4, 8)
+        np.testing.assert_allclose(pe[0, 0, :4], np.sin([0, 0, 0, 0]),
+                                   atol=1e-7)
+        np.testing.assert_allclose(pe[0, 0, 4:], np.cos([0, 0, 0, 0]),
+                                   atol=1e-7)
+        # position 1, first frequency: sin(1) in the SIN half
+        assert abs(pe[0, 1, 0] - np.sin(1.0)) < 1e-6
+        assert abs(pe[0, 1, 4] - np.cos(1.0)) < 1e-6
 
 
 class TestFlow:

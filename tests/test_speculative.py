@@ -319,3 +319,39 @@ class TestSpeculativeTP:
                                 mesh=make_mesh(dp=4, tp=2))\
             .generate_speculative([3, 5, 7], **kw)
         assert got == ref and len(ref) > 0
+
+
+class TestCosyVoiceNgramSpeculative:
+    """The 0.5B CosyVoice LM's n-gram self-drafting path: greedy equality
+    with the plain decode (incl. the min-length EOS logit processor),
+    and a stochastic RAS run completing sanely."""
+
+    def _gen(self):
+        from tpu_audio.models.cosyvoice2 import lm as lm_mod
+        from tpu_audio.nn import transformer as tr
+
+        qwen = tr.TransformerConfig(
+            dim=48, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
+            vocab_size=400, attn_qkv_bias=True, tie_word_embeddings=True)
+        cfg = lm_mod.CosyLMConfig(qwen=qwen, llm_input_size=48,
+                                  speech_token_size=60)
+        params = lm_mod.init_params(jax.random.PRNGKey(0), cfg)
+        return lm_mod.CosyLMGenerator(params, cfg, max_cache=256)
+
+    def test_greedy_ngram_matches_plain(self):
+        gen = self._gen()
+        kw = dict(text_ids=[5, 9, 3, 7], prompt_text_ids=[2, 4],
+                  prompt_speech_tokens=[11, 12, 13, 11, 12], seed=1,
+                  sampler=SamplerConfig(temperature=0.0), max_new=32)
+        ref = gen.generate(**kw)
+        got = gen.generate(speculative="ngram", gamma=3, **kw)
+        assert got == ref and len(ref) > 0
+
+    def test_ras_sampler_runs(self):
+        from tpu_audio.models.cosyvoice2 import lm as lm_mod
+
+        gen = self._gen()
+        out = gen.generate([5, 9, 3], [2], [11, 12, 13], seed=2,
+                           sampler=lm_mod.RAS_SAMPLER, max_new=32,
+                           speculative="ngram", gamma=4)
+        assert all(0 <= t < 60 for t in out)

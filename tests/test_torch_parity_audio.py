@@ -615,3 +615,221 @@ class TestKokoroGenerator:
             t2, jax.random.PRNGKey(0), har_override=jnp.asarray(har)))
         assert jaudio.shape == taudio.shape
         np.testing.assert_allclose(jaudio, taudio, atol=5e-4)
+
+
+# ---------------------------------------------------------------- conformer
+
+class TestUpsampleConformer:
+    def _models(self):
+        from tests.torch_ref.conformer import (
+            UpsampleConformerEncoder as TorchConf)
+
+        from tpu_audio.codecs.s3gen import conformer as cf
+
+        torch.manual_seed(6)
+        tm = TorchConf(input_size=24, output_size=32, heads=4, ff=64,
+                       num_blocks=2, num_up_blocks=1,
+                       static_chunk_size=8).eval()
+        # give the zero-init pos biases real values
+        with torch.no_grad():
+            for layer in list(tm.encoders) + list(tm.up_encoders):
+                layer.self_attn.pos_bias_u.uniform_(-0.5, 0.5)
+                layer.self_attn.pos_bias_v.uniform_(-0.5, 0.5)
+        cfg = cf.ConformerConfig(input_size=24, output_size=32, heads=4,
+                                 linear_units=64, num_blocks=2,
+                                 num_up_blocks=1, static_chunk_size=8)
+        params = cf.init_params(jax.random.PRNGKey(0), cfg)
+        sd = _t2np(tm.state_dict())
+
+        def lin(prefix, bias=True):
+            p = {"weight": jnp.asarray(sd[prefix + ".weight"])}
+            if bias:
+                p["bias"] = jnp.asarray(sd[prefix + ".bias"])
+            return p
+
+        def layer_map(prefix):
+            return {
+                "self_attn": {
+                    "linear_q": lin(prefix + ".self_attn.linear_q"),
+                    "linear_k": lin(prefix + ".self_attn.linear_k"),
+                    "linear_v": lin(prefix + ".self_attn.linear_v"),
+                    "linear_out": lin(prefix + ".self_attn.linear_out"),
+                    "linear_pos": lin(prefix + ".self_attn.linear_pos",
+                                      bias=False),
+                    "pos_bias_u": jnp.asarray(
+                        sd[prefix + ".self_attn.pos_bias_u"]),
+                    "pos_bias_v": jnp.asarray(
+                        sd[prefix + ".self_attn.pos_bias_v"]),
+                },
+                "feed_forward": {"w_1": lin(prefix + ".w_1"),
+                                 "w_2": lin(prefix + ".w_2")},
+                "norm_ff": lin(prefix + ".norm_ff"),
+                "norm_mha": lin(prefix + ".norm_mha"),
+            }
+
+        params["embed"] = {"out": lin("embed_out"),
+                           "norm": lin("embed_norm")}
+        params["pre_lookahead_layer"] = {
+            "conv1": {"weight": jnp.asarray(_conv_KIO(sd["pl_conv1.weight"])),
+                      "bias": jnp.asarray(sd["pl_conv1.bias"])},
+            "conv2": {"weight": jnp.asarray(_conv_KIO(sd["pl_conv2.weight"])),
+                      "bias": jnp.asarray(sd["pl_conv2.bias"])}}
+        params["encoders"] = {str(i): layer_map(f"encoders.{i}")
+                              for i in range(2)}
+        params["up_layer"] = {"conv": {
+            "weight": jnp.asarray(_conv_KIO(sd["up_conv.weight"])),
+            "bias": jnp.asarray(sd["up_conv.bias"])}}
+        params["up_embed"] = {"out": lin("up_embed_out"),
+                              "norm": lin("up_embed_norm")}
+        params["up_encoders"] = {"0": layer_map("up_encoders.0")}
+        params["after_norm"] = lin("after_norm")
+        return tm, params, cfg
+
+    @pytest.mark.parametrize("streaming", [False, True])
+    def test_forward_matches(self, rng, streaming):
+        from tpu_audio.codecs.s3gen import conformer as cf
+
+        tm, params, cfg = self._models()
+        b, t = 2, 24
+        x = rng.standard_normal((b, t, 24)).astype(np.float32)
+        lens = np.asarray([24, 17], np.int32)
+        with torch.no_grad():
+            tout, tlens = tm(torch.from_numpy(x), torch.from_numpy(lens),
+                             streaming=streaming)
+        jout, jlens = cf.forward(params, cfg, jnp.asarray(x),
+                                 jnp.asarray(lens), streaming=streaming)
+        assert np.asarray(jlens).tolist() == tlens.numpy().tolist()
+        for r, ln in enumerate(np.asarray(jlens)):
+            np.testing.assert_allclose(np.asarray(jout)[r, :ln],
+                                       tout.numpy()[r, :ln], atol=2e-4)
+
+
+# ----------------------------------------------------------- matcha / flow
+
+class TestMatchaFlow:
+    def _models(self):
+        from tests.torch_ref.matcha import ConditionalDecoder as TorchDec
+
+        from tpu_audio.codecs.s3gen import flow
+
+        torch.manual_seed(7)
+        tm = TorchDec(in_channels=32, out_channels=8, channels=16,
+                      n_blocks=1, num_mid_blocks=2, heads=2, head_dim=8,
+                      static_chunk_size=6).eval()
+        cfg = flow.EstimatorConfig(in_channels=32, out_channels=8,
+                                   channels=16, n_blocks=1, num_mid_blocks=2,
+                                   num_heads=2, static_chunk_size=6)
+        params = flow.init_estimator(jax.random.PRNGKey(0), cfg)
+        sd = _t2np(tm.state_dict())
+
+        def lin(prefix, bias=True):
+            p = {"weight": jnp.asarray(sd[prefix + ".weight"])}
+            if bias:
+                p["bias"] = jnp.asarray(sd[prefix + ".bias"])
+            return p
+
+        def conv(prefix):
+            return {"weight": jnp.asarray(_conv_KIO(sd[prefix + ".weight"])),
+                    "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+        def cblock(prefix):
+            return {"conv": conv(prefix + ".conv.conv"),
+                    "norm": lin(prefix + ".norm")}
+
+        def resnet(prefix):
+            return {"mlp_linear": lin(prefix + ".mlp_linear"),
+                    "block1": cblock(prefix + ".block1"),
+                    "block2": cblock(prefix + ".block2"),
+                    "res_conv": conv(prefix + ".res_conv")}
+
+        def tblock(prefix):
+            return {"norm1": lin(prefix + ".norm1"),
+                    "norm3": lin(prefix + ".norm3"),
+                    "attn": {"q": lin(prefix + ".q", bias=False),
+                             "k": lin(prefix + ".k", bias=False),
+                             "v": lin(prefix + ".v", bias=False),
+                             "o": lin(prefix + ".o")},
+                    "ff": {"fc1": lin(prefix + ".ff1"),
+                           "fc2": lin(prefix + ".ff2")}}
+
+        params["time_mlp"] = {"linear_1": lin("time_l1"),
+                              "linear_2": lin("time_l2")}
+        params["down"] = {"resnet": resnet("down_resnet"),
+                          "transformers": {"0": tblock("down_tf.0")},
+                          "downsample": conv("down_conv.conv")}
+        params["mid"] = {str(m): {"resnet": resnet(f"mid.{m}.0"),
+                                  "transformers": {"0": tblock(f"mid.{m}.1.0")}}
+                         for m in range(2)}
+        params["up"] = {"resnet": resnet("up_resnet"),
+                        "transformers": {"0": tblock("up_tf.0")},
+                        "upsample": conv("up_conv.conv")}
+        params["final_block"] = cblock("final_block")
+        params["final_proj"] = conv("final_proj")
+        return tm, params, cfg
+
+    @pytest.mark.parametrize("streaming", [False, True])
+    def test_estimator_matches(self, rng, streaming):
+        from tpu_audio.codecs.s3gen import flow
+
+        tm, params, cfg = self._models()
+        b, t = 2, 18
+        x = rng.standard_normal((b, t, 8)).astype(np.float32)
+        mu = rng.standard_normal((b, t, 8)).astype(np.float32)
+        spk = rng.standard_normal((b, 8)).astype(np.float32)
+        cond = rng.standard_normal((b, t, 8)).astype(np.float32)
+        lens = np.asarray([18, 13], np.int32)
+        tv = np.asarray([0.3, 0.7], np.float32)
+        with torch.no_grad():
+            tout = tm(torch.from_numpy(x.transpose(0, 2, 1)),
+                      torch.from_numpy(lens),
+                      torch.from_numpy(mu.transpose(0, 2, 1)),
+                      torch.from_numpy(tv), torch.from_numpy(spk),
+                      torch.from_numpy(cond.transpose(0, 2, 1)),
+                      streaming=streaming).numpy()
+        jout = np.asarray(flow.estimator_forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(lens), jnp.asarray(mu),
+            jnp.asarray(tv), jnp.asarray(spk), jnp.asarray(cond),
+            streaming=streaming))
+        for r, ln in enumerate(lens):
+            np.testing.assert_allclose(jout[r, :ln],
+                                       tout.transpose(0, 2, 1)[r, :ln],
+                                       atol=2e-4)
+
+    def test_cfg_euler_matches(self, rng):
+        """Full CFM solve: same z noise into both CFG Euler loops."""
+        from tests.torch_ref.matcha import cfg_euler
+
+        from tpu_audio.codecs.s3gen import flow
+
+        tm, params, cfg = self._models()
+        cfm = flow.CFMConfig(n_timesteps=4)
+        b, t = 1, 12
+        mu = rng.standard_normal((b, t, 8)).astype(np.float32)
+        spk = rng.standard_normal((b, 8)).astype(np.float32)
+        cond = rng.standard_normal((b, t, 8)).astype(np.float32)
+        z = rng.standard_normal((b, t, 8)).astype(np.float32)
+        lens = np.asarray([12], np.int32)
+
+        def est_t(x, l, m, tv, s, c, stream):
+            with torch.no_grad():
+                return tm(x, l, m, tv, s, c, streaming=stream)
+
+        tout = cfg_euler(est_t, torch.from_numpy(z.transpose(0, 2, 1)),
+                         torch.from_numpy(mu.transpose(0, 2, 1)),
+                         torch.from_numpy(lens), torch.from_numpy(spk),
+                         torch.from_numpy(cond.transpose(0, 2, 1)),
+                         4, cfm.inference_cfg_rate).numpy()
+
+        def est_j(x, ml, mu_, tv, s, c, stream):
+            return flow.estimator_forward(params, cfg, x, ml, mu_, tv, s, c,
+                                          stream)
+
+        # inject the SAME z by monkeypatched normal draw
+        import unittest.mock as mock
+
+        with mock.patch("jax.random.normal",
+                        lambda k, shape, dtype=None: jnp.asarray(z)):
+            jout = np.asarray(flow.cfm_solve(
+                est_j, cfm, jnp.asarray(mu), jnp.asarray(lens),
+                jnp.asarray(spk), jnp.asarray(cond), jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(jout, tout.transpose(0, 2, 1), atol=5e-4)

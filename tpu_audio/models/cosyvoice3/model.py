@@ -221,6 +221,23 @@ class CV3Synthesizer:
             self._mu_fns[t_pad] = fn
         return self._mu_fns[t_pad]
 
+    def _mu_slice_fn(self, t_mel: int, chunk_pad: int):
+        """Device-side (1, chunk_pad, D) window of mu at dynamic offset,
+        zero-padded past the valid chunk frames."""
+        key_ = ("muslice", t_mel, chunk_pad)
+        if key_ not in self._mu_fns:
+
+            @jax.jit
+            def fn(mu, lo, n_valid):
+                mup = jnp.pad(mu, ((0, 0), (0, chunk_pad), (0, 0)))
+                sl = jax.lax.dynamic_slice(
+                    mup, (0, lo, 0), (1, chunk_pad, mu.shape[-1]))
+                idx = jnp.arange(chunk_pad)
+                return jnp.where((idx < n_valid)[None, :, None], sl, 0.0)
+
+            self._mu_fns[key_] = fn
+        return self._mu_fns[key_]
+
     def _chunk_fn(self, chunk_pad: int):
         if chunk_pad not in self._chunk_fns:
             cfg = self.cfg
@@ -342,14 +359,16 @@ class CV3Synthesizer:
             if o1_active:
                 mu, spks = self._mu_fn(t_pad)(
                     self.params, jnp.asarray(toks), jnp.asarray([n]), emb)
-                mu_np = np.asarray(mu[0], np.float32)
 
                 def run_chunk(lo, hi, caches, cache_base):
                     """Flow frames [lo, hi) through the cached DiT."""
                     chunk_frames = hi - lo
                     chunk_pad = max(32, -(-chunk_frames // 32) * 32)
-                    mu_new = np.zeros((1, chunk_pad, cfg.mel_dim), np.float32)
-                    mu_new[0, :chunk_frames] = mu_np[lo:hi]
+                    # slice mu ON DEVICE: transferring the full window to
+                    # host every chunk was O(stream length) per chunk and
+                    # the main residual latency drift (VERDICT r2 weak #8)
+                    mu_new = self._mu_slice_fn(mu.shape[1], chunk_pad)(
+                        mu, jnp.int32(lo), jnp.int32(chunk_frames))
                     cond_new = np.zeros((1, chunk_pad, cfg.mel_dim),
                                         np.float32)
                     p_over = max(0, min(pm_np.shape[0], hi) - lo)

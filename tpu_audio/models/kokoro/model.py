@@ -364,7 +364,9 @@ def _kokoro_istft(mag, phase, n_fft, hop):
 
     win_np = windows.hann(n_fft, periodic=True)
     win = jnp.asarray(win_np)
-    spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
+    # explicit cos/sin instead of exp(1j·φ): complex exp is an
+    # unimplemented single op on the TPU backend in eager mode
+    spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win
     nf = frames.shape[1]
     out_len = (nf - 1) * hop + n_fft

@@ -58,7 +58,7 @@ class TransformerConfig:
         return rope.make_inv_freq(self.hd, self.rope_theta, self.rope_scaling)
 
 
-_STACKED_KEYS = ("weight_i8", "weight_q4p")
+_STACKED_KEYS = ("weight_i8", "weight_q4p", "weight_q4s")
 
 
 def _split_stacked_quant(layers_tree: dict):

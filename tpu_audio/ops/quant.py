@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-QKEYS = ("weight_q4", "weight_q8", "weight_i8", "weight_q4p")
+QKEYS = ("weight_q4", "weight_q8", "weight_i8", "weight_q4p", "weight_q4s")
 
 _fallback_warned = False
 
@@ -67,6 +67,8 @@ def dequantize(p: dict) -> jax.Array:
         return dequantize_int8(p)
     if "weight_q4p" in p:
         return dequantize_w4a8(p)
+    if "weight_q4s" in p:
+        return dequantize_w4a8_sg(p)
     bits = 4 if "weight_q4" in p else 8
     packed = p["weight_q4"] if bits == 4 else p["weight_q8"]
     q = unpack_uint32(packed, bits).astype(jnp.float32)
@@ -109,6 +111,8 @@ def expand_for_kernel(p: dict) -> dict:
 def quantized_linear(p: dict, x: jax.Array) -> jax.Array:
     if "weight_i8" in p or "weight_i8_stacked" in p:
         return int8_linear(p, x)
+    if "weight_q4s" in p or "weight_q4s_stacked" in p:
+        return w4a8_sg_linear(p, x)
     if "weight_q4p" in p or "weight_q4p_stacked" in p:
         return w4a8_linear(p, x)
     lead = x.shape[:-1]
@@ -225,6 +229,141 @@ def w4a8_linear(p: dict, x: jax.Array) -> jax.Array:
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+# ----------------------------------------------------- W4A8 super-group
+
+def requantize_w4a8_sg(p: dict) -> dict:
+    """Group-affine q4 dict → super-group signed-int4 serving layout
+    {"weight_q4s" int8 (..., O, I/2), "scales_sg" (..., O, I/256) f32}.
+
+    Doubles the W4A8 kernel's MXU contraction depth (k=64 → 128 per
+    nibble-plane dot) by sharing one f32 scale across 256 columns; the
+    recode is LOSSY: ~2× coarser step than the checkpoint's group-64
+    affine, costing ≤3× the int4 quantization error itself (weight-vs-
+    float cosine ~0.99 vs ~0.995 on gaussian statistics — see
+    tests/test_pallas_kernels.py::TestW4A8SuperGroup). Host-side, load
+    time; keep repack_tree_w4a8 where byte-exactness matters."""
+    from tpu_audio.ops.pallas.w4a8_matmul import requantize_w4a8_sg as rq
+
+    q = np.asarray(unpack_uint32(jnp.asarray(p["weight_q4"]), 4))
+    *lead, o, i = q.shape
+    scales = np.asarray(p["scales"], np.float32).reshape(-1, o,
+                                                         q.shape[-1] // 64)
+    biases = np.asarray(p["biases"], np.float32).reshape(scales.shape)
+    q2 = q.reshape(-1, o, i)
+    packed, ssg = zip(*[rq(scales[l], biases[l], q2[l])
+                        for l in range(q2.shape[0])])
+    out = {"weight_q4s": jnp.asarray(np.stack(packed).reshape(*lead, o,
+                                                              i // 2)),
+           "scales_sg": jnp.asarray(np.stack(ssg).reshape(*lead, o,
+                                                          i // 256))}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def dequantize_w4a8_sg(p: dict) -> jax.Array:
+    from tpu_audio.ops.pallas.w4a8_matmul import dequantize_w4a8_sg as dq
+
+    return dq(p)
+
+
+def w4a8_sg_linear(p: dict, x: jax.Array) -> jax.Array:
+    from tpu_audio.ops.pallas import w4a8_matmul as w4mm
+
+    lead = x.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(rows, x.shape[-1])
+    import os
+
+    sps = int(os.environ.get("TPU_AUDIO_SG_SPS", "12"))
+    if "weight_q4s_stacked" in p:
+        wp_st = p["weight_q4s_stacked"]
+        if rows <= 32:
+            try:
+                if w4mm.sg_supported(x2, wp_st):
+                    y = w4mm.w4a8_sg_matmul_stacked(
+                        x2, wp_st, p["scales_sg"],
+                        p["layer_idx"], supers_per_step=sps).astype(x.dtype)
+                    y = y.reshape(*lead, y.shape[-1])
+                    if "bias" in p:
+                        y = y + p["bias"].astype(x.dtype)
+                    return y
+            except Exception as exc:
+                _warn_kernel_fallback(exc)
+        sliced = {k: v for k, v in p.items()
+                  if k not in ("weight_q4s_stacked", "layer_idx")}
+        sliced["weight_q4s"] = jax.lax.dynamic_index_in_dim(
+            wp_st, p["layer_idx"], 0, keepdims=False)
+        return w4a8_sg_linear(sliced, x)
+    if rows <= 32:
+        try:
+            if w4mm.sg_supported(x2, p):
+                y = w4mm.w4a8_sg_matmul(x2, p["weight_q4s"],
+                                        p["scales_sg"]).astype(x.dtype)
+                y = y.reshape(*lead, y.shape[-1])
+                if "bias" in p:
+                    y = y + p["bias"].astype(x.dtype)
+                return y
+        except Exception as exc:
+            _warn_kernel_fallback(exc)
+    w = dequantize_w4a8_sg(p).astype(x.dtype)
+    y = x2 @ w.T
+    y = y.reshape(*lead, y.shape[-1])
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def requantize_tree_w4a8_sg(tree: dict, fuse: bool = True) -> dict:
+    """Convert every group-affine q4 leaf-dict to the super-group k=128
+    serving layout (narrow leaves keep the q4 fused-dequant path; q8/fp
+    pass through). The exact-repack W4A8 layout (repack_tree_w4a8) remains
+    the lossless alternative."""
+    if not isinstance(tree, dict):
+        return tree
+    if "weight_q4" in tree:
+        if (tree["weight_q4"].shape[-1] * 8) % 256 == 0:
+            return requantize_w4a8_sg(tree)
+        return tree
+    out = {k: requantize_tree_w4a8_sg(v, fuse=False) if isinstance(v, dict)
+           else v for k, v in tree.items()}
+    return fuse_w4a8_sg_tree(out) if fuse else out
+
+
+def fuse_w4a8_sg_tree(tree: dict) -> dict:
+    """Fuse q/k/v → qkv and gate/up → gateup super-group leaves (output-
+    channel concat is exact)."""
+    if not isinstance(tree, dict):
+        return tree
+
+    def all_q4s(names, d):
+        return all(n in d and isinstance(d[n], dict)
+                   and "weight_q4s" in d[n] for n in names)
+
+    def cat(ds):
+        out = {k: jnp.concatenate([d[k] for d in ds], axis=-2)
+               for k in ("weight_q4s", "scales_sg")}
+        if all("bias" in d for d in ds):
+            out["bias"] = jnp.concatenate([d["bias"] for d in ds], axis=-1)
+        return out
+
+    out = {}
+    for k, v in tree.items():
+        if k == "attn" and all_q4s(("q", "k", "v"), v):
+            nv = {kk: vv for kk, vv in v.items() if kk not in ("q", "k", "v")}
+            nv["qkv"] = cat([v["q"], v["k"], v["v"]])
+            out[k] = nv
+        elif k == "mlp" and all_q4s(("gate", "up"), v):
+            nv = {kk: vv for kk, vv in v.items() if kk not in ("gate", "up")}
+            nv["gateup"] = cat([v["gate"], v["up"]])
+            out[k] = nv
+        elif isinstance(v, dict):
+            out[k] = fuse_w4a8_sg_tree(v)
+        else:
+            out[k] = v
+    return out
 
 
 def repack_tree_w4a8(tree: dict, fuse: bool = True) -> dict:

@@ -102,6 +102,7 @@ def speculative_decode_loop(
     draft_cache=None,          # draft KV cache with pos == target.pos - 1
     history: jax.Array | None = None,   # (1, H) incl. prompt (n-gram mode)
     history_len: jax.Array | None = None,
+    logit_processor: Callable | None = None,  # (logits, abs_idx, recent)
 ) -> SpecResult:
     """Generate up to max_new_tokens after `first_token` (first_token itself
     is NOT written to the output buffer, matching ops/decoding.decode_loop).
@@ -124,8 +125,13 @@ def speculative_decode_loop(
     if draft_cache is None:
         draft_cache = jnp.zeros((), jnp.int32)  # dummy carry leaf
 
-    def probs_of(logits_1v, recent):
-        """Warped sampling distribution (1, V) for one position."""
+    def probs_of(logits_1v, recent, abs_idx):
+        """Warped sampling distribution (1, V) for one position.
+        abs_idx: 0-based index of the token being sampled within the
+        generated stream (for step-dependent logit processors, e.g. the
+        CosyVoice min-length EOS mask)."""
+        if logit_processor is not None:
+            logits_1v = logit_processor(logits_1v, abs_idx, recent)
         if greedy:
             lg = logits_1v
             if sampler.repetition_penalty != 1.0:
@@ -152,11 +158,13 @@ def speculative_decode_loop(
             for g in range(gamma):
                 lg, d_cache = draft_step(d_in, d_cache)
                 lg = lg[:, -1].astype(jnp.float32)
+                if logit_processor is not None:
+                    lg = logit_processor(lg, i_out + g, recents[-1])
                 key, sub = jax.random.split(key)
                 tok = sample(sub, lg, sampler, recents[-1]).astype(jnp.int32)
                 toks.append(tok)
                 if not greedy:
-                    q_rows.append(probs_of(lg, recents[-1]))
+                    q_rows.append(warped_probs(lg, sampler, recents[-1]))
                 recents.append(update_recent(recents[-1], tok))
                 d_in = tok[:, None]
             x = jnp.stack(toks, axis=1)  # (1, gamma)
@@ -165,7 +173,8 @@ def speculative_decode_loop(
         t_in = jnp.concatenate([last[:, None], x], axis=1)  # (1, gamma+1)
         t_logits, t_cache = target_step(t_in, t_cache)
         v = t_logits.shape[-1]
-        p_rows = [probs_of(t_logits[:, i].astype(jnp.float32), recents[i])
+        p_rows = [probs_of(t_logits[:, i].astype(jnp.float32), recents[i],
+                           i_out + i)
                   for i in range(gamma + 1)]
         p_stack = jnp.concatenate(p_rows, axis=0)  # (gamma+1, V)
 

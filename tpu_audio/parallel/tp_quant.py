@@ -35,7 +35,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 COL_NAMES = ("qkv", "q", "k", "v", "gate", "up", "gateup", "fc1")
 ROW_NAMES = ("o", "down", "fc2")
-_WEIGHT_KEYS = ("weight", "weight_i8", "weight_q4p", "weight_q4", "weight_q8")
+_WEIGHT_KEYS = ("weight", "weight_i8", "weight_q4p", "weight_q4s",
+                "weight_q4", "weight_q8")
 
 
 def local_config(cfg, tp: int):
@@ -65,7 +66,8 @@ def _fused_perm(sections: list[int], tp: int) -> np.ndarray:
 def _permute_leaf(leaf: dict, perm: np.ndarray) -> dict:
     out = {}
     for k, v in leaf.items():
-        if k in _WEIGHT_KEYS or k in ("scales", "biases", "scale_i8"):
+        if k in _WEIGHT_KEYS or k in ("scales", "biases", "scale_i8",
+                                          "scales_sg"):
             out[k] = jnp.asarray(np.asarray(v)[..., perm, :])
         elif k == "bias":
             out[k] = jnp.asarray(np.asarray(v)[..., perm])
@@ -99,14 +101,15 @@ def _leaf_specs(leaf: dict, kind: str) -> dict:
     for k, v in leaf.items():
         nd = getattr(v, "ndim", 0)
         if kind == "col":
-            if k in _WEIGHT_KEYS or k in ("scales", "biases", "scale_i8"):
+            if k in _WEIGHT_KEYS or k in ("scales", "biases", "scale_i8",
+                                          "scales_sg"):
                 specs[k] = P(*([None] * (nd - 2)), "tp", None)
             elif k == "bias":
                 specs[k] = P(*([None] * (nd - 1)), "tp")
             else:
                 specs[k] = P(*([None] * nd))
         else:  # row-parallel: shard the input (last) axis
-            if k in _WEIGHT_KEYS or k in ("scales", "biases"):
+            if k in _WEIGHT_KEYS or k in ("scales", "biases", "scales_sg"):
                 specs[k] = P(*([None] * (nd - 1)), "tp")
             elif k == "bias":
                 raise ValueError(
