@@ -108,7 +108,8 @@ class OuteTTSEngine(TTSEngineBase):
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
 
     def __init__(self, speaker: "SpeakerProfile | str | None" = "default",
-                 quantization: str = "w8a8"):
+                 quantization: str = "w8a8", speculative=None,
+                 gamma: int = 8):
         """speaker: a SpeakerProfile, the string "default" (bundled
         default_speaker.json, matching the reference's out-of-the-box
         voice; silently unconditioned if the asset is absent), or None
@@ -117,10 +118,16 @@ class OuteTTSEngine(TTSEngineBase):
         quantization: "w8a8" (default) requantizes the 4-bit checkpoint
         to the per-channel int8 serving format at load (1B decode 2.66
         ms/token vs 5.6 bf16-parity q4); "w4a8" repacks losslessly for the
-        int4→int8 MXU kernel; "q4" keeps the checkpoint layout."""
+        int4→int8 MXU kernel; "q4" keeps the checkpoint layout.
+
+        speculative: None, "ngram" (prompt-lookup self-drafting — strong
+        on OuteTTS prompts, whose speaker profile embeds long c1/c2 code
+        runs in the prompt itself) or a DraftModel; see OrpheusEngine."""
         super().__init__()
         self.speaker = (default_speaker() if speaker == "default"
                         else speaker)
+        self.speculative = speculative
+        self.gamma = gamma
         self.quantization = quantization
         self.lm: CausalLMGenerator | None = None
         self.tokenizer = None
@@ -269,10 +276,18 @@ class OuteTTSEngine(TTSEngineBase):
             self._check_stopped()
             prompt = build_prompt(sentence, self.speaker)
             ids = self.tokenizer.encode(prompt)
-            generated = self.lm.generate(
-                ids, sampler=SAMPLER, eos_ids=self._eos_ids(),
-                max_new=max_new_tokens, seed=si,
-                should_stop=self._stop_flag.is_set)  # cancel between spans
+            if self.speculative is not None:
+                draft = (None if self.speculative == "ngram"
+                         else self.speculative)
+                generated = self.lm.generate_speculative(
+                    ids, sampler=SAMPLER, eos_ids=self._eos_ids(),
+                    max_new=max_new_tokens, seed=si, gamma=self.gamma,
+                    draft=draft)
+            else:
+                generated = self.lm.generate(
+                    ids, sampler=SAMPLER, eos_ids=self._eos_ids(),
+                    max_new=max_new_tokens, seed=si,
+                    should_stop=self._stop_flag.is_set)  # cancel between spans
             self._check_stopped()
             text_out = self.tokenizer.decode_raw(generated)
             c1, c2 = extract_codes(text_out)
