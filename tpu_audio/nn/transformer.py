@@ -45,6 +45,11 @@ class TransformerConfig:
     pos_emb: str = "rope"  # "rope" | "learned" | "none"
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
+    # lax.scan unroll factor for the layer loop: >1 trades compile time /
+    # VMEM for fewer per-layer indexing ops — worthwhile only for tiny
+    # stacks in latency-bound loops (the Marvis depth decoder); 28-layer
+    # whole-graph unrolling measurably HURTS (Mosaic scoped-vmem pressure)
+    scan_unroll: int = 1
 
     @property
     def kv_heads(self) -> int:
@@ -166,6 +171,47 @@ def init_layer(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
         "ln1": layers.init_norm(cfg.dim, use_bias, dtype),
         "ln2": layers.init_norm(cfg.dim, use_bias, dtype),
     }
+
+
+def fuse_fp_tree(params: dict) -> dict:
+    """Fuse fp q/k/v → qkv and gate/up → gateup leaves (output-channel
+    concat; bit-identical results since the stack splits after the fused
+    matmul — _qkv/_mlp detect the fused keys). Fewer, larger GEMM
+    dispatches per decode step: built for latency-bound tiny-model loops
+    like the Marvis depth decoder (31 sequential 4-layer steps/frame)."""
+
+    def fuse(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if (k == "attn" and all(
+                    n in v and isinstance(v[n], dict) and "weight" in v[n]
+                    for n in ("q", "k", "v"))):
+                nv = {kk: vv for kk, vv in v.items()
+                      if kk not in ("q", "k", "v")}
+                leaf = {"weight": jnp.concatenate(
+                    [v[n]["weight"] for n in ("q", "k", "v")], axis=-2)}
+                if all("bias" in v[n] for n in ("q", "k", "v")):
+                    leaf["bias"] = jnp.concatenate(
+                        [v[n]["bias"] for n in ("q", "k", "v")], axis=-1)
+                nv["qkv"] = leaf
+                out[k] = nv
+            elif (k == "mlp" and all(
+                    n in v and isinstance(v[n], dict) and "weight" in v[n]
+                    for n in ("gate", "up"))):
+                nv = {kk: vv for kk, vv in v.items()
+                      if kk not in ("gate", "up")}
+                nv["gateup"] = {"weight": jnp.concatenate(
+                    [v["gate"]["weight"], v["up"]["weight"]], axis=-2)}
+                out[k] = nv
+            elif isinstance(v, dict):
+                out[k] = fuse(v)
+            else:
+                out[k] = v
+        return out
+
+    return fuse(params)
 
 
 def init_params(key, cfg: TransformerConfig, dtype=jnp.float32) -> dict:
@@ -299,13 +345,16 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
         return (x, kbuf, vbuf), None
 
     xs = (scan_layers, jnp.arange(cfg.n_layers))
+    unroll = min(cfg.scan_unroll, cfg.n_layers)
     if quant:
         (x, kq, vq, ks, vs), _ = jax.lax.scan(
-            body, (x, cache.k_q, cache.v_q, cache.k_s, cache.v_s), xs)
+            body, (x, cache.k_q, cache.v_q, cache.k_s, cache.v_s), xs,
+            unroll=unroll)
         x = _norm(cfg, params["norm"], x)
         return x, QuantizedKVCache(k_q=kq, v_q=vq, k_s=ks, v_s=vs,
                                    pos=pos + t)
-    (x, kbuf, vbuf), _ = jax.lax.scan(body, (x, cache.k, cache.v), xs)
+    (x, kbuf, vbuf), _ = jax.lax.scan(body, (x, cache.k, cache.v), xs,
+                                      unroll=unroll)
     x = _norm(cfg, params["norm"], x)
     return x, KVCache(k=kbuf, v=vbuf, pos=pos + t)
 
