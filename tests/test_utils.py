@@ -191,3 +191,33 @@ class TestStreamingWavWriter:
         x, sr = read_wav(p)
         assert sr == 24000 and len(x) == 4800
         assert abs(float(x[0]) - 0.5) < 1e-3
+
+
+class TestValidateReleaseHarness:
+    """tools/validate_release.py plumbing (the network-dependent gates are
+    exercised on launch day; here the scorecard machinery and failure
+    accounting are pinned)."""
+
+    def _mod(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "validate_release", "tools/validate_release.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    def test_scorecard_pass_fail_accounting(self):
+        m = self._mod()
+        card = m.Scorecard()
+        card.run("fam", "ok", lambda: {"x": 1})
+        card.run("fam", "bad", lambda: (_ for _ in ()).throw(ValueError("no")))
+        assert [r["status"] for r in card.rows] == ["pass", "FAIL"]
+        assert card.rows[0]["detail"] == {"x": 1}
+        assert "ValueError" in card.rows[1]["error"]
+
+    def test_word_set_gate(self):
+        m = self._mod()
+        assert m._word_set("Hello, WORLD!") == {"hello", "world"}
+        ref = m._word_set(m.LJ_TRANSCRIPT)
+        assert len(ref) > 10 and "rifle" in ref
