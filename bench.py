@@ -49,9 +49,7 @@ def main():
     def make_window_fn(b):
         init_tokens = jnp.tile(init_tokens_1, (b, 1))
 
-        @jax.jit
-        def transcribe_window(params, mel):
-            feats = wmodel.encode(params, cfg, mel.astype(jnp.bfloat16))
+        def decode_from_feats(params, feats):
             state = wmodel.init_state(params, cfg, feats, batch=b,
                                       dtype=jnp.bfloat16)
             logits, state = wmodel.decode_step(params, cfg, init_tokens, state)
@@ -81,20 +79,31 @@ def main():
                 0, TOKENS_PER_WINDOW, body, (init_tokens[:, -1], state, toks))
             return toks
 
-        return transcribe_window
+        @jax.jit
+        def transcribe_window(params, mel):
+            feats = wmodel.encode(params, cfg, mel.astype(jnp.bfloat16))
+            return decode_from_feats(params, feats)
+
+        return transcribe_window, decode_from_feats
 
     audio = jnp.asarray(rng.standard_normal(
         int(AUDIO_SECONDS * 16000)).astype(np.float32) * 0.1)
     mel1 = mel_fn(audio)[None]
 
     def measure(b, runs=5):
-        fn = make_window_fn(b)
+        # Distinct input buffers per run: the tunnel runtime memoizes
+        # identical dispatches (executable + input buffers), and health
+        # varies — scaled copies keep every run honest. Output (b, 200)
+        # int32 is small, so the eager per-dispatch output transfer
+        # (~115 MB/s, see benchmarks/gemm_ceiling.py) is negligible here.
+        fn, _ = make_window_fn(b)
         mel = jnp.tile(mel1, (b, 1, 1))
-        out = fn(params, mel)
+        mels = [mel * (1.0 + 0.001 * i) for i in range(runs + 1)]
+        out = fn(params, mels[-1])
         _ = np.asarray(out)  # sync
         t0 = time.perf_counter()
-        for _ in range(runs):
-            out = fn(params, mel)
+        for i in range(runs):
+            out = fn(params, mels[i])
         _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / runs
         return b * AUDIO_SECONDS / dt
@@ -134,35 +143,40 @@ def main():
     # is what a real batch transcription pays per 30 s window; the window-
     # loop-only number above is the component view.
     def make_full_fn(b, p):
-        init_tokens = jnp.tile(init_tokens_1, (b, 1))
-        window_fn = make_window_fn(b)
+        # ONE jitted graph raw audio -> (lang, tokens): keeps the 24 MB mel
+        # intermediate on device (returning it to host would pay the eager
+        # tunnel transfer), collapses three dispatch round-trips into one,
+        # and encodes ONCE — language detect and the window decode share the
+        # same encoder features, as a real serving pipeline does.
+        _, decode_from_feats = make_window_fn(b)
 
         @jax.jit
-        def detect_fn(params, mel):
-            feats = wmodel.encode(params, cfg, mel.astype(jnp.bfloat16))
-            state = wmodel.init_state(params, cfg, feats, batch=b,
+        def run(p, raw_audio_b):
+            # p is an argument, not a closure: closed-over weights become
+            # jaxpr constants and remote_compile would upload the tree
+            mels = jax.vmap(mel_fn)(raw_audio_b)
+            feats = wmodel.encode(p, cfg, mels.astype(jnp.bfloat16))
+            state = wmodel.init_state(p, cfg, feats, batch=b,
                                       dtype=jnp.bfloat16)
             logits, _ = wmodel.decode_step(
-                params, cfg, jnp.full((b, 1), sot, jnp.int32), state)
-            return jnp.argmax(logits[:, -1, sot + 1: sot + 100], axis=-1)
-
-        def run(raw_audio_b):
-            mels = jax.vmap(mel_fn)(raw_audio_b)
-            lang = detect_fn(p, mels)
-            toks = window_fn(p, mels)
+                p, cfg, jnp.full((b, 1), sot, jnp.int32), state)
+            lang = jnp.argmax(logits[:, -1, sot + 1: sot + 100], axis=-1)
+            toks = decode_from_feats(p, feats)
             return lang, toks
 
-        return run
+        return lambda raw: run(p, raw)
 
     def measure_full(b, p, runs=5):
         fn = make_full_fn(b, p)
-        raw = jnp.asarray(rng.standard_normal(
-            (b, int(AUDIO_SECONDS * 16000))).astype(np.float32) * 0.1)
-        lang, out = fn(raw)
+        base = rng.standard_normal(
+            (b, int(AUDIO_SECONDS * 16000))).astype(np.float32) * 0.1
+        raw0 = jnp.asarray(base)
+        raws = [raw0 * (1.0 + 0.001 * i) for i in range(runs + 1)]
+        lang, out = fn(raws[-1])
         _ = np.asarray(out)
         t0 = time.perf_counter()
-        for _ in range(runs):
-            lang, out = fn(raw)
+        for i in range(runs):
+            lang, out = fn(raws[i])
         _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / runs
         return b * AUDIO_SECONDS / dt
@@ -180,13 +194,14 @@ def main():
         except Exception as exc:
             print(f"int8 full-pipeline run failed ({exc})", file=sys.stderr)
 
-    # encoder MFU: isolate the 32-layer encoder at batch 8 and compare its
+    # encoder MFU: isolate the 32-layer encoder at batch 16 and compare its
     # matmul FLOPs to the v5e bf16 peak (197 TFLOP/s) so the perf claim is
-    # auditable (VERDICT r1: report MFU, not just the HBM-side roofline)
-    @jax.jit
-    def enc_fn(params, mel):
-        return wmodel.encode(params, cfg, mel.astype(jnp.bfloat16))
-
+    # auditable. Timed with in-graph lax.fori_loop repetition + scalar
+    # output + slope over distinct inputs: the tunnel runtime eagerly
+    # transfers every dispatch output (~115 MB/s — a host-loop timing of
+    # the (16,1500,1280) features measures ~530 ms of transfer per run,
+    # which is how this encoder was once misread as 25% MFU) and memoizes
+    # identical dispatches. See benchmarks/gemm_ceiling.py.
     mel8 = jnp.tile(mel1, (BATCH, 1, 1))
     d, t, lyr = cfg.n_audio_state, cfg.n_audio_ctx, cfg.n_audio_layer
     mlp_dim = 4 * d
@@ -196,14 +211,30 @@ def main():
     conv_flops = 2 * (3000 * 3 * cfg.n_mels * d + 1500 * 3 * d * d)
     flops = BATCH * (lyr * flops_layer + conv_flops)
 
+    import functools
+
+    # params must be an ARGUMENT (closed-over arrays become jaxpr
+    # constants and the tunnel's remote_compile uploads them — a weight
+    # tree in the closure is a multi-GB POST / HTTP 413)
+    @functools.partial(jax.jit, static_argnums=2)
+    def enc_reps_fn(p, mel, reps):
+        def body(i, m):
+            y = wmodel.encode(p, cfg, m.astype(jnp.bfloat16))
+            dep = jnp.mean(y.astype(jnp.float32)) * 1e-12
+            return m + dep
+        return jnp.mean(jax.lax.fori_loop(0, reps, body, mel)
+                        .astype(jnp.float32))
+
     def measure_enc(p, label, peak_tops):
-        _ = np.asarray(enc_fn(p, mel8))
+        _ = float(enc_reps_fn(p, mel8, 1))  # compile + warm
+        _ = float(enc_reps_fn(p, mel8, 6))
         t0 = time.perf_counter()
-        runs = 10
-        for _ in range(runs):
-            out = enc_fn(p, mel8)
-        _ = np.asarray(out)
-        enc_dt = (time.perf_counter() - t0) / runs
+        _ = float(enc_reps_fn(p, mel8 * 1.001, 1))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(enc_reps_fn(p, mel8 * 1.002, 6))
+        tb = time.perf_counter() - t0
+        enc_dt = (tb - ta) / 5
         mfu = flops / enc_dt / peak_tops
         print(f"encoder batch={BATCH} {label}: {enc_dt * 1e3:.1f} ms, "
               f"{flops / enc_dt / 1e12:.1f} TFLOP/s = {mfu * 100:.0f}% of "

@@ -1,0 +1,173 @@
+"""Per-component profile of the Whisper large-v3-turbo encoder at batch 16,
+with a transfer-proof timing harness.
+
+Harness (calibrated by benchmarks/gemm_ceiling.py on this chip): the axon
+tunnel eagerly transfers every dispatch output to the host at ~115 MB/s, so
+any host-loop timing of a function returning a (16,1500,1280) tensor measures
+~530 ms of transfer per run, not compute — this is exactly how the encoder
+was misread as 25% MFU (it is not; the raw GEMM chain runs at 186 TFLOP/s =
+94% MFU in-graph). Here every component is repeated INSIDE one jitted
+lax.fori_loop with a data dependency between reps, the output is reduced to
+one scalar, and per-rep cost is the slope (t(r2)-t(r1))/(r2-r1) over distinct
+inputs (the runtime memoizes identical dispatches).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_audio.models.whisper import model as wmodel
+from tpu_audio.models.whisper.config import PRESETS
+from tpu_audio.nn import attention, layers
+
+R1, R2 = 1, 6
+
+
+def slope_time(label, fn, p, x0, r1=R1, r2=R2):
+    """fn: (p, x, reps)->scalar with static reps. Returns seconds per rep.
+
+    p MUST be passed as an argument (not closed over): closed-over arrays
+    become jaxpr constants and the tunnel's remote_compile POSTs them —
+    a weight tree in the closure is an HTTP 413 / multi-GB upload.
+    """
+    t0 = time.perf_counter()
+    _ = float(fn(p, x0, r1))  # compile r1
+    _ = float(fn(p, x0, r2))  # compile r2
+    print(f"  [{label}] compiled in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    _ = float(fn(p, x0 + 7e-6, r1))
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(fn(p, x0 + 9e-6, r2))
+    tb = time.perf_counter() - t0
+    return (tb - ta) / (r2 - r1)
+
+
+def make_loop(fn):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(p, x0, reps):
+        def body(i, x):
+            y = fn(p, x)
+            dep = (jnp.mean(y.astype(jnp.float32)) * 1e-20).astype(x.dtype)
+            return x + dep
+        x = jax.lax.fori_loop(0, reps, body, x0)
+        return jnp.mean(x.astype(jnp.float32))
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    cfg = PRESETS["large-v3-turbo"]
+    b, t, d, h, lyr = (args.batch, cfg.n_audio_ctx, cfg.n_audio_state,
+                       cfg.n_audio_head, cfg.n_audio_layer)
+    params = wmodel.init_params(jax.random.PRNGKey(0), cfg,
+                                dtype=jnp.bfloat16)
+    enc = params["encoder"]
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((b, 2 * t, cfg.n_mels)),
+                      jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((b, t, d)) * 0.02, jnp.bfloat16)
+
+    mlp_dim = 4 * d
+    flops_layer = (2 * t * d * d * 4
+                   + 2 * 2 * t * t * d
+                   + 2 * 2 * t * d * mlp_dim)
+    conv_flops = 2 * b * (2 * t * 3 * cfg.n_mels * d + t * 3 * d * d)
+    enc_flops = b * lyr * flops_layer + conv_flops
+
+    def report(label, dt, flops=None):
+        tf = f" = {flops / dt / 1e12:5.1f} TFLOP/s" if flops else ""
+        print(f"{label:34s}: {dt * 1e3:7.1f} ms{tf}", flush=True)
+
+    # tunnel health canary: a tiny matmul, e2e (degraded phases run this
+    # 100x slower — see memory/tpu-tunnel-measurement-gotchas)
+    a = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.bfloat16)
+    can = jax.jit(lambda a: jnp.mean((a @ a).astype(jnp.float32)))
+    _ = float(can(a))
+    t0 = time.perf_counter()
+    _ = float(can(a * 1.001))
+    print(f"canary 1024^2 matmul e2e: {(time.perf_counter() - t0) * 1e3:.0f}"
+          " ms", flush=True)
+
+    # conv stem: XLA lax.conv vs shifted-matmul lowering
+    def stem_xla(p, m):
+        x = layers.gelu(layers.conv1d(p["conv1"], m, stride=1, padding=1))
+        return layers.gelu(layers.conv1d(p["conv2"], x, stride=2,
+                                         padding=1))
+
+    def stem_mxu(p, m):
+        x = layers.gelu(layers.conv1d_mxu(p["conv1"], m, stride=1,
+                                          padding=1))
+        return layers.gelu(layers.conv1d_mxu(p["conv2"], x, stride=2,
+                                             padding=1))
+
+    report("conv stem (lax.conv)",
+           slope_time("stem_xla", make_loop(stem_xla), enc, mel), conv_flops)
+    report("conv stem (shifted matmuls)",
+           slope_time("stem_mxu", make_loop(stem_mxu), enc, mel), conv_flops)
+
+    # attention-only stack
+    def attn_stack(blocks, x):
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln1"], x)
+            scale = (d // h) ** -0.25
+            q = layers.linear(bp["attn"]["q"], hn).reshape(b, t, h, d // h)
+            k = layers.linear(bp["attn"]["k"], hn).reshape(b, t, h, d // h)
+            v = layers.linear(bp["attn"]["v"], hn).reshape(b, t, h, d // h)
+            o = attention.attend(q * scale, k * scale, v, None, q_scaled=True)
+            return x + layers.linear(bp["attn"]["o"],
+                                     o.reshape(b, t, d)), None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    attn_fl = b * lyr * (2 * t * d * d * 4 + 2 * 2 * t * t * d)
+    report("attn stack (32L)",
+           slope_time("attn", make_loop(attn_stack), enc["blocks"], x0),
+           attn_fl)
+
+    # MLP-only stack
+    def mlp_stack(blocks, x):
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln2"], x)
+            return x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], hn))), None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    mlp_fl = b * lyr * 2 * 2 * t * d * mlp_dim
+    report("mlp stack (32L)",
+           slope_time("mlp", make_loop(mlp_stack), enc["blocks"], x0),
+           mlp_fl)
+
+    # full encoder (current code path: conv1d_mxu stem)
+    report("full encoder",
+           slope_time("full", make_loop(
+               lambda p, m: wmodel.encode(p, cfg, m)), params, mel),
+           enc_flops)
+
+    # int8 (w8a8 serving) encoder
+    try:
+        from tpu_audio.models.whisper.load import serve_tree_int8
+        pi8 = serve_tree_int8(params)
+        report("full encoder int8",
+               slope_time("full_i8", make_loop(
+                   lambda p, m: wmodel.encode(p, cfg, m)), pi8, mel),
+               enc_flops)
+    except Exception as exc:
+        print(f"int8 encoder failed: {exc}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,22 @@ class TestLayersVsTorch:
         got = layers.conv1d(p, jnp.asarray(x), stride=2, padding=1)
         np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("stride,padding,dilation",
+                             [(1, 1, 1), (2, 1, 1), (1, 0, 1), (3, 2, 1),
+                              (2, (0, 2), 1), (1, 4, 2), (1, 6, 3)])
+    def test_conv1d_mxu_matches_conv1d(self, rng, stride, padding, dilation):
+        x = rng.standard_normal((2, 25, 8)).astype(np.float32)
+        w = rng.standard_normal((5, 8, 16)).astype(np.float32)  # (K, I, O)
+        b = rng.standard_normal(16).astype(np.float32)
+        p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+        ref = layers.conv1d(p, jnp.asarray(x), stride=stride, padding=padding,
+                            dilation=dilation)
+        got = layers.conv1d_mxu(p, jnp.asarray(x), stride=stride,
+                                padding=padding, dilation=dilation)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
     def test_conv_transpose1d(self, rng):
         x = rng.standard_normal((2, 10, 8)).astype(np.float32)
         w = rng.standard_normal((8, 16, 4)).astype(np.float32)  # torch (I, O, K)

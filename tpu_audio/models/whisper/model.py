@@ -102,8 +102,8 @@ def _self_attention(p, x, n_heads, mask=None):
 def encode(params: dict, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     """mel (B, 3000, n_mels) → audio features (B, 1500, D)."""
     p = params["encoder"]
-    x = layers.gelu(layers.conv1d(p["conv1"], mel, stride=1, padding=1))
-    x = layers.gelu(layers.conv1d(p["conv2"], x, stride=2, padding=1))
+    x = layers.gelu(layers.conv1d_mxu(p["conv1"], mel, stride=1, padding=1))
+    x = layers.gelu(layers.conv1d_mxu(p["conv2"], x, stride=2, padding=1))
     pos = layers.sinusoidal_positions(cfg.n_audio_ctx, cfg.n_audio_state)
     x = x + jnp.asarray(pos, x.dtype)
 

@@ -152,6 +152,37 @@ def conv1d(p: dict, x: jax.Array, stride: int = 1, padding: int | tuple = 0,
     return y
 
 
+def conv1d_mxu(p: dict, x: jax.Array, stride: int = 1,
+               padding: int | tuple = 0, dilation: int = 1) -> jax.Array:
+    """conv1d lowered as K shifted matmuls instead of lax.conv.
+
+    XLA's TPU lowering of small-K NWC conv1d runs orders of magnitude below
+    the MXU on large (B·T, C) problems (measured: the Whisper conv stem at
+    batch 16 is ~0.3 TFLOP of work yet cost ~65% of encoder wall time, see
+    benchmarks/enc_profile.py). y[t] = Σ_k x[t·s + k − pad] @ W[k] turns the
+    same math into K dense (B·T', I)@(I, O) dots that tile straight onto the
+    MXU. Dense (groups=1) only; bit-class identical to conv1d (same dot
+    precision, accumulation order differs only across the K partial sums).
+    """
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    w = p["weight"].astype(x.dtype)
+    k = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (padding[0], padding[1]), (0, 0)))
+    span = (k - 1) * dilation + 1
+    t_out = (xp.shape[1] - span) // stride + 1
+    y = None
+    for i in range(k):
+        xi = jax.lax.slice_in_dim(
+            xp, i * dilation, i * dilation + stride * (t_out - 1) + 1,
+            stride=stride, axis=1)
+        yi = jnp.einsum("bti,io->bto", xi, w[i])
+        y = yi if y is None else y + yi
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
                      groups: int = 1) -> jax.Array:
     """Transposed 1-D conv over (B, T, C_in); weight (K, I/g, O) — same WIO
