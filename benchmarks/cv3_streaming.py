@@ -81,6 +81,9 @@ def main() -> None:
                          "window threshold; off = reference-style full "
                          "recompute per chunk")
     ap.add_argument("--o1-switch", type=int, default=600)
+    ap.add_argument("--stages", action="store_true",
+                    help="per-stage (mu/flow/voc) timing with forced host "
+                         "syncs — attribution only, adds overhead")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +100,8 @@ def main() -> None:
     run_stream(syn, cfg, args.chunks, seed=SEED)
     print(f"[warmup] {time.perf_counter() - t0:.1f}s")
 
+    if args.stages:
+        syn.stage_times = {}
     lat, total = run_stream(syn, cfg, args.chunks, seed=SEED)
     audio_s = total / sr
     chunk_audio = CHUNK_TOKENS * cfg.token_mel_ratio \
@@ -108,11 +113,30 @@ def main() -> None:
         rtf = l / chunk_audio
         print(f"  chunk {i:2d}: {l * 1000:8.1f} ms  (chunk RTF {rtf:.3f})")
     steady = lat[2:]
+    # tunnel jitter is ±25% on single chunks, so drift needs robust
+    # statistics: median of the second half vs the first, plus the
+    # per-chunk linear-regression slope
+    half = len(steady) // 2
+    med_drift = (np.median(steady[half:]) / np.median(steady[:half])
+                 if half >= 2 else float("nan"))
+    slope = np.polyfit(np.arange(len(steady)), steady, 1)[0]
     print(f"  steady-state: mean {np.mean(steady) * 1000:.1f} ms, "
-          f"max {np.max(steady) * 1000:.1f} ms, "
-          f"drift last/first {steady[-1] / steady[0]:.2f}x")
+          f"median {np.median(steady) * 1000:.1f} ms, "
+          f"max {np.max(steady) * 1000:.1f} ms")
+    print(f"  drift: median-halves {med_drift:.2f}x, "
+          f"slope {slope * 1000:+.2f} ms/chunk "
+          f"(last/first {steady[-1] / steady[0]:.2f}x)")
     print(f"  total {sum(lat):.2f}s for {audio_s:.2f}s audio "
           f"(RTF {sum(lat) / audio_s:.3f})")
+    if args.stages:
+        print("  per-stage (median first half | second half | slope):")
+        for name, ts in syn.stage_times.items():
+            ts = np.asarray(ts)
+            h = len(ts) // 2
+            sl = np.polyfit(np.arange(len(ts)), ts, 1)[0]
+            print(f"    {name:5s}: {np.median(ts[:h]) * 1e3:7.1f} ms | "
+                  f"{np.median(ts[h:]) * 1e3:7.1f} ms | "
+                  f"{sl * 1e3:+.3f} ms/chunk  (n={len(ts)})")
 
 
 if __name__ == "__main__":

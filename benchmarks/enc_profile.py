@@ -137,6 +137,20 @@ def main():
            slope_time("attn", make_loop(attn_stack), enc["blocks"], x0),
            attn_fl)
 
+    # attention kernel alone, 32 calls (carry feeds back so reps chain)
+    qkv = jnp.asarray(rng.standard_normal((b, t, h, d // h)) * 0.05,
+                      jnp.bfloat16)
+
+    def kern_only(_unused, q):
+        def body(x, _):
+            return attention.attend(x, x, x, None, q_scaled=True), None
+        return jax.lax.scan(body, q, None, length=lyr)[0]
+
+    kern_fl = b * lyr * 2 * 2 * t * t * d
+    report("attend kernel x32",
+           slope_time("kern", make_loop(kern_only), jnp.zeros(()), qkv),
+           kern_fl)
+
     # MLP-only stack
     def mlp_stack(blocks, x):
         def body(x, bp):

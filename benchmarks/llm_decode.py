@@ -54,6 +54,17 @@ def main() -> None:
                          "accept-rate=1 upper bound end-to-end)")
     ap.add_argument("--gamma", type=int, default=8,
                     help="drafted tokens per speculative iteration")
+    ap.add_argument("--serve", action="store_true",
+                    help="continuous-batching serving benchmark: Poisson "
+                         "arrivals into api.serving.ContinuousBatcher at "
+                         "--load of measured capacity")
+    ap.add_argument("--span", type=int, default=16,
+                    help="--serve: decode-span length between admissions")
+    ap.add_argument("--requests", type=int, default=32,
+                    help="--serve: requests per phase")
+    ap.add_argument("--load", type=float, default=0.5,
+                    help="--serve: offered load as a fraction of saturated "
+                         "capacity")
     args = ap.parse_args()
 
     import jax
@@ -165,6 +176,9 @@ def main() -> None:
     print(f"init {n_params / 1e9:.2f}B params ({gb:.1f} GB "
           f"{kind}) in {time.perf_counter() - t0:.1f}s")
 
+    if args.serve:
+        _run_serve(args, cfg, params)
+        return
     if args.spec != "off":
         _run_spec(args, cfg, params, gb, synth_params)
         return
@@ -213,6 +227,100 @@ def main() -> None:
     bw = gb / (per_tok * B)  # weights are read once per STEP, not per token
     print(f"effective weight bandwidth {bw:.0f} GB/s "
           f"(v5e HBM ~819 GB/s -> {bw / 819 * 100:.0f}% of roofline)")
+
+
+def _run_serve(args, cfg, params) -> None:
+    """Continuous-batching serving benchmark (VERDICT r2 next-round #5).
+
+    Three phases on ONE batcher (so the admit/span graphs compile once):
+      warmup   — B requests, compiles both graphs;
+      saturated — all --requests submitted at t=0: the rolling-admission
+                  ceiling (static batch-B with refills, no head-of-line
+                  blocking);
+      poisson  — arrivals at --load × saturated capacity; reports
+                  occupancy, busy-normalized throughput vs the ceiling,
+                  and TTFT/completion percentiles.
+    """
+    import jax
+
+    from tpu_audio.api.serving import ContinuousBatcher, Request
+    from tpu_audio.models.orpheus.model import CausalLMGenerator
+    from tpu_audio.ops import sampling
+
+    vocab = cfg.vocab_size
+    B, span, n_req, max_new = args.batch, args.span, args.requests, args.tokens
+    sampler = sampling.SamplerConfig(temperature=0.8, top_k=50)
+    # ring must cover all three phases: pos advances by `span` per step
+    need = (B + 2 * n_req) * (max_new + span) // B + 4 * args.prompt + 512
+    gen = CausalLMGenerator(params, cfg, max_cache=need)
+    batcher = ContinuousBatcher(gen, batch=B, span=span, sampler=sampler,
+                                eos_ids=(vocab - 1,), prompt_bucket=64)
+    rng = np.random.default_rng(0)
+
+    def make_reqs(n):
+        return [Request(list(rng.integers(0, vocab, args.prompt)),
+                        max_new=max_new) for _ in range(n)]
+
+    print(f"serve: batch {B}, span {span}, {n_req} req x {max_new} tok, "
+          f"ring {need}")
+    t0 = time.perf_counter()
+    for r in make_reqs(B):
+        batcher.submit(r)
+    batcher.run_until_idle()
+    batcher.completed.clear()
+    print(f"warmup (compile admit+span): {time.perf_counter() - t0:.1f}s")
+
+    # --- saturated: all requests queued up front ---------------------------
+    occ_sat = []
+    reqs = make_reqs(n_req)
+    t0 = time.perf_counter()
+    for r in reqs:
+        batcher.submit(r)
+    while batcher.step():
+        occ_sat.append(int(batcher.active.sum()))
+    sat_wall = time.perf_counter() - t0
+    sat_tok = sum(len(r.tokens) for r in reqs)
+    cap = sat_tok / sat_wall
+    batcher.completed.clear()
+    print(f"saturated: {sat_tok} tok in {sat_wall:.2f}s = {cap:.0f} tok/s "
+          f"aggregate (mean occupancy {np.mean(occ_sat):.1f}/{B})")
+
+    # --- poisson arrivals at --load × capacity -----------------------------
+    lam = args.load * cap / max_new  # requests/s
+    arr = np.cumsum(rng.exponential(1 / lam, n_req))
+    reqs = make_reqs(n_req)
+    occ, t0 = [], time.perf_counter()
+    i = 0
+    while True:
+        now = time.perf_counter() - t0
+        while i < n_req and arr[i] <= now:
+            batcher.submit(reqs[i])
+            i += 1
+        more = batcher.step()
+        if batcher.active.any() or more:
+            occ.append(int(batcher.active.sum()))
+        if not more and i < n_req:
+            time.sleep(max(0.0, arr[i] - (time.perf_counter() - t0)))
+        elif not more and i >= n_req:
+            break
+    wall = time.perf_counter() - t0
+    tok = sum(len(r.tokens) for r in reqs)
+    mean_occ = float(np.mean(occ)) if occ else 0.0
+    busy_tok_s = tok / wall / (mean_occ / B) if mean_occ else 0.0
+    ttft = np.asarray([r.first_token_at - r.arrival for r in reqs])
+    dur = np.asarray([r.done_at - r.arrival for r in reqs])
+    print(f"poisson load={args.load:.2f} (lambda={lam:.2f} req/s): "
+          f"{tok} tok in {wall:.2f}s = {tok / wall:.0f} tok/s offered-rate")
+    print(f"  mean occupancy {mean_occ:.1f}/{B}; busy-normalized "
+          f"{busy_tok_s:.0f} tok/s = {busy_tok_s / cap * 100:.0f}% of "
+          f"saturated capacity")
+    print(f"  TTFT p50 {np.percentile(ttft, 50) * 1000:.0f} ms / "
+          f"p95 {np.percentile(ttft, 95) * 1000:.0f} ms; completion "
+          f"p50 {np.percentile(dur, 50):.2f}s / "
+          f"p95 {np.percentile(dur, 95):.2f}s")
+    done = sum(r.done for r in reqs)
+    print(f"  completed {done}/{n_req} (head-of-line blocking would show "
+          f"as TTFT ~ completion time)")
 
 
 def _run_spec(args, cfg, params, gb, synth_params) -> None:

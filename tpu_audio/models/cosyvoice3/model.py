@@ -10,6 +10,7 @@ token features through the DiT estimator with CFG; vocoder = causal HiFT.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -198,6 +199,16 @@ class CV3Synthesizer:
         self._voc_fns = {}
         self._mu_fns = {}
         self._chunk_fns = {}
+        # set to a dict to collect per-stage wall times (forces extra host
+        # syncs — diagnostic only, see benchmarks/cv3_streaming.py --stages)
+        self.stage_times: dict | None = None
+
+    def _mark(self, name: str, t0: float) -> float:
+        if self.stage_times is None:
+            return t0
+        t1 = time.perf_counter()
+        self.stage_times.setdefault(name, []).append(t1 - t0)
+        return t1
 
     # ------------------------------------------------- O(1) flow pieces
 
@@ -357,8 +368,12 @@ class CV3Synthesizer:
                     o1_active = True
 
             if o1_active:
+                t_stage = time.perf_counter()
                 mu, spks = self._mu_fn(t_pad)(
                     self.params, jnp.asarray(toks), jnp.asarray([n]), emb)
+                if self.stage_times is not None:
+                    np.asarray(mu)  # force the tunnel round-trip
+                t_stage = self._mark("mu", t_stage)
 
                 def run_chunk(lo, hi, caches, cache_base):
                     """Flow frames [lo, hi) through the cached DiT."""
@@ -408,6 +423,7 @@ class CV3Synthesizer:
                         h_start, voc_frames, None, 0)
                 new_mel, caches, cache_base = run_chunk(
                     voc_frames, valid_frames, caches, cache_base)
+                t_stage = self._mark("flow", t_stage)
                 window = np.concatenate(
                     [mel_tail[len(mel_tail) - lb:], new_mel], axis=0)
                 mel_tail = window[max(0, len(window)
@@ -423,11 +439,13 @@ class CV3Synthesizer:
                 mel_tail = np.asarray(
                     mel_np[max(0, valid_frames - hift.LOOKBACK_FRAMES):
                            valid_frames], np.float32)
+            t_voc = time.perf_counter()
             audio_w, phase, source_w = self._voc_fn(lb, n_new)(
                 self.params, jnp.asarray(window[None]), voc_key, phase,
                 source_tail[:, source_tail.shape[1] - lb * ups:],
                 jnp.asarray(voc_frames))
             new_audio = np.asarray(audio_w[0, lb * ups:], np.float32)
+            self._mark("voc", t_voc)
             new_lb = min(hift.LOOKBACK_FRAMES, valid_frames)
             source_tail = source_w[:, (lb + n_new - new_lb) * ups:]
             # skip the prompt-region samples (first chunk only)
