@@ -165,6 +165,25 @@ def main():
            slope_time("mlp", make_loop(mlp_stack), enc["blocks"], x0),
            mlp_fl)
 
+    # full block stack (attn + mlp interleaved, exactly the encode() body):
+    # isolates whether the attn/mlp gap vs the full encoder comes from
+    # their interleaving (VMEM pressure between the Pallas attention and
+    # the MLP GEMMs) or from the stem/posemb/ln_post glue
+    def block_stack(blocks, x):
+        def body(x, bp):
+            x = x + wmodel._self_attention(
+                bp["attn"], layers.layer_norm(bp["ln1"], x), h)
+            hn = layers.layer_norm(bp["ln2"], x)
+            x = x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+            return x, None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("block stack (32L attn+mlp)",
+           slope("blocks", make_loop(block_stack), enc["blocks"], x0),
+           b * lyr * flops_layer)
+
     # full encoder (current code path: conv1d_mxu stem)
     report("full encoder",
            slope_time("full", make_loop(

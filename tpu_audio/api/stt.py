@@ -92,7 +92,12 @@ class WhisperEngine(STTEngineBase):
 
         params, cfg, tok = wload.load(self.model_name, self.quantization,
                                       repo=self.repo)
-        self.pipeline = WhisperPipeline(params, cfg, tok)
+        # the w8a8 serving format also stores cross-K/V int8 per window —
+        # the decode loop reads half the bytes through the fused
+        # cross_kv_attention kernel (same quantization class as the
+        # checkpoint's own q8 weights)
+        self.pipeline = WhisperPipeline(params, cfg, tok,
+                                        kv_int8=self.quantization == "w8a8")
         self.is_loaded = True
 
     @classmethod

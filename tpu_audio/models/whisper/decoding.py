@@ -76,11 +76,15 @@ class SegmentDecoder:
     """Owns the jitted per-segment decode fns, bucketed by init-token count."""
 
     def __init__(self, params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, kv_int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
         self.dtype = compute_dtype
+        # int8 cross-K/V serving state: halves the dominant per-step HBM
+        # stream through the fused cross_kv_attention kernel (measured
+        # 2.87 → 1.54 ms/step at batch 16, benchmarks/dec_profile.py)
+        self.kv_int8 = kv_int8
         self.suppress_mask = build_suppress_mask(tokenizer, cfg.n_vocab)
         self.blank_mask = build_blank_mask(tokenizer, cfg.n_vocab)
         self._decode_fns: dict = {}
@@ -102,7 +106,8 @@ class SegmentDecoder:
         def run(params, mel, init_tokens, temperature, key):
             audio_features = wmodel.encode(params, cfg, mel[None])
             state = wmodel.init_state(params, cfg, audio_features,
-                                      dtype=self.dtype)
+                                      dtype=self.dtype,
+                                      kv_int8=self.kv_int8)
             pre_logits, state = wmodel.decode_step(params, cfg,
                                                    init_tokens[None], state)
             pre_logits = pre_logits.astype(jnp.float32)
@@ -260,7 +265,8 @@ class SegmentDecoder:
         @jax.jit
         def run(params, mel):
             feats = wmodel.encode(params, cfg, mel[None])
-            state = wmodel.init_state(params, cfg, feats, dtype=self.dtype)
+            state = wmodel.init_state(params, cfg, feats, dtype=self.dtype,
+                                      kv_int8=self.kv_int8)
             logits, _ = wmodel.decode_step(
                 params, cfg, jnp.asarray([[tok.sot]], jnp.int32), state)
             logits = logits[0, -1].astype(jnp.float32)

@@ -129,6 +129,23 @@ class DecoderState:
     cross_v: jax.Array
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class DecoderStateQ8:
+    """Decoder state with int8 cross-K/V (per-channel scales over T).
+
+    Halves the per-step cross-KV HBM traffic — the dominant decode cost at
+    batch 16 (benchmarks/dec_profile.py) — and serves decode steps through
+    the fused ops/pallas/cross_kv_attention kernel. Same serving-accuracy
+    class as the reference's q8 checkpoints (WhisperModel.swift:190-196)."""
+
+    cache: KVCache
+    cross_k8: jax.Array   # (L, B, T_pad, H·hd) int8
+    cross_v8: jax.Array
+    cross_ksc: jax.Array  # (L, B, H·hd) f32
+    cross_vsc: jax.Array
+
+
 def precompute_cross_kv(params: dict, cfg: WhisperConfig,
                         audio_features: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Project encoder output into per-layer cross K/V once per segment."""
@@ -145,16 +162,27 @@ def precompute_cross_kv(params: dict, cfg: WhisperConfig,
 
 
 def init_state(params: dict, cfg: WhisperConfig, audio_features: jax.Array,
-               batch: int = 1, dtype=jnp.float32) -> DecoderState:
+               batch: int = 1, dtype=jnp.float32,
+               kv_int8: bool = False) -> DecoderState | DecoderStateQ8:
+    """kv_int8=True quantizes the cross-K/V to int8 at per-channel scales
+    (once per window; decode steps then read half the bytes through the
+    fused cross_kv_attention kernel)."""
     ck, cv = precompute_cross_kv(params, cfg, audio_features)
     cache = KVCache.create(cfg.n_text_layer, batch, cfg.n_text_ctx,
                            cfg.n_text_head, cfg.n_text_state // cfg.n_text_head,
                            dtype=dtype)
+    if kv_int8:
+        from tpu_audio.ops.pallas import cross_kv_attention as ckv
+
+        k8, ks, v8, vs = ckv.quantize_cross_kv(ck, cv)
+        return DecoderStateQ8(cache=cache, cross_k8=k8, cross_v8=v8,
+                              cross_ksc=ks, cross_vsc=vs)
     return DecoderState(cache=cache, cross_k=ck, cross_v=cv)
 
 
 def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
-                state: DecoderState) -> tuple[jax.Array, DecoderState]:
+                state: DecoderState | DecoderStateQ8
+                ) -> tuple[jax.Array, DecoderState | DecoderStateQ8]:
     """tokens (B, T) fed at positions state.cache.pos.. → (logits (B, T, V),
     state). Same function serves prefill (T=n_init) and decode (T=1)."""
     p = params["decoder"]
@@ -163,6 +191,15 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
     hd = d // h
     scale = hd ** -0.25
     pos = state.cache.pos
+    q8 = isinstance(state, DecoderStateQ8)
+    if q8:
+        from tpu_audio.ops.pallas import cross_kv_attention as ckv
+
+        # single-token decode rides the fused int8-KV kernel (whole stacked
+        # arrays + scalar-prefetch layer select — scan-slicing them into a
+        # custom call would re-copy the K/V to HBM every layer); prefill
+        # (t > 1, once per window) dequantizes per layer in XLA
+        kernel_ok = t == 1 and ckv.supported(h, hd)
 
     x = layers.embedding(p["token_embedding"], tokens)
     pe = jax.lax.dynamic_slice(p["positional_embedding"], (pos, 0),
@@ -172,7 +209,10 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
 
     def body(carry, xs):
         x, kbuf, vbuf = carry
-        bp, ck, cv, li = xs
+        if q8:
+            bp, ksc, vsc, li = xs
+        else:
+            bp, ck, cv, li = xs
         # self-attention with cache
         hn = layers.layer_norm(bp["ln1"], x)
         q = _heads(layers.linear(bp["attn"]["q"], hn), h) * scale
@@ -190,8 +230,24 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
         # cross-attention (K/V precomputed)
         hn = layers.layer_norm(bp["ln_cross"], x)
         qc = _heads(layers.linear(bp["cross_attn"]["q"], hn), h) * scale
-        oc = attention.attend(qc, ck.astype(qc.dtype), cv.astype(qc.dtype),
-                              q_scaled=True)
+        if q8 and kernel_ok:
+            oc = ckv.cross_attention_decode(
+                qc[:, 0], state.cross_k8, state.cross_v8, ksc, vsc, li,
+                t_valid=cfg.n_audio_ctx, n_heads=h)[:, None].astype(qc.dtype)
+        elif q8:
+            ckl = ckv.dequant_layer(
+                jax.lax.dynamic_index_in_dim(state.cross_k8, li, 0,
+                                             keepdims=False),
+                ksc, cfg.n_audio_ctx, h)
+            cvl = ckv.dequant_layer(
+                jax.lax.dynamic_index_in_dim(state.cross_v8, li, 0,
+                                             keepdims=False),
+                vsc, cfg.n_audio_ctx, h)
+            oc = attention.attend(qc, ckl.astype(qc.dtype),
+                                  cvl.astype(qc.dtype), q_scaled=True)
+        else:
+            oc = attention.attend(qc, ck.astype(qc.dtype),
+                                  cv.astype(qc.dtype), q_scaled=True)
         x = x + layers.linear(bp["cross_attn"]["o"], oc.reshape(b, t, d))
         # mlp
         hn = layers.layer_norm(bp["ln2"], x)
@@ -199,14 +255,20 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
                               layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
         return (x, kbuf, vbuf), None
 
-    (x, kbuf, vbuf), _ = jax.lax.scan(
-        body, (x, state.cache.k, state.cache.v),
-        (p["blocks"], state.cross_k, state.cross_v,
-         jnp.arange(cfg.n_text_layer)),
-    )
+    xs = ((p["blocks"], state.cross_ksc, state.cross_vsc,
+           jnp.arange(cfg.n_text_layer)) if q8 else
+          (p["blocks"], state.cross_k, state.cross_v,
+           jnp.arange(cfg.n_text_layer)))
+    (x, kbuf, vbuf), _ = jax.lax.scan(body, (x, state.cache.k, state.cache.v),
+                                      xs)
     x = layers.layer_norm(p["ln"], x)
     logits = layers.embedding_as_linear(p["token_embedding"], x)
     new_cache = KVCache(k=kbuf, v=vbuf, pos=pos + t)
+    if q8:
+        return logits, DecoderStateQ8(
+            cache=new_cache, cross_k8=state.cross_k8,
+            cross_v8=state.cross_v8, cross_ksc=state.cross_ksc,
+            cross_vsc=state.cross_vsc)
     return logits, DecoderState(cache=new_cache, cross_k=state.cross_k,
                                 cross_v=state.cross_v)
 

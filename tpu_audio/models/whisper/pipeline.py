@@ -100,11 +100,12 @@ class WhisperPipeline:
     """transcribe/translate/detect_language over a loaded Whisper model."""
 
     def __init__(self, params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, kv_int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
-        self.decoder = SegmentDecoder(params, cfg, tokenizer, compute_dtype)
+        self.decoder = SegmentDecoder(params, cfg, tokenizer, compute_dtype,
+                                      kv_int8=kv_int8)
         self.mel_extractor = MelExtractor(cfg.n_mels)
 
     # ---------------------------------------------------------------- public
