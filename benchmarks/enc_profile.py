@@ -181,7 +181,73 @@ def main():
         return jax.lax.scan(body, x, blocks)[0]
 
     report("block stack (32L attn+mlp)",
-           slope("blocks", make_loop(block_stack), enc["blocks"], x0),
+           slope_time("blocks", make_loop(block_stack), enc["blocks"], x0),
+           b * lyr * flops_layer)
+
+    # combined stack with XLA einsum attention: if this is ~additive with
+    # the component stacks, the interleave penalty is Pallas-specific
+    def block_stack_xla(blocks, x):
+        hd = d // h
+        scale = hd ** -0.25
+
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln1"], x)
+            q = layers.linear(bp["attn"]["q"], hn).reshape(b, t, h, hd)
+            k = layers.linear(bp["attn"]["k"], hn).reshape(b, t, h, hd)
+            v = layers.linear(bp["attn"]["v"], hn).reshape(b, t, h, hd)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale,
+                           preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+            x = x + layers.linear(bp["attn"]["o"], o.reshape(b, t, d))
+            hn = layers.layer_norm(bp["ln2"], x)
+            x = x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+            return x, None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("block stack (XLA attention)",
+           slope_time("blocks_xla", make_loop(block_stack_xla),
+                      enc["blocks"], x0),
+           b * lyr * flops_layer)
+
+    # combined stack with HEAD-MAJOR einsum projections feeding the Pallas
+    # kernel pre-transposed (pre_bh=True): no explicit (B,T,H,d)<->(B,H,T,d)
+    # transposes around the custom call
+    def block_stack_bh(blocks, x):
+        from tpu_audio.ops.pallas import encoder_attention as ea
+
+        hd = d // h
+        scale = hd ** -0.25
+
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln1"], x)
+            wq = bp["attn"]["q"]["weight"].reshape(h, hd, d).astype(hn.dtype)
+            wk = bp["attn"]["k"]["weight"].reshape(h, hd, d).astype(hn.dtype)
+            wv = bp["attn"]["v"]["weight"].reshape(h, hd, d).astype(hn.dtype)
+            q = (jnp.einsum("btd,hed->bhte", hn, wq)
+                 + bp["attn"]["q"]["bias"].reshape(h, 1, hd).astype(hn.dtype)
+                 ).reshape(b * h, t, hd)
+            k = jnp.einsum("btd,hed->bhte", hn, wk).reshape(b * h, t, hd)
+            v = (jnp.einsum("btd,hed->bhte", hn, wv)
+                 + bp["attn"]["v"]["bias"].reshape(h, 1, hd).astype(hn.dtype)
+                 ).reshape(b * h, t, hd)
+            o = ea.encoder_attention(q * scale, k * scale, v, pre_bh=True,
+                                     scale=1.0)
+            wo = bp["attn"]["o"]["weight"].reshape(d, h, hd).astype(hn.dtype)
+            x = x + (jnp.einsum("bhte,dhe->btd", o.reshape(b, h, t, hd), wo)
+                     + bp["attn"]["o"]["bias"].astype(hn.dtype))
+            hn = layers.layer_norm(bp["ln2"], x)
+            x = x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+            return x, None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("block stack (head-major qkv)",
+           slope_time("blocks_bh", make_loop(block_stack_bh),
+                      enc["blocks"], x0),
            b * lyr * flops_layer)
 
     # full encoder (current code path: conv1d_mxu stem)

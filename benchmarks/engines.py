@@ -117,6 +117,12 @@ def build_marvis(w8a8: bool):
     cfg = mmodel.MarvisConfig()
     params = mmodel.init_params(jax.random.PRNGKey(SEED), cfg,
                                 dtype=jax.numpy.bfloat16)
+    if w8a8:
+        # quantize the backbone + depth-decoder stacks only (the frame loop
+        # re-reads the decoder weights 31x per frame)
+        params = dict(params,
+                      backbone=_synth_int8_tree(params["backbone"]),
+                      decoder=_synth_int8_tree(params["decoder"]))
     mimi_cfg = mimi.MimiConfig()
     mimi_params = mimi.init_params(jax.random.PRNGKey(SEED + 1), mimi_cfg)
     eng = MarvisEngine.from_params(params, cfg, mimi_params, mimi_cfg,

@@ -159,6 +159,36 @@ class TestEncoderAttentionKernel:
         ref = self._ref(q, q, q, 1.0)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("t", [600, 1100])
+    def test_block_q_not_dividing_t_pad(self, rng, t):
+        """Regression: with the default block_q=512 and t_pad not a
+        multiple of it (600→640, 1100→1152), the grid used to cover only
+        t_pad // 512 blocks, leaving the trailing q-rows uncomputed (NaN).
+        The kernel now shrinks block_q to a divisor of t_pad."""
+        b, h, d = 1, 2, 64
+        q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32) * 0.3
+        got = np.asarray(encoder_attention(q, q, q, interpret=True))
+        assert np.isfinite(got).all()
+        ref = self._ref(q, q, q, 1.0 / np.sqrt(d))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_pre_bh_layout_identical(self, rng):
+        """pre_bh=True (caller-supplied head-major layout) must match the
+        (B, T, H, D) entry bit-for-bit."""
+        b, t, h, d = 2, 600, 4, 64
+        q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32) * 0.3
+        k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32) * 0.3
+        v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+        a = encoder_attention(q, k, v, interpret=True)
+
+        def bh(x):
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+
+        ob = encoder_attention(bh(q), bh(k), bh(v), interpret=True,
+                               pre_bh=True)
+        o2 = jnp.transpose(ob.reshape(b, h, t, d), (0, 2, 1, 3))
+        assert float(jnp.max(jnp.abs(a - o2))) == 0.0
+
 
 class TestW4A8Matmul:
     """W4A8 kernel (ops/pallas/w4a8_matmul.py): packed int4 → in-kernel int8

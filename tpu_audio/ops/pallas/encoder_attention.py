@@ -52,26 +52,41 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, t_valid: int, scale: float):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("t_valid", "block_q", "scale", "interpret"))
+                   static_argnames=("t_valid", "block_q", "scale", "interpret",
+                                    "pre_bh"))
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       t_valid: int | None = None,
                       block_q: int = BLOCK_Q,
                       scale: float | None = None,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      pre_bh: bool = False) -> jax.Array:
     """q/k/v (B, T, H, D) bidirectional attention → (B, T, H, D).
 
-    t_valid: number of real key positions (rest masked); default T."""
+    t_valid: number of real key positions (rest masked); default T.
+    pre_bh: inputs are already (B·H, T, D) — the caller produced the
+    head-major layout directly (e.g. an einsum projection), so the
+    kernel skips its transposes and returns (B·H, T, D) too."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t, h, d = q.shape
+    if pre_bh:
+        bh, t, d = q.shape
+        b, h = 1, bh  # only used for grid sizing below
+    else:
+        b, t, h, d = q.shape
     t_valid = t if t_valid is None else t_valid
     t_pad = -(-t // LANE) * LANE
+    # bq must DIVIDE t_pad: the grid is t_pad // bq blocks, so a
+    # non-divisor leaves the trailing q-rows uncomputed (NaN). t_pad is a
+    # multiple of LANE, so a divisor ≥ LANE always exists.
     bq = min(block_q, t_pad)
+    while t_pad % bq:
+        bq -= 8
     # fold (B, H) into one grid axis; q-blocks minor so the K/V block
     # (indexed by bh only) stays resident across consecutive steps
     def to_bh(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+        if not pre_bh:
+            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
         if t_pad != t:
             x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
         return x
@@ -96,6 +111,8 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,  # CPU-testable (tests/test_pallas_kernels.py)
     )(qb, kb, vb)
+    if pre_bh:
+        return out[:, :t]
     out = out[:, :t].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))
 
