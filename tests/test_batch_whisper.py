@@ -36,6 +36,26 @@ class TestBatchDecoder:
             ref = single.decode(mels[r], temperature=0.0)
             assert batch_res[r].tokens == ref.tokens, f"row {r} diverged"
 
+    def test_kv_int8_batch_decode_runs(self, setup, rng):
+        """kv_int8=True (int8 cross-K/V serving state; CPU takes the XLA
+        dequant path) decodes end-to-end through the batch loop. Token-level
+        parity is NOT asserted here: random tiny-model logits are near-ties,
+        so the int8 rounding legitimately flips argmaxes and the sequences
+        diverge — logit-level parity (cosine > 0.999) and real-shape greedy
+        agreement are pinned in tests/test_cross_kv_attention.py and by
+        bench.py's on-chip token-agreement check."""
+        params, tok = setup
+        mels = rng.standard_normal((2, 3000, 80)).astype(np.float32) * 0.1
+        q8 = wbatch.BatchSegmentDecoder(params, TINY, tok, batch_size=2,
+                                        compute_dtype=jnp.float32,
+                                        kv_int8=True
+                                        ).decode_batch(mels, temperature=0.0)
+        assert len(q8) == 2
+        for r in q8:
+            assert len(r.tokens) > 0
+            assert all(0 <= t_ < TINY.n_vocab for t_ in r.tokens)
+            assert np.isfinite(r.avg_logprob)
+
     def test_transcribe_windows_multi_clip(self, setup):
         params, tok = setup
         texts = wbatch.transcribe_windows(
