@@ -250,6 +250,32 @@ def main():
                       enc["blocks"], x0),
            b * lyr * flops_layer)
 
+    # attention replaced by identity-over-v (projections + MLP intact):
+    # block-stack-minus-this isolates what the attend custom call costs IN
+    # CONTEXT (its standalone slope is ~95 ms; if the in-context delta is
+    # larger, the call also serializes/disrupts its surroundings)
+    def block_stack_noattend(blocks, x):
+        hd = d // h
+
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln1"], x)
+            _q = layers.linear(bp["attn"]["q"], hn)
+            _k = layers.linear(bp["attn"]["k"], hn)
+            v = layers.linear(bp["attn"]["v"], hn)
+            o = v + 1e-12 * (_q + _k)  # keep all projections live
+            x = x + layers.linear(bp["attn"]["o"], o)
+            hn = layers.layer_norm(bp["ln2"], x)
+            x = x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+            return x, None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("block stack (attend -> identity)",
+           slope_time("blocks_noat", make_loop(block_stack_noattend),
+                      enc["blocks"], x0),
+           b * lyr * (flops_layer - 2 * 2 * t * t * d))
+
     # full encoder (current code path: conv1d_mxu stem)
     report("full encoder",
            slope_time("full", make_loop(
