@@ -206,11 +206,24 @@ def main():
     if params_i8 is not None:
         try:
             full_i8_xrt = measure_full(BATCH, params_i8, kv_int8=True)
-            print(f"FULL pipeline batch={BATCH} int8-encoder + int8 "
-                  f"cross-KV: {full_i8_xrt:.1f}x real time", file=sys.stderr)
+            print(f"FULL pipeline batch={BATCH} full w8a8 (int8 encoder + "
+                  f"decoder + cross-KV): {full_i8_xrt:.1f}x real time",
+                  file=sys.stderr)
             full_xrt = max(full_xrt, full_i8_xrt)
         except Exception as exc:
             print(f"int8 full-pipeline run failed ({exc})", file=sys.stderr)
+        try:
+            # best-known combo: bf16 encoder (int8 encoder measured at
+            # latency parity) + stacked-int8 decoder + int8 cross-KV
+            params_mix = {**params_i8, "encoder": params["encoder"]}
+            full_mix_xrt = measure_full(BATCH, params_mix, kv_int8=True)
+            print(f"FULL pipeline batch={BATCH} bf16-enc + int8 decoder + "
+                  f"int8 cross-KV: {full_mix_xrt:.1f}x real time",
+                  file=sys.stderr)
+            full_xrt = max(full_xrt, full_mix_xrt)
+        except Exception as exc:
+            print(f"mixed int8 full-pipeline run failed ({exc})",
+                  file=sys.stderr)
 
     # encoder MFU: isolate the 32-layer encoder at batch 16 and compare its
     # matmul FLOPs to the v5e bf16 peak (197 TFLOP/s) so the perf claim is

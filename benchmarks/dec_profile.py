@@ -112,6 +112,18 @@ def main():
     report("decode step (int8 cross-KV)",
            slope("full_q8", dec_full_q8, params, feats))
 
+    # stacked-int8 decoder weights + int8 cross-KV (the full w8a8 decode):
+    # weights 184 MB -> 92, lm_head 133 -> 66 on top of the halved KV
+    try:
+        from tpu_audio.models.whisper.load import serve_tree_int8
+
+        params_w8 = serve_tree_int8(params)
+        params_w8 = {**params_w8, "encoder": params["encoder"]}
+        report("decode step (int8 dec + int8 KV)",
+               slope("full_w8", dec_full_q8, params_w8, feats))
+    except Exception as exc:
+        print(f"int8-decoder profile failed: {exc}")
+
     # ---- ablations on a hand-rolled copy of the step body ----------------
     p = params["decoder"]
     hd = d // h

@@ -93,6 +93,34 @@ class TestMarvis:
         assert res.sample_rate == 24000
         assert np.isfinite(res.samples).all()
 
+    def test_engine_w8a8(self, mimi_params):
+        """quantization='w8a8' requantizes the backbone + depth-decoder
+        stacks; the frame loop serves them through the shared stacked
+        int8 path (XLA fallback on CPU). Dims must pass the int8
+        eligibility gate (last dim % 128 == 0), so this uses a 128-wide
+        config rather than the shared 32-wide TINY."""
+        import jax as _jax
+
+        cfg = mmodel.MarvisConfig(
+            backbone=transformer.TransformerConfig(
+                dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                hidden_dim=128),
+            decoder=transformer.TransformerConfig(
+                dim=128, n_layers=1, n_heads=2, n_kv_heads=2,
+                hidden_dim=128),
+            text_vocab_size=300, audio_vocab_size=32, n_codebooks=4)
+        params = mmodel.init_params(_jax.random.PRNGKey(3), cfg)
+        eng = MarvisEngine.from_params(params, cfg, mimi_params, TINY_MIMI,
+                                       max_frames=6, quantization="w8a8")
+        eng.quality = "low"
+        from tpu_audio.utils import pytree
+
+        flat = pytree.flatten(eng.params)
+        assert any("weight_i8" in k for k in flat), \
+            "backbone/decoder were not requantized"
+        res = eng.generate("Hello.")
+        assert np.isfinite(res.samples).all()
+
     def test_engine_streaming_chunks(self, marvis_params, mimi_params):
         from tpu_audio.api.tts import StreamingGranularity
 

@@ -104,7 +104,16 @@ class TestWhisperW8A8Serving:
         assert "weight_i8" in blk["attn"]["q"]
         assert blk["attn"]["q"]["weight_i8"].shape[0] == 2  # stacked layers
         assert "weight" in qp["encoder"]["conv1"]  # convs stay fp
-        assert "weight" in qp["decoder"]["token_embedding"]
+        # round 3: the decoder quantizes too (stacked scalar-prefetch
+        # kernels removed the scan-slice copy objection), incl. the tied
+        # embedding (int8 lm_head dot + row-dequant gather)
+        assert "weight_i8" in qp["decoder"]["blocks"]["attn"]["q"]
+        assert "weight_i8" in qp["decoder"]["blocks"]["cross_attn"]["k"]
+        assert "weight_i8" in qp["decoder"]["token_embedding"]
+        assert "weight" in qp["decoder"]["ln"]  # norms stay fp
+        # decoder=False keeps the old encoder-only behavior
+        enc_only = wload.serve_tree_int8(params, decoder=False)
+        assert "weight" in enc_only["decoder"]["blocks"]["attn"]["q"]
 
         mel = jnp.asarray(rng.standard_normal((1, 200, 80)), jnp.float32) * .1
         ref_feats = np.asarray(wmodel.encode(params, cfg, mel))
@@ -116,11 +125,52 @@ class TestWhisperW8A8Serving:
         toks = jnp.asarray([[1, 2, 3]], jnp.int32)
         st_r = wmodel.init_state(params, cfg, jnp.asarray(ref_feats))
         st_q = wmodel.init_state(qp, cfg, jnp.asarray(got_feats))
-        lr, _ = wmodel.decode_step(params, cfg, toks, st_r)
-        lq, _ = wmodel.decode_step(qp, cfg, toks, st_q)
-        lr, lq = np.asarray(lr).ravel(), np.asarray(lq).ravel()
-        cos = (lr * lq).sum() / (np.linalg.norm(lr) * np.linalg.norm(lq))
-        assert cos > 0.995
+        lr, st_r = wmodel.decode_step(params, cfg, toks, st_r)
+        lq, st_q = wmodel.decode_step(qp, cfg, toks, st_q)
+        a, b = np.asarray(lr).ravel(), np.asarray(lq).ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, cos
+        # single-token decode steps (the stacked-kernel path on TPU; the
+        # exact-dequant fallback on CPU) stay aligned over a short rollout
+        for _ in range(3):
+            nxt = jnp.argmax(np.asarray(lr)[:, -1], axis=-1
+                             ).astype(jnp.int32)[:, None]
+            lr, st_r = wmodel.decode_step(params, cfg, nxt, st_r)
+            lq, st_q = wmodel.decode_step(qp, cfg, nxt, st_q)
+            a, b = np.asarray(lr).ravel(), np.asarray(lq).ravel()
+            cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos > 0.99, cos
+
+    def test_kv_int8_composes_with_int8_decoder(self, rng):
+        """The two serving options stack: int8 decoder weights + int8
+        cross-KV state."""
+        import jax as _jax
+
+        from tpu_audio.models.whisper import load as wload
+        from tpu_audio.models.whisper import model as wmodel
+        from tpu_audio.models.whisper.config import WhisperConfig
+
+        cfg = WhisperConfig(n_mels=80, n_audio_ctx=64, n_audio_state=128,
+                            n_audio_head=4, n_audio_layer=1, n_vocab=500,
+                            n_text_ctx=16, n_text_state=128, n_text_head=4,
+                            n_text_layer=2)
+        params = wmodel.init_params(_jax.random.PRNGKey(1), cfg)
+        qp = wload.serve_tree_int8(params)
+        feats = jnp.asarray(rng.standard_normal(
+            (1, cfg.n_audio_ctx, cfg.n_audio_state)) * 0.3, jnp.float32)
+        st_r = wmodel.init_state(params, cfg, feats)
+        st_q = wmodel.init_state(qp, cfg, feats, kv_int8=True)
+        toks = jnp.asarray([[3, 5]], jnp.int32)
+        lr, st_r = wmodel.decode_step(params, cfg, toks, st_r)
+        lq, st_q = wmodel.decode_step(qp, cfg, toks, st_q)
+        for _ in range(3):
+            nxt = jnp.argmax(np.asarray(lr)[:, -1], axis=-1
+                             ).astype(jnp.int32)[:, None]
+            lr, st_r = wmodel.decode_step(params, cfg, nxt, st_r)
+            lq, st_q = wmodel.decode_step(qp, cfg, nxt, st_q)
+            a, b = np.asarray(lr).ravel(), np.asarray(lq).ravel()
+            cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos > 0.99, cos
 
 
 class TestEncoderAttentionKernel:
@@ -171,6 +221,31 @@ class TestEncoderAttentionKernel:
         assert np.isfinite(got).all()
         ref = self._ref(q, q, q, 1.0 / np.sqrt(d))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_packed_pairs_match_plain(self, rng):
+        """encoder_attention_packed (head pairs channel-concatenated to 128
+        lanes, block-diagonal q built in-kernel) must match the plain
+        kernel to float tolerance."""
+        from tpu_audio.ops.pallas.encoder_attention import (
+            encoder_attention_packed)
+
+        b, t, h, d = 2, 600, 4, 64
+        q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32) * 0.3
+        k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32) * 0.3
+        v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+        ref = np.asarray(encoder_attention(q, k, v, interpret=True))
+
+        def pack(x):
+            xp = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, h // 2, 2, t, d)
+            return jnp.transpose(xp, (0, 1, 3, 2, 4)).reshape(
+                b * h // 2, t, 2 * d)
+
+        op = encoder_attention_packed(pack(q), pack(k), pack(v),
+                                      interpret=True)
+        ou = jnp.transpose(op.reshape(b, h // 2, t, 2, d),
+                           (0, 1, 3, 2, 4)).reshape(b, h, t, d)
+        ou = np.asarray(jnp.transpose(ou, (0, 2, 1, 3)))
+        np.testing.assert_allclose(ou, ref, rtol=1e-5, atol=1e-6)
 
     def test_pre_bh_layout_identical(self, rng):
         """pre_bh=True (caller-supplied head-major layout) must match the

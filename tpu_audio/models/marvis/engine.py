@@ -36,7 +36,8 @@ class MarvisEngine(TTSEngineBase):
 
     def __init__(self, quality: str = "high", model: str = "250m",
                  speaker: int = 0, temperature: float = 0.9, top_k: int = 50,
-                 kv_quantized: bool = False, frame_span: int | None = None):
+                 kv_quantized: bool = False, frame_span: int | None = None,
+                 quantization: str | None = None):
         super().__init__()
         self.quality = quality
         self.model_size = model
@@ -45,6 +46,12 @@ class MarvisEngine(TTSEngineBase):
         self.top_k = top_k
         # optional int8 KV cache (reference MarvisModel.swift:384-389)
         self.kv_quantized = kv_quantized
+        # "w8a8" requantizes the backbone + depth-decoder stacks to the
+        # per-channel int8 serving format: the 12.5 Hz frame loop re-reads
+        # the depth decoder 31x per frame, so halving its bytes trims the
+        # frame's HBM floor (the loop is partly op-issue-bound — see
+        # docs/BENCHMARKS.md for the measured effect)
+        self.quantization = quantization
         self.params = None
         self.cfg = mmodel.MarvisConfig()
         self.mimi_params = None
@@ -72,9 +79,29 @@ class MarvisEngine(TTSEngineBase):
 
         (self.params, self.cfg, self.tokenizer,
          self.mimi_params, self.mimi_cfg) = mload.load(REPOS[self.model_size])
+        self.params = self._quantize(self.params, self.quantization)
         self.params = self._fuse(self.params)
         self._tune_cfg()
         self.is_loaded = True
+
+    @staticmethod
+    def _quantize(params, quantization):
+        if quantization is None:
+            return params
+        if quantization != "w8a8":
+            raise ValueError(f"unsupported quantization {quantization!r}; "
+                             "marvis serves bf16 or 'w8a8'")
+        from tpu_audio.ops import quant
+
+        def q(tree):
+            # group-affine checkpoint leaves (6-bit MLX repos) repack via
+            # requantize; fp leaves quantize per-channel directly
+            t = quant.requantize_tree_int8(tree, fuse=False)
+            t = quant.quantize_tree_int8(t)
+            return quant.fuse_int8_tree(t)
+
+        return dict(params, backbone=q(params["backbone"]),
+                    decoder=q(params["decoder"]))
 
     def _tune_cfg(self):
         """Unroll the tiny depth decoder's layer scan (4 layers, 31
@@ -102,9 +129,10 @@ class MarvisEngine(TTSEngineBase):
 
     @classmethod
     def from_params(cls, params, cfg, mimi_params, mimi_cfg,
-                    tokenizer=None, max_frames: int = 64) -> "MarvisEngine":
-        eng = cls()
-        eng.params = cls._fuse(params)
+                    tokenizer=None, max_frames: int = 64,
+                    quantization: str | None = None) -> "MarvisEngine":
+        eng = cls(quantization=quantization)
+        eng.params = cls._fuse(cls._quantize(params, quantization))
         eng.cfg = cfg
         eng._tune_cfg()
         eng.mimi_params = mimi_params

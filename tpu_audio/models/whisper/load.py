@@ -30,7 +30,9 @@ from tpu_audio.utils import hub, weights
 SIZES = ("tiny", "base", "small", "medium", "large-v3", "large-v3-turbo",
          "tiny.en", "base.en", "small.en", "medium.en")
 # "w8a8" = q8 checkpoint requantized at load to the per-channel int8
-# serving format (int8 MXU encoder + weight-streaming decode kernel)
+# serving format: int8-MXU encoder GEMMs, stacked scalar-prefetch int8
+# decoder weights, int8 tied lm_head, and (via the engine) the int8
+# cross-KV decode state
 QUANTIZATIONS = ("fp16", "q8", "q4", "w8a8")
 _QUANT_SUFFIX = {"fp16": "fp16", "q8": "8bit", "q4": "4bit"}
 
@@ -143,21 +145,31 @@ def load(model: str = "tiny", quantization: str = "fp16",
     return params, cfg, tok
 
 
-def serve_tree_int8(tree: dict) -> dict:
-    """Requantize the ENCODER blocks of a loaded whisper tree (group-affine
-    q8/q4 or fp leaves) to per-channel int8 W8A8. Encoder GEMMs are large-M
-    and run as pure-XLA s8×s8 dots on the int8 MXU (2× bf16). The decoder
-    deliberately stays in checkpoint format: its per-step GEMMs are Pallas
-    custom calls, and XLA materializes an HBM copy of every lax.scan-sliced
-    operand feeding a custom call — int8-converting the decoder would
-    triple its weight traffic, not halve it (docs/BENCHMARKS.md, stacked
-    scalar-prefetch notes). Convs / norms / embeddings stay fp."""
+def serve_tree_int8(tree: dict, decoder: bool = True) -> dict:
+    """Requantize a loaded whisper tree (group-affine q8/q4 or fp leaves)
+    to the per-channel int8 W8A8 serving format.
+
+    Encoder: its GEMMs are large-M and run as pure-XLA s8×s8 dots on the
+    int8 MXU (2× bf16 peak). Decoder (round 3): the per-step GEMMs now ride
+    the STACKED scalar-prefetch int8 kernel — decode_step pulls the (L,O,I)
+    int8 arrays out of the scan and indexes them in the kernel's block
+    index_map, so the scan-slice HBM-copy problem that kept the decoder in
+    checkpoint format no longer applies. The tied token embedding also
+    quantizes: the lm_head becomes an int8 dot and the input gather
+    dequantizes rows on the fly. Convs / norms / positions stay fp."""
     from tpu_audio.ops import quant
 
     enc = quant.requantize_tree_int8(tree["encoder"], fuse=False)
     enc = quant.quantize_tree_int8(enc,
                                    predicate=lambda k, v: "blocks" in k)
-    return {**tree, "encoder": enc}
+    out = {**tree, "encoder": enc}
+    if decoder:
+        dec = quant.requantize_tree_int8(tree["decoder"], fuse=False)
+        dec = quant.quantize_tree_int8(
+            dec, predicate=lambda k, v: "blocks" in k
+            or k == "token_embedding.weight")
+        out["decoder"] = dec
+    return out
 
 
 def sanitize(flat: dict) -> dict:

@@ -103,6 +103,28 @@ def _self_attention(p, x, n_heads, mask=None):
             b, t, _ = x.shape
             if ea.supported(jnp.empty((b, t, n_heads, hd), x.dtype),
                             jnp.empty((b, t, n_heads, hd), x.dtype), mask):
+                if n_heads % 2 == 0 and 2 * hd == 128:
+                    # pair-packed: head pairs channel-concatenated to 128
+                    # lanes — the packed kernel's dots contract/emit full
+                    # MXU tiles (the hd=64 dots run at half efficiency)
+                    g = n_heads // 2
+                    wq = p["q"]["weight"].reshape(g, 2, hd, d).astype(x.dtype)
+                    wk = p["k"]["weight"].reshape(g, 2, hd, d).astype(x.dtype)
+                    wv = p["v"]["weight"].reshape(g, 2, hd, d).astype(x.dtype)
+                    bq_ = p["q"]["bias"].reshape(g, 1, 2, hd).astype(x.dtype)
+                    bv_ = p["v"]["bias"].reshape(g, 1, 2, hd).astype(x.dtype)
+                    q = (jnp.einsum("btd,gxed->bgtxe", x, wq)
+                         + bq_[None]).reshape(b * g, t, 2 * hd)
+                    k = jnp.einsum("btd,gxed->bgtxe", x, wk).reshape(
+                        b * g, t, 2 * hd)
+                    v = (jnp.einsum("btd,gxed->bgtxe", x, wv)
+                         + bv_[None]).reshape(b * g, t, 2 * hd)
+                    o = ea.encoder_attention_packed(q * scale, k * scale, v,
+                                                    scale=1.0)
+                    wo = p["o"]["weight"].reshape(d, g, 2, hd).astype(x.dtype)
+                    return (jnp.einsum("bgtxe,dgxe->btd",
+                                       o.reshape(b, g, t, 2, hd), wo)
+                            + p["o"]["bias"].astype(x.dtype))
                 wq = p["q"]["weight"].reshape(n_heads, hd, d).astype(x.dtype)
                 wk = p["k"]["weight"].reshape(n_heads, hd, d).astype(x.dtype)
                 wv = p["v"]["weight"].reshape(n_heads, hd, d).astype(x.dtype)
@@ -241,12 +263,23 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
     x = x + pe[None].astype(x.dtype)
     mask = attention.decode_mask(state.cache.max_len, pos, t)
 
+    # int8 (w8a8) decoder blocks: the stacked (L, O, I) int8 weights leave
+    # the scan and ride scalar-prefetch layer selection inside the kernel —
+    # scanning them would re-copy every weight to HBM each layer (the same
+    # finding that shaped the LLM decode path, nn/transformer.py)
+    from tpu_audio.nn.transformer import (_reinject_stacked,
+                                          _split_stacked_quant)
+
+    scan_blocks, stacked = _split_stacked_quant(p["blocks"])
+
     def body(carry, xs):
         x, kbuf, vbuf = carry
         if q8:
             bp, ksc, vsc, li = xs
         else:
             bp, ck, cv, li = xs
+        if stacked:
+            bp = _reinject_stacked(bp, stacked, li)
         # self-attention with cache
         hn = layers.layer_norm(bp["ln1"], x)
         q = _heads(layers.linear(bp["attn"]["q"], hn), h) * scale
@@ -289,9 +322,9 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
                               layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
         return (x, kbuf, vbuf), None
 
-    xs = ((p["blocks"], state.cross_ksc, state.cross_vsc,
+    xs = ((scan_blocks, state.cross_ksc, state.cross_vsc,
            jnp.arange(cfg.n_text_layer)) if q8 else
-          (p["blocks"], state.cross_k, state.cross_v,
+          (scan_blocks, state.cross_k, state.cross_v,
            jnp.arange(cfg.n_text_layer)))
     (x, kbuf, vbuf), _ = jax.lax.scan(body, (x, state.cache.k, state.cache.v),
                                       xs)
