@@ -250,6 +250,56 @@ def main():
                       enc["blocks"], x0),
            b * lyr * flops_layer)
 
+    # combined stack with PAIR-PACKED attention (2 heads -> 128 lanes,
+    # block-diagonal q in-kernel): the hd=64 dots of the plain kernel run
+    # at half MXU contraction depth / emit half-width tiles; this is the
+    # production path when PACKED_ATTN is on — compare against the
+    # head-major row above
+    def block_stack_packed(blocks, x):
+        from tpu_audio.ops.pallas import encoder_attention as ea
+
+        hd = d // h
+        g = h // 2
+        scale = hd ** -0.25
+
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln1"], x)
+            wq = bp["attn"]["q"]["weight"].reshape(g, 2, hd, d).astype(
+                hn.dtype)
+            wk = bp["attn"]["k"]["weight"].reshape(g, 2, hd, d).astype(
+                hn.dtype)
+            wv = bp["attn"]["v"]["weight"].reshape(g, 2, hd, d).astype(
+                hn.dtype)
+            bq_ = bp["attn"]["q"]["bias"].reshape(g, 1, 2, hd).astype(
+                hn.dtype)
+            bv_ = bp["attn"]["v"]["bias"].reshape(g, 1, 2, hd).astype(
+                hn.dtype)
+            q = (jnp.einsum("btd,gxed->bgtxe", hn, wq)
+                 + bq_[None]).reshape(b * g, t, 2 * hd)
+            k = jnp.einsum("btd,gxed->bgtxe", hn, wk).reshape(
+                b * g, t, 2 * hd)
+            v = (jnp.einsum("btd,gxed->bgtxe", hn, wv)
+                 + bv_[None]).reshape(b * g, t, 2 * hd)
+            o = ea.encoder_attention_packed(q * scale, k * scale, v,
+                                            scale=1.0)
+            wo = bp["attn"]["o"]["weight"].reshape(d, g, 2, hd).astype(
+                hn.dtype)
+            x = x + (jnp.einsum("bgtxe,dgxe->btd",
+                                o.reshape(b, g, t, 2, hd), wo)
+                     + bp["attn"]["o"]["bias"].astype(hn.dtype))
+            hn = layers.layer_norm(bp["ln2"], x)
+            x = x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], hn)))
+            return x, None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    if h % 2 == 0 and 2 * (d // h) == 128:
+        report("block stack (pair-packed attn)",
+               slope_time("blocks_pk", make_loop(block_stack_packed),
+                          enc["blocks"], x0),
+               b * lyr * flops_layer)
+
     # attention replaced by identity-over-v (projections + MLP intact):
     # block-stack-minus-this isolates what the attend custom call costs IN
     # CONTEXT (its standalone slope is ~95 ms; if the in-context delta is

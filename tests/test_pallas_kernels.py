@@ -264,6 +264,40 @@ class TestEncoderAttentionKernel:
         o2 = jnp.transpose(ob.reshape(b, h, t, d), (0, 2, 1, 3))
         assert float(jnp.max(jnp.abs(a - o2))) == 0.0
 
+    def test_self_attention_packed_projection_algebra(self, rng, monkeypatch):
+        """The whisper _self_attention pair-packed branch (weight reshapes
+        to (g, 2, hd, d), pack einsums, output unpack) must match the plain
+        XLA path. The kernel gate is TPU-only, so force it on and route the
+        kernels through interpret mode."""
+        import functools
+
+        from tpu_audio.models.whisper import model as wmodel
+        from tpu_audio.ops.pallas import encoder_attention as ea
+
+        monkeypatch.setattr(ea, "supported", lambda q, k, m: True)
+        monkeypatch.setattr(
+            ea, "encoder_attention_packed",
+            functools.partial(ea.encoder_attention_packed, interpret=True))
+        monkeypatch.setattr(
+            ea, "encoder_attention",
+            functools.partial(ea.encoder_attention, interpret=True))
+
+        b, t, h, d = 2, 600, 4, 256  # hd = 64 -> packed-eligible
+        p = {
+            name: {"weight": jnp.asarray(
+                       rng.standard_normal((d, d)), jnp.float32) * 0.05,
+                   "bias": jnp.asarray(
+                       rng.standard_normal((d,)), jnp.float32) * 0.01}
+            for name in ("q", "k", "v", "o")}
+        x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32) * 0.3
+
+        monkeypatch.setattr(wmodel, "PACKED_ATTN", True)
+        got = np.asarray(wmodel._self_attention(p, x, h))
+        # plain reference: disable the kernel gate entirely
+        monkeypatch.setattr(ea, "supported", lambda q, k, m: False)
+        ref = np.asarray(wmodel._self_attention(p, x, h))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
 
 class TestW4A8Matmul:
     """W4A8 kernel (ops/pallas/w4a8_matmul.py): packed int4 → in-kernel int8

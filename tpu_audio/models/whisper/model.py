@@ -17,6 +17,7 @@ forward_cross_qk entry point so the hot decode path never materializes them.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -87,6 +88,12 @@ def _heads(x, n_heads):
     return x.reshape(b, t, n_heads, d // n_heads)
 
 
+# pair-packed encoder attention (2·hd = 128 lanes per block). Module-level
+# so benchmarks can A/B it against the plain head-major kernel on chip
+# (TPU_AUDIO_PACKED_ATTN=0 disables).
+PACKED_ATTN = os.environ.get("TPU_AUDIO_PACKED_ATTN", "1") != "0"
+
+
 def _self_attention(p, x, n_heads, mask=None):
     d = x.shape[-1]
     hd = d // n_heads
@@ -103,7 +110,7 @@ def _self_attention(p, x, n_heads, mask=None):
             b, t, _ = x.shape
             if ea.supported(jnp.empty((b, t, n_heads, hd), x.dtype),
                             jnp.empty((b, t, n_heads, hd), x.dtype), mask):
-                if n_heads % 2 == 0 and 2 * hd == 128:
+                if PACKED_ATTN and n_heads % 2 == 0 and 2 * hd == 128:
                     # pair-packed: head pairs channel-concatenated to 128
                     # lanes — the packed kernel's dots contract/emit full
                     # MXU tiles (the hd=64 dots run at half efficiency)
