@@ -165,6 +165,41 @@ def main():
            slope_time("mlp", make_loop(mlp_stack), enc["blocks"], x0),
            mlp_fl)
 
+    # MLP-gap ablations: the stack above runs well below the 94% MFU the
+    # same-shape raw GEMM chain reaches (gemm_ceiling.py). Isolate the
+    # layer-norm and the gelu to see which non-GEMM op eats the difference.
+    def mlp_stack_nogelu(blocks, x):
+        def body(x, bp):
+            hn = layers.layer_norm(bp["ln2"], x)
+            return x + layers.linear(
+                bp["mlp"]["fc2"], layers.linear(bp["mlp"]["fc1"], hn)), None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("mlp stack (no gelu)",
+           slope_time("mlp_ng", make_loop(mlp_stack_nogelu), enc["blocks"],
+                      x0), mlp_fl)
+
+    def mlp_stack_noln(blocks, x):
+        def body(x, bp):
+            return x + layers.linear(
+                bp["mlp"]["fc2"],
+                layers.gelu(layers.linear(bp["mlp"]["fc1"], x))), None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("mlp stack (no layernorm)",
+           slope_time("mlp_nl", make_loop(mlp_stack_noln), enc["blocks"],
+                      x0), mlp_fl)
+
+    def mlp_stack_gemms(blocks, x):
+        def body(x, bp):
+            return x + layers.linear(
+                bp["mlp"]["fc2"], layers.linear(bp["mlp"]["fc1"], x)), None
+        return jax.lax.scan(body, x, blocks)[0]
+
+    report("mlp stack (GEMMs only)",
+           slope_time("mlp_g", make_loop(mlp_stack_gemms), enc["blocks"],
+                      x0), mlp_fl)
+
     # full block stack (attn + mlp interleaved, exactly the encode() body):
     # isolates whether the attn/mlp gap vs the full encoder comes from
     # their interleaving (VMEM pressure between the Pallas attention and
