@@ -187,3 +187,86 @@ class TestMimiStreamingDecoder:
         full = np.asarray(mimi.decode(mimi_params, TINY_MIMI, codes))
         got = self._run(TINY_MIMI, mimi_params, codes, chunk=1)
         np.testing.assert_allclose(got, full, atol=1e-4)
+
+
+class TestFusedDepthPath:
+    """frame_step(depth_fused=True) — the whole-stack Pallas depth decode —
+    must produce the same greedy frame as the XLA scan path. The kernel is
+    TPU-gated, so route it through interpret mode here."""
+
+    def _cfg(self):
+        return mmodel.MarvisConfig(
+            backbone=transformer.TransformerConfig(
+                dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                hidden_dim=256),
+            decoder=transformer.TransformerConfig(
+                dim=128, n_layers=2, n_heads=2, n_kv_heads=1,
+                hidden_dim=512),
+            text_vocab_size=300, audio_vocab_size=64, n_codebooks=8)
+
+    def test_greedy_frame_matches_scan_path(self, monkeypatch):
+        import functools
+
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+
+        cfg = self._cfg()
+        params = mmodel.init_params(jax.random.PRNGKey(7), cfg)
+        params = MarvisEngine._fuse(params)
+        k = cfg.n_codebooks
+        tokens = jnp.zeros((1, 5, k + 1), jnp.int32)
+        mask = jnp.ones((1, 5, k + 1), jnp.bool_)
+
+        frames = {}
+        for fused in (False, True):
+            cache = transformer.make_cache(cfg.backbone, 1, 32,
+                                           dtype=jnp.float32)
+            frame, cache2 = mmodel.frame_step(
+                params, cfg, tokens, mask, cache, jax.random.PRNGKey(3),
+                max_codebooks=k, temperature=0.0, top_k=0,
+                depth_fused=fused)
+            frames[fused] = np.asarray(frame)
+            assert int(cache2.pos) == 5
+        # greedy tokens from near-identical logits: allow at most one
+        # near-tie flip across the 8 codebooks
+        agree = (frames[True] == frames[False]).sum()
+        assert agree >= k - 1, (agree, frames)
+
+    def test_greedy_frame_matches_scan_path_int8(self, monkeypatch):
+        """The w8a8 depth stack through the fused kernel (int8 codes,
+        output scales) vs the same int8 tree through the XLA scan path."""
+        import functools
+
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+
+        cfg = self._cfg()
+        params = mmodel.init_params(jax.random.PRNGKey(9), cfg)
+        params = dict(
+            params,
+            decoder=quant.fuse_int8_tree(
+                quant.quantize_tree_int8(params["decoder"])),
+            backbone=transformer.fuse_fp_tree(params["backbone"]))
+        k = cfg.n_codebooks
+        tokens = jnp.zeros((1, 4, k + 1), jnp.int32)
+        mask = jnp.ones((1, 4, k + 1), jnp.bool_)
+        frames = {}
+        for fused in (False, True):
+            cache = transformer.make_cache(cfg.backbone, 1, 16,
+                                           dtype=jnp.float32)
+            frame, _ = mmodel.frame_step(
+                params, cfg, tokens, mask, cache, jax.random.PRNGKey(5),
+                max_codebooks=k, temperature=0.0, top_k=0,
+                depth_fused=fused)
+            frames[fused] = np.asarray(frame)
+        # int8-activation (XLA path) vs exact-activation (kernel): wider
+        # rounding gap than fp, still near-total greedy agreement expected
+        agree = (frames[True] == frames[False]).sum()
+        assert agree >= k - 2, (agree, frames)

@@ -506,3 +506,111 @@ class TestW4A8SuperGroup:
         b = np.asarray(sg_lg).ravel()
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.98, cos
+
+
+class TestFusedDecodeStep:
+    """Whole-stack single-token decode kernel (ops/pallas/fused_step.py).
+
+    Interpret mode pins: grid phasing (attn, hidden blocks), the VMEM
+    residual stream across grid steps, rope at prefetched positions, GQA
+    masking against the (KVH, S_pad, hd) cache layout, gate/up dual views
+    of the fused gateup array, and int8 output-scale application — against
+    nn/transformer.forward_hidden run token by token."""
+
+    def _cfg(self, **kw):
+        from tpu_audio.nn import transformer
+
+        base = dict(dim=128, n_layers=3, n_heads=2, n_kv_heads=1,
+                    hidden_dim=1024, rope_theta=500000.0)
+        base.update(kw)
+        return transformer.TransformerConfig(**base)
+
+    def _run_pair(self, rng, cfg, steps=5, quantize=False, s_pad=16,
+                  hidden_block=512):
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops import quant
+        from tpu_audio.ops.pallas import fused_step
+
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+        fused = transformer.fuse_fp_tree(params)
+        if quantize:
+            lp = fused["layers"]
+            for sub, name in (("attn", "qkv"), ("attn", "o"),
+                              ("mlp", "gateup"), ("mlp", "down")):
+                w = np.asarray(lp[sub][name]["weight"])
+                qd = [quant.quantize_array_int8(w[i]) for i in range(len(w))]
+                lp[sub][name] = {
+                    "weight_i8": jnp.asarray(
+                        np.stack([d["weight_i8"] for d in qd])),
+                    "scale_i8": jnp.asarray(
+                        np.stack([d["scale_i8"] for d in qd]))}
+        stack = fused_step.prepare_stack(fused, cfg)
+
+        # reference: the (possibly dequantized) weights through the XLA path
+        ref_params = params
+        if quantize:
+            deq = jax.tree_util.tree_map(lambda x: x, params)
+            for sub, names in (("attn", ("q", "k", "v", "o")),
+                               ("mlp", ("gate", "up", "down"))):
+                for n in names:
+                    w = np.asarray(deq["layers"][sub][n]["weight"])
+                    qd = [quant.quantize_array_int8(w[i])
+                          for i in range(len(w))]
+                    deq["layers"][sub][n]["weight"] = jnp.asarray(np.stack(
+                        [d["weight_i8"].astype(np.float32) * d["scale_i8"]
+                         for d in qd]))
+            ref_params = deq
+
+        inv_freq = cfg.inv_freq()
+        xs = rng.standard_normal((steps, 1, cfg.dim)).astype(np.float32) * .5
+
+        cache = transformer.make_cache(cfg, 1, s_pad, dtype=jnp.float32)
+        kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, s_pad, cfg.hd),
+                       jnp.float32)
+        vc = jnp.zeros_like(kc)
+        got, ref = [], []
+        for t in range(steps):
+            x = jnp.asarray(xs[t])
+            cos, sin = fused_step.make_cos_sin(t, inv_freq, cfg.hd)
+            h, kc, vc = fused_step.fused_decode_step(
+                x, t, cos, sin, stack, kc, vc,
+                n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads, hd=cfg.hd,
+                eps=cfg.norm_eps, hidden_block=hidden_block, interpret=True)
+            got.append(np.asarray(h)[0])
+            hr, cache = transformer.forward_hidden(
+                ref_params, cfg, x[None], cache)
+            ref.append(np.asarray(hr)[0, 0])
+        return np.stack(got), np.stack(ref)
+
+    def test_fp_matches_forward_hidden(self, rng):
+        got, ref = self._run_pair(rng, self._cfg())
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_fp_hd128_gqa4(self, rng):
+        cfg = self._cfg(dim=256, n_heads=2, n_kv_heads=None, head_dim=128,
+                        hidden_dim=512)
+        got, ref = self._run_pair(rng, cfg, steps=4)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_single_hidden_block(self, rng):
+        cfg = self._cfg(hidden_dim=512)
+        got, ref = self._run_pair(rng, cfg, steps=3)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_int8_tracks_dequant_reference(self, rng):
+        got, ref = self._run_pair(rng, self._cfg(), quantize=True)
+        # int8 weights, exact activations: vs the dequantized-weight fp
+        # reference only activation-free rounding differs
+        a, b = got.ravel(), ref.ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, cos
+
+    def test_supported_gate(self):
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops.pallas import fused_step
+
+        cfg = self._cfg()
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), cfg))
+        # CPU backend → off regardless of structure
+        assert not fused_step.supported(cfg, params, 1)

@@ -60,6 +60,10 @@ class MarvisEngine(TTSEngineBase):
         self._frame_fns = {}
         self._mimi_fns = {}
         self.max_frames = 512  # 40 s cap per sentence
+        # whole-stack fused Pallas depth decode (one kernel launch per
+        # codebook instead of ~90 XLA ops) — resolved at load;
+        # TPU_AUDIO_FUSED_DEPTH=0 disables for ablation
+        self._depth_fused = False
         # frames generated per device dispatch (also the streaming decode
         # chunk): one host sync per span, EOS checked between spans.
         # Larger spans amortize the host round-trip (throughput) at the
@@ -82,7 +86,17 @@ class MarvisEngine(TTSEngineBase):
         self.params = self._quantize(self.params, self.quantization)
         self.params = self._fuse(self.params)
         self._tune_cfg()
+        self._depth_fused = self._fused_supported(self.cfg, self.params)
         self.is_loaded = True
+
+    @staticmethod
+    def _fused_supported(cfg, params) -> bool:
+        import os as _os
+
+        from tpu_audio.ops.pallas import fused_step
+
+        return (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
+                and fused_step.supported(cfg.decoder, params["decoder"], 1))
 
     @staticmethod
     def _quantize(params, quantization):
@@ -139,6 +153,7 @@ class MarvisEngine(TTSEngineBase):
         eng.mimi_cfg = mimi_cfg
         eng.tokenizer = tokenizer or load_tokenizer(None)
         eng.max_frames = max_frames
+        eng._depth_fused = cls._fused_supported(eng.cfg, eng.params)
         eng.is_loaded = True
         return eng
 
@@ -153,7 +168,8 @@ class MarvisEngine(TTSEngineBase):
 
         step = functools.partial(mmodel.frame_step, cfg=cfg, max_codebooks=k,
                                  temperature=self.temperature,
-                                 top_k=self.top_k)
+                                 top_k=self.top_k,
+                                 depth_fused=self._depth_fused)
 
         @jax.jit
         def prefill(params, tokens, mask, pad_amount, key):

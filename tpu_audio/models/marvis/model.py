@@ -84,10 +84,16 @@ def embed_frame_tokens(params, cfg: MarvisConfig, tokens: jax.Array,
 def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
                bb_cache: KVCache, key, *, max_codebooks: int,
                temperature: float = 0.9, top_k: int = 50,
-               extra_mask=None):
+               extra_mask=None, depth_fused: bool = False):
     """Generate one K-codebook frame. tokens (B, T, K+1) is the new input
     (prompt at prefill, previous frame afterwards). Returns
-    (frame (B, max_codebooks), advanced bb_cache)."""
+    (frame (B, max_codebooks), advanced bb_cache).
+
+    depth_fused: run each depth-decoder token through the whole-stack
+    Pallas kernel (ops/pallas/fused_step.py) — ONE launch per codebook
+    instead of ~90 XLA ops; the 12.5 Hz frame loop is op-issue-bound
+    (docs/BENCHMARKS.md, Marvis depth-decoder restructure). TPU-only,
+    B=1 only; gate with fused_step.supported()."""
     h = embed_frame_tokens(params, cfg, tokens, mask)
     h, bb_cache = transformer.forward_hidden(params["backbone"], cfg.backbone,
                                              h, bb_cache, extra_mask)
@@ -105,6 +111,59 @@ def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
     c0 = sample(keys[0], layers.linear(params["codebook0_head"], last_h))
     c0_embed = layers.embedding(params["audio_embeddings"], c0[:, None])
 
+    if max_codebooks == 1:
+        return c0[:, None], bb_cache
+
+    if depth_fused:
+        import numpy as _np
+
+        from tpu_audio.ops.pallas import fused_step as fs
+
+        dcfg = cfg.decoder
+        s_pad = -(-(cfg.n_codebooks + 1) // 8) * 8
+        kc = jnp.zeros((dcfg.n_layers, dcfg.kv_heads, s_pad, dcfg.hd),
+                       last_h.dtype)
+        vc = jnp.zeros_like(kc)
+        # cos/sin table for the static depth positions (numpy constant)
+        ang = (_np.arange(s_pad)[:, None]
+               * _np.asarray(dcfg.inv_freq())[None, :])
+        ang = _np.concatenate([ang, ang], -1).astype(_np.float32)
+        cos_t, sin_t = jnp.asarray(_np.cos(ang)), jnp.asarray(_np.sin(ang))
+        stack = fs.prepare_stack(params["decoder"], dcfg)
+
+        def dstep(x, pos, kc, vc):
+            cos = jax.lax.dynamic_slice_in_dim(cos_t, pos, 1)
+            sin = jax.lax.dynamic_slice_in_dim(sin_t, pos, 1)
+            return fs.fused_decode_step(
+                x, pos, cos, sin, stack, kc, vc, n_heads=dcfg.n_heads,
+                n_kv_heads=dcfg.kv_heads, hd=dcfg.hd, eps=dcfg.norm_eps)
+
+        x0 = layers.linear(params["projection"], last_h)
+        _, kc, vc = dstep(x0, 0, kc, vc)
+        x1 = layers.linear(params["projection"], c0_embed[:, 0])
+        dh1, kc, vc = dstep(x1, 1, kc, vc)
+        c1 = sample(keys[1], dh1 @ params["audio_head"][0].astype(dh1.dtype))
+        if max_codebooks == 2:
+            return jnp.stack([c0, c1], axis=1), bb_cache
+
+        def fbody(carry, xs):
+            ci_prev, kc, vc = carry
+            w, k_, i = xs
+            emb = layers.embedding(
+                params["audio_embeddings"],
+                (ci_prev + (i - 1) * cfg.audio_vocab_size)[:, None])
+            x = layers.linear(params["projection"], emb[:, 0])
+            dh, kc, vc = dstep(x, i, kc, vc)
+            ci = sample(k_, dh @ w.astype(dh.dtype))
+            return (ci, kc, vc), ci
+
+        xs = (params["audio_head"][1:max_codebooks - 1], keys[2:],
+              jnp.arange(2, max_codebooks))
+        (_, _, _), rest = jax.lax.scan(fbody, (c1, kc, vc), xs)
+        rest = jnp.moveaxis(rest, 0, 1)
+        return jnp.concatenate([c0[:, None], c1[:, None], rest], axis=1), \
+            bb_cache
+
     # depth decoder: fresh cache, sequence [h, c0_emb, c1_emb, ...].
     # The per-codebook loop runs as ONE lax.scan over the stacked audio
     # heads instead of a 31-wide Python unroll: the unrolled form compiled
@@ -113,8 +172,6 @@ def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
     dec_cache = transformer.make_cache(cfg.decoder, b, cfg.n_codebooks + 1,
                                        dtype=last_h.dtype)
     curr = jnp.concatenate([last_h[:, None], c0_embed], axis=1)
-    if max_codebooks == 1:
-        return c0[:, None], bb_cache
     # first depth step consumes [h, c0] (T=2)
     dh, dec_cache = transformer.forward_hidden(
         params["decoder"], cfg.decoder,

@@ -1,0 +1,316 @@
+"""Fused single-token transformer decode step: the WHOLE layer stack in one
+Pallas kernel launch.
+
+Why: latency-bound tiny-model decode loops (the Marvis depth decoder runs
+4 layers × 31 sequential codebook steps per 12.5 Hz frame — reference
+package/TTS/Marvis/Models/MarvisModel.swift:365-587) spend their time on
+per-op dispatch, not on math or bytes: one XLA decode step of the 4-layer
+stack issues ~90 small ops (norms, matvecs, rope, cache updates, attention
+pieces), each microseconds of fixed cost on the sequential TPU pipeline.
+This kernel collapses the entire stack to ONE launch per token: grid
+(layers, 1 + hidden_blocks), residual stream carried in VMEM scratch
+across grid steps, weights streamed layer-by-layer from HBM with Pallas'
+double-buffered pipeline (the weight stream — the true lower bound of
+small-batch decode — overlaps the compute of the previous block).
+
+Semantics match nn/transformer.forward_hidden for the supported subset:
+rms-norm, no-bias fused qkv, half-split RoPE (cos/sin computed outside at
+the step position), GQA attention over a (KVH, S_pad, hd) cache, swiglu
+MLP, final stack norm. Weights are either fp (bf16/f32) or per-channel
+int8 (ops/quant.quantize_array_int8): int8 codes are cast raw to the
+compute dtype inside the kernel and the per-output-channel scale is
+applied to the dot OUTPUT — activations stay exact (higher fidelity than
+the W8A8 XLA fallback's int8 activations) at the same 1 byte/weight HBM
+stream.
+
+Batch handling: the kernel is built for the B=1 latency case; the row axis
+is padded to 8 sublanes and only row 0 carries data (pad rows are zeros
+through every op: rms(0)=0, dot(0)=0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+ROWS = 8  # sublane-padded batch rows; row 0 is the real stream
+
+
+def _rms(x, w, eps):
+    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True)
+                             + eps) * w
+
+
+def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
+            wqkv_ref, sqkv_ref, wo_ref, so_ref, wg_ref, sg_ref,
+            wu_ref, su_ref, wd_ref, sd_ref, kin_ref, vin_ref,
+            hout_ref, kout_ref, vout_ref,
+            x_s, hn2_s, acc_s, *,
+            n_heads, n_kv_heads, hd, eps, hb, l_total, compute_dtype):
+    lyr = pl.program_id(0)
+    ph = pl.program_id(1)
+    n_ph = pl.num_programs(1)
+    pos = pos_ref[0]
+    cd = compute_dtype
+
+    @pl.when((lyr == 0) & (ph == 0))
+    def _init():
+        x_s[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(ph == 0)
+    def _attn():
+        x = x_s[...]                                        # (ROWS, D) f32
+        hn = _rms(x, ln1_ref[0].astype(jnp.float32), eps)
+        qkv = jax.lax.dot_general(
+            hn.astype(cd), wqkv_ref[0].astype(cd),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (ROWS, QO)
+        qkv = qkv * sqkv_ref[0][None, :]
+
+        cos = cos_ref[0].astype(jnp.float32)                # (hd,)
+        sin = sin_ref[0].astype(jnp.float32)
+        half = hd // 2
+
+        def rot(vec):                                       # (rows, hd) f32
+            r = jnp.concatenate([-vec[:, half:], vec[:, :half]], axis=1)
+            return vec * cos[None, :] + r * sin[None, :]
+
+        group = n_heads // n_kv_heads
+        scale = hd ** -0.5
+        k_off = n_heads * hd
+        v_off = (n_heads + n_kv_heads) * hd
+
+        # cache write (row 0 only), then attention per kv head
+        kout_ref[...] = kin_ref[...]
+        vout_ref[...] = vin_ref[...]
+        outs = []
+        for g in range(n_kv_heads):
+            kg_new = rot(qkv[0:1, k_off + g * hd:k_off + (g + 1) * hd])
+            vg_new = qkv[0:1, v_off + g * hd:v_off + (g + 1) * hd]
+            kbuf = jax.lax.dynamic_update_slice(
+                kin_ref[0, g].astype(jnp.float32), kg_new, (pos, 0))
+            vbuf = jax.lax.dynamic_update_slice(
+                vin_ref[0, g].astype(jnp.float32), vg_new, (pos, 0))
+            kout_ref[0, g] = kbuf.astype(kout_ref.dtype)
+            vout_ref[0, g] = vbuf.astype(vout_ref.dtype)
+            qg = jnp.concatenate(
+                [rot(qkv[0:1, h * hd:(h + 1) * hd])
+                 for h in range(g * group, (g + 1) * group)], axis=0)
+            scores = jax.lax.dot_general(
+                qg * scale, kbuf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (group, S_pad)
+            spos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(spos <= pos, scores, -1e30)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            og = jax.lax.dot_general(
+                p.astype(cd), vbuf.astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (group, hd)
+            outs.extend(og[j:j + 1] for j in range(group))
+        attn_row = jnp.concatenate(outs, axis=1)            # (1, H*hd)
+        o = jax.lax.dot_general(
+            attn_row.astype(cd), wo_ref[0].astype(cd),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (1, D)
+        o = o * so_ref[0][None, :]
+        x = jax.lax.dynamic_update_slice(x, x[0:1] + o, (0, 0))
+        x_s[...] = x
+        hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ph > 0)
+    def _mlp():
+        hn2 = hn2_s[...].astype(cd)                         # (ROWS, D)
+        g = jax.lax.dot_general(
+            hn2, wg_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sg_ref[0][None, :]
+        u = jax.lax.dot_general(
+            hn2, wu_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * su_ref[0][None, :]
+        act = (g * jax.lax.logistic(g)) * u                 # silu(g) * u
+        acc_s[...] += jax.lax.dot_general(
+            act.astype(cd), wd_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (ROWS, D)
+
+        @pl.when(ph == n_ph - 1)
+        def _layer_end():
+            x = x_s[...] + acc_s[...] * sd_ref[0][None, :]
+            x_s[...] = x
+
+            @pl.when(lyr == l_total - 1)
+            def _emit():
+                hout_ref[...] = _rms(
+                    x, normw_ref[0].astype(jnp.float32), eps)
+
+
+try:  # import at module scope for the kernel body above
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover - pallas always ships with jax here
+    pl = None
+    pltpu = None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "n_kv_heads", "hd", "eps",
+                              "hidden_block", "interpret"))
+def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
+                      n_heads: int, n_kv_heads: int, hd: int,
+                      eps: float = 1e-5, hidden_block: int = 512,
+                      interpret: bool = False):
+    """One token through the whole stacked layer set, one kernel launch.
+
+    x (1, D) float; pos () int32 cache position (rope position == cache
+    position; callers with offsets fold them into cos/sin); cos/sin (1, hd)
+    f32 for this position (half-split duplicated layout, see
+    nn/rope.apply_rope); stack: prepare_stack() output; k/v_cache
+    (L, KVH, S_pad, hd) in x.dtype. Returns (h (1, D) f32 after the final
+    stack norm, new k_cache, new v_cache).
+    """
+    l_total, qo, d = stack["wqkv"].shape[:3]
+    hidden = stack["wgateup"].shape[1] // 2  # gate rows then up rows
+    hb = hidden_block
+    n_hb = hidden // hb
+    cd = x.dtype
+
+    xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
+    s_pad = k_cache.shape[2]
+
+    grid = (l_total, 1 + n_hb)
+    kernel = functools.partial(
+        _kernel, n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd, eps=eps,
+        hb=hb, l_total=l_total, compute_dtype=cd)
+
+    gateup = stack["wgateup"]
+    up_row0 = hidden // hb  # up rows start at block index n_hb
+
+    def attn_blk(shape):
+        return pl.BlockSpec(shape, lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
+            pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # cos
+            pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # sin
+            attn_blk((1, d)),                                     # ln1
+            attn_blk((1, d)),                                     # ln2
+            pl.BlockSpec((1, d), lambda l, p, s: (0, 0)),         # norm
+            attn_blk((1, qo, d)),                                 # wqkv
+            attn_blk((1, qo)),                                    # sqkv
+            attn_blk((1, d, n_heads * hd)),                       # wo
+            attn_blk((1, d)),                                     # so
+            pl.BlockSpec(                                         # gate view
+                (1, hb, d),
+                lambda l, p, s: (l, jnp.maximum(p - 1, 0), 0)),
+            pl.BlockSpec((1, hb),
+                         lambda l, p, s: (l, jnp.maximum(p - 1, 0))),
+            pl.BlockSpec(                                         # up view
+                (1, hb, d),
+                lambda l, p, s: (l, up_row0 + jnp.maximum(p - 1, 0), 0)),
+            pl.BlockSpec((1, hb),
+                         lambda l, p, s: (l, up_row0 + jnp.maximum(p - 1, 0))),
+            pl.BlockSpec(                                         # down
+                (1, d, hb),
+                lambda l, p, s: (l, 0, jnp.maximum(p - 1, 0))),
+            attn_blk((1, d)),                                     # sdown
+            attn_blk((1, n_kv_heads, s_pad, hd)),                 # k cache
+            attn_blk((1, n_kv_heads, s_pad, hd)),                 # v cache
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),
+            attn_blk((1, n_kv_heads, s_pad, hd)),
+            attn_blk((1, n_kv_heads, s_pad, hd)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, d), jnp.float32),   # residual stream
+            pltpu.VMEM((ROWS, d), jnp.float32),   # post-attn norm
+            pltpu.VMEM((ROWS, d), jnp.float32),   # mlp accumulator
+        ],
+    )
+    h, kc, vc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ROWS, d), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1),
+      xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
+      stack["wqkv"], stack["sqkv"], stack["wo"], stack["so"],
+      gateup, stack["sgate"], gateup, stack["sup"],
+      stack["wdown"], stack["sdown"], k_cache, v_cache)
+    return h[0:1], kc, vc
+
+
+def prepare_stack(params: dict, cfg) -> dict:
+    """Stacked layer params (nn/transformer init_params layout, fp fused or
+    int8 fused leaves) → the flat array dict the kernel streams.
+
+    fp leaves keep their dtype and get unit scales; int8 leaves pass codes +
+    per-channel scales. gate/up ride as ONE (L, 2*hidden, D) array consumed
+    through two BlockSpec views (gate rows first — ops/quant.fuse_int8_tree
+    and nn/transformer.fuse_fp_tree both concat gate before up)."""
+    lp = params["layers"]
+    attn, mlp = lp["attn"], lp["mlp"]
+    if "qkv" not in attn or "gateup" not in mlp:
+        raise ValueError("fused qkv/gateup leaves required "
+                         "(fuse_fp_tree / fuse_int8_tree)")
+
+    def wsc(leaf):
+        if "weight_i8" in leaf:
+            w = leaf["weight_i8"]
+            s = leaf["scale_i8"].reshape(w.shape[:-1]).astype(jnp.float32)
+            return w, s
+        w = leaf["weight"]
+        if "bias" in leaf:
+            raise ValueError("biases unsupported in the fused step kernel")
+        return w, jnp.ones(w.shape[:-1], jnp.float32)
+
+    wqkv, sqkv = wsc(attn["qkv"])
+    wo, so = wsc(attn["o"])
+    wgu, sgu = wsc(mlp["gateup"])
+    wd, sd = wsc(mlp["down"])
+    hidden = wgu.shape[1] // 2
+    d = wqkv.shape[-1]
+    return {
+        "wqkv": wqkv, "sqkv": sqkv,
+        "wo": wo, "so": so,
+        "wgateup": wgu, "sgate": sgu[:, :hidden], "sup": sgu[:, hidden:],
+        "wdown": wd, "sdown": sd,
+        "ln1": lp["ln1"]["weight"].astype(jnp.float32),
+        "ln2": lp["ln2"]["weight"].astype(jnp.float32),
+        "norm": params["norm"]["weight"].astype(jnp.float32).reshape(1, d),
+    }
+
+
+def make_cos_sin(pos, inv_freq, hd: int):
+    """Half-split duplicated cos/sin row for `pos` (matches rope.apply_rope:
+    ang = pos*inv_freq, concat([ang, ang]))."""
+    ang = jnp.asarray(pos, jnp.float32) * jnp.asarray(inv_freq, jnp.float32)
+    ang = jnp.concatenate([ang, ang]).reshape(1, hd)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def supported(cfg, params: dict, batch: int) -> bool:
+    """Kernel applicability for a TransformerConfig + stacked params."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    lp = params.get("layers", {})
+    if "qkv" not in lp.get("attn", {}) or "gateup" not in lp.get("mlp", {}):
+        return False
+    if "bias" in lp["attn"]["qkv"] or "bias" in lp["attn"].get("o", {}):
+        return False
+    return (batch == 1 and cfg.norm == "rms" and cfg.mlp == "swiglu"
+            and not cfg.qk_norm and cfg.pos_emb == "rope"
+            and cfg.hd in (64, 128) and cfg.dim % 128 == 0
+            and cfg.hidden_dim % 512 == 0)
