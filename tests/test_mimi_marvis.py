@@ -270,3 +270,63 @@ class TestFusedDepthPath:
         # rounding gap than fp, still near-total greedy agreement expected
         agree = (frames[True] == frames[False]).sum()
         assert agree >= k - 2, (agree, frames)
+
+    def test_fused_backbone_frames_match_plain(self, monkeypatch):
+        """frame_step_fused_bb (backbone + depth both through the kernel,
+        left-pad masking via the start scalar, cache in kernel layout) must
+        reproduce the plain path's greedy frames across a multi-frame
+        rollout after a left-padded prefill."""
+        import functools
+
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+
+        cfg = self._cfg()
+        params = mmodel.init_params(jax.random.PRNGKey(11), cfg)
+        params = MarvisEngine._fuse(params)
+        k = cfg.n_codebooks
+        n, pad = 5, 8  # left-padded prompt: 3 pad slots
+        tokens = np.zeros((1, pad, k + 1), np.int32)
+        mask = np.zeros((1, pad, k + 1), bool)
+        tokens[0, pad - n:, -1] = np.arange(10, 10 + n)
+        mask[0, pad - n:, -1] = True
+        s_max = 24
+        slot = jnp.arange(s_max)
+        extra = jnp.where(slot >= pad - n, 0.0, -1e30)[None, None, None, :]
+
+        cache = transformer.make_cache(cfg.backbone, 1, s_max,
+                                       dtype=jnp.float32)
+        frame, cache = mmodel.frame_step(
+            params, cfg, jnp.asarray(tokens), jnp.asarray(mask), cache,
+            jax.random.PRNGKey(0), max_codebooks=k, temperature=0.0,
+            top_k=0, extra_mask=extra, depth_fused=False)
+
+        kc, vc, pos = mmodel.cache_to_fused(cache)
+        start = jnp.int32(pad - n)
+        f_plain = f_fused = frame
+        agree, total = 0, 0
+        for i in range(3):
+            tok = jnp.concatenate(
+                [f_plain, jnp.zeros((1, 1), jnp.int32)], axis=-1)[:, None]
+            msk = jnp.concatenate(
+                [jnp.ones((1, 1, k), jnp.bool_),
+                 jnp.zeros((1, 1, 1), jnp.bool_)], axis=-1)
+            f_plain, cache = mmodel.frame_step(
+                params, cfg, tok, msk, cache, jax.random.PRNGKey(i + 1),
+                max_codebooks=k, temperature=0.0, top_k=0, extra_mask=extra,
+                depth_fused=False)
+            tok_f = jnp.concatenate(
+                [f_fused, jnp.zeros((1, 1), jnp.int32)], axis=-1)[:, None]
+            f_fused, kc, vc = mmodel.frame_step_fused_bb(
+                params, cfg, tok_f, msk, kc, vc, pos, start,
+                jax.random.PRNGKey(i + 1), max_codebooks=k,
+                temperature=0.0, top_k=0)
+            pos = pos + 1
+            agree += int((np.asarray(f_plain) == np.asarray(f_fused)).sum())
+            total += k
+        # greedy tokens from float-rounding-close logits; allow rare
+        # near-tie flips (divergence compounds across frames if real)
+        assert agree >= total - 2, (agree, total)

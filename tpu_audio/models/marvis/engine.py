@@ -64,6 +64,9 @@ class MarvisEngine(TTSEngineBase):
         # codebook instead of ~90 XLA ops) — resolved at load;
         # TPU_AUDIO_FUSED_DEPTH=0 disables for ablation
         self._depth_fused = False
+        # and the backbone single-token frame step through the same kernel
+        # (16 layers -> 1 launch; cache kept in the kernel's layout)
+        self._bb_fused = False
         # frames generated per device dispatch (also the streaming decode
         # chunk): one host sync per span, EOS checked between spans.
         # Larger spans amortize the host round-trip (throughput) at the
@@ -86,17 +89,51 @@ class MarvisEngine(TTSEngineBase):
         self.params = self._quantize(self.params, self.quantization)
         self.params = self._fuse(self.params)
         self._tune_cfg()
-        self._depth_fused = self._fused_supported(self.cfg, self.params)
+        self._depth_fused, self._bb_fused = self._fused_supported(
+            self.cfg, self.params, self.kv_quantized)
         self.is_loaded = True
 
     @staticmethod
-    def _fused_supported(cfg, params) -> bool:
+    def _fused_supported(cfg, params, kv_quantized=False):
         import os as _os
 
         from tpu_audio.ops.pallas import fused_step
 
-        return (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
-                and fused_step.supported(cfg.decoder, params["decoder"], 1))
+        depth = (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
+                 and fused_step.supported(cfg.decoder, params["decoder"], 1)
+                 and MarvisEngine._fused_probe(cfg.decoder,
+                                               params["decoder"]))
+        bb = (depth and not kv_quantized
+              and _os.environ.get("TPU_AUDIO_FUSED_BB", "1") != "0"
+              and fused_step.supported(cfg.backbone, params["backbone"], 1)
+              and MarvisEngine._fused_probe(cfg.backbone,
+                                            params["backbone"]))
+        return depth, bb
+
+    @staticmethod
+    def _fused_probe(tcfg, tparams) -> bool:
+        """Compile-and-run the fused kernel once at real layer shapes
+        before committing the generation graphs to it: the kernel is
+        Mosaic-compiled per backend, and a lowering failure inside the
+        jitted span would otherwise surface mid-generation with no
+        fallback."""
+        from tpu_audio.ops.pallas import fused_step
+
+        try:
+            stack = fused_step.prepare_stack(tparams, tcfg)
+            kc = jnp.zeros((tcfg.n_layers, tcfg.kv_heads, 8, tcfg.hd),
+                           jnp.float32)
+            cos = jnp.ones((1, tcfg.hd), jnp.float32)
+            h, _, _ = fused_step.fused_decode_step(
+                jnp.zeros((1, tcfg.dim), jnp.float32), 0, cos, cos * 0,
+                stack, kc, kc, n_heads=tcfg.n_heads,
+                n_kv_heads=tcfg.kv_heads, hd=tcfg.hd, eps=tcfg.norm_eps)
+            return bool(np.isfinite(np.asarray(h)).all())
+        except Exception as exc:
+            from tpu_audio.ops.quant import _warn_kernel_fallback
+
+            _warn_kernel_fallback(exc)
+            return False
 
     @staticmethod
     def _quantize(params, quantization):
@@ -153,7 +190,8 @@ class MarvisEngine(TTSEngineBase):
         eng.mimi_cfg = mimi_cfg
         eng.tokenizer = tokenizer or load_tokenizer(None)
         eng.max_frames = max_frames
-        eng._depth_fused = cls._fused_supported(eng.cfg, eng.params)
+        eng._depth_fused, eng._bb_fused = cls._fused_supported(
+            eng.cfg, eng.params, eng.kv_quantized)
         eng.is_loaded = True
         return eng
 
@@ -183,7 +221,7 @@ class MarvisEngine(TTSEngineBase):
                                 bb_cache=cache, key=key, extra_mask=extra)
             return frame, cache, extra
 
-        def one_frame(params, frame, cache, extra, key):
+        def frame_tokens(frame):
             tokens = jnp.concatenate(
                 [frame, jnp.zeros((1, 1), jnp.int32)], axis=-1)[:, None, :]
             mask = jnp.concatenate(
@@ -199,21 +237,50 @@ class MarvisEngine(TTSEngineBase):
                 mask = jnp.concatenate(
                     [mask[..., :-1], jnp.zeros((1, 1, pad_cols), jnp.bool_),
                      mask[..., -1:]], axis=-1)
+            return tokens, mask
+
+        def one_frame(params, frame, cache, extra, key):
+            tokens, mask = frame_tokens(frame)
             return step(params, tokens=tokens, mask=mask, bb_cache=cache,
                         key=key, extra_mask=extra)
 
-        @jax.jit
-        def span_fn(params, frame, cache, extra, key):
-            """SPAN frames per dispatch via lax.scan — one host sync per
-            span instead of per frame (the per-frame sync over the axon
-            tunnel dominated generation: 50 round-trips for 4 s of audio)."""
-            def body(carry, k_):
-                f, c = carry
-                f2, c = one_frame(params, f, c, extra, k_)
-                return (f2, c), f2
-            keys = jax.random.split(key, self.frame_span)
-            (last, cache2), frames = jax.lax.scan(body, (frame, cache), keys)
-            return frames, last, cache2
+        if self._bb_fused:
+            @jax.jit
+            def span_fn(params, frame, state, extra, key):
+                """Fully-fused span: backbone + depth both through the
+                whole-stack kernel; the backbone cache rides the kernel's
+                (L, KVH, S_pad, hd) layout across frames (state from
+                cache_to_fused), left-pad masking via the start scalar."""
+                kc, vc, pos, start = state
+
+                def body(carry, k_):
+                    f, kc, vc, pos = carry
+                    tokens, mask = frame_tokens(f)
+                    f2, kc, vc = mmodel.frame_step_fused_bb(
+                        params, cfg, tokens, mask, kc, vc, pos, start, k_,
+                        max_codebooks=k, temperature=self.temperature,
+                        top_k=self.top_k)
+                    return (f2, kc, vc, pos + 1), f2
+
+                keys = jax.random.split(key, self.frame_span)
+                (last, kc, vc, pos), frames = jax.lax.scan(
+                    body, (frame, kc, vc, pos), keys)
+                return frames, last, (kc, vc, pos, start)
+        else:
+            @jax.jit
+            def span_fn(params, frame, state, extra, key):
+                """SPAN frames per dispatch via lax.scan — one host sync
+                per span instead of per frame (the per-frame sync over the
+                axon tunnel dominated generation: 50 round-trips for 4 s
+                of audio)."""
+                def body(carry, k_):
+                    f, c = carry
+                    f2, c = one_frame(params, f, c, extra, k_)
+                    return (f2, c), f2
+                keys = jax.random.split(key, self.frame_span)
+                (last, cache2), frames = jax.lax.scan(body, (frame, state),
+                                                      keys)
+                return frames, last, cache2
 
         self._frame_fns[key_] = (prefill, span_fn)
         return self._frame_fns[key_]
@@ -284,6 +351,11 @@ class MarvisEngine(TTSEngineBase):
             frame, cache, extra = prefill(self.params, jnp.asarray(tok_pad),
                                           jnp.asarray(mask_pad),
                                           jnp.int32(pad - n), sub)
+            if self._bb_fused:
+                kc, vc, pos = mmodel.cache_to_fused(cache)
+                state = (kc, vc, pos, jnp.int32(pad - n))
+            else:
+                state = cache
             frames = []
             pending = []
             streamed = granularity == StreamingGranularity.FRAME
@@ -303,7 +375,7 @@ class MarvisEngine(TTSEngineBase):
                 # consuming the frames already on the host
                 if not done and len(frames) + len(span_host) < self.max_frames:
                     key, sub = jax.random.split(key)
-                    nxt, frame, cache = span_fn(self.params, frame, cache,
+                    nxt, frame, state = span_fn(self.params, frame, state,
                                                 extra, sub)
                 else:
                     nxt = None

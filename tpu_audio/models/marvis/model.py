@@ -81,6 +81,115 @@ def embed_frame_tokens(params, cfg: MarvisConfig, tokens: jax.Array,
     return jnp.sum(embeds * mask[..., None].astype(embeds.dtype), axis=-2)
 
 
+def _depth_fused_decode(params, cfg: MarvisConfig, last_h, c0, c0_embed,
+                        keys, sample, max_codebooks: int):
+    """Depth decode via the whole-stack fused kernel: one Pallas launch per
+    codebook (ops/pallas/fused_step.py) instead of ~90 XLA ops."""
+    import numpy as _np
+
+    from tpu_audio.ops.pallas import fused_step as fs
+
+    dcfg = cfg.decoder
+    s_pad = -(-(cfg.n_codebooks + 1) // 8) * 8
+    kc = jnp.zeros((dcfg.n_layers, dcfg.kv_heads, s_pad, dcfg.hd),
+                   last_h.dtype)
+    vc = jnp.zeros_like(kc)
+    # cos/sin table for the static depth positions (numpy constant)
+    ang = (_np.arange(s_pad)[:, None]
+           * _np.asarray(dcfg.inv_freq())[None, :])
+    ang = _np.concatenate([ang, ang], -1).astype(_np.float32)
+    cos_t, sin_t = jnp.asarray(_np.cos(ang)), jnp.asarray(_np.sin(ang))
+    stack = fs.prepare_stack(params["decoder"], dcfg)
+
+    def dstep(x, pos, kc, vc):
+        cos = jax.lax.dynamic_slice_in_dim(cos_t, pos, 1)
+        sin = jax.lax.dynamic_slice_in_dim(sin_t, pos, 1)
+        return fs.fused_decode_step(
+            x, pos, cos, sin, stack, kc, vc, n_heads=dcfg.n_heads,
+            n_kv_heads=dcfg.kv_heads, hd=dcfg.hd, eps=dcfg.norm_eps)
+
+    x0 = layers.linear(params["projection"], last_h)
+    _, kc, vc = dstep(x0, 0, kc, vc)
+    x1 = layers.linear(params["projection"], c0_embed[:, 0])
+    dh1, kc, vc = dstep(x1, 1, kc, vc)
+    c1 = sample(keys[1], dh1 @ params["audio_head"][0].astype(dh1.dtype))
+    if max_codebooks == 2:
+        return jnp.stack([c0, c1], axis=1)
+
+    def fbody(carry, xs):
+        ci_prev, kc, vc = carry
+        w, k_, i = xs
+        emb = layers.embedding(
+            params["audio_embeddings"],
+            (ci_prev + (i - 1) * cfg.audio_vocab_size)[:, None])
+        x = layers.linear(params["projection"], emb[:, 0])
+        dh, kc, vc = dstep(x, i, kc, vc)
+        ci = sample(k_, dh @ w.astype(dh.dtype))
+        return (ci, kc, vc), ci
+
+    xs = (params["audio_head"][1:max_codebooks - 1], keys[2:],
+          jnp.arange(2, max_codebooks))
+    (_, _, _), rest = jax.lax.scan(fbody, (c1, kc, vc), xs)
+    rest = jnp.moveaxis(rest, 0, 1)
+    return jnp.concatenate([c0[:, None], c1[:, None], rest], axis=1)
+
+
+def _sampler(temperature: float, top_k: int):
+    def sample(k_, logits):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lg = sampling.apply_top_k(logits.astype(jnp.float32) / temperature,
+                                  top_k)
+        return jax.random.categorical(k_, lg, axis=-1).astype(jnp.int32)
+    return sample
+
+
+def cache_to_fused(bb_cache: KVCache):
+    """KVCache (L, B=1, S, KVH, hd) → the fused kernel's (L, KVH, S, hd)
+    layout + position scalar (one transpose per sentence, after prefill)."""
+    kc = jnp.moveaxis(bb_cache.k[:, 0], 2, 1)
+    vc = jnp.moveaxis(bb_cache.v[:, 0], 2, 1)
+    return kc, vc, bb_cache.pos
+
+
+def frame_step_fused_bb(params, cfg: MarvisConfig, tokens: jax.Array,
+                        mask: jax.Array, kc, vc, pos, start, key, *,
+                        max_codebooks: int, temperature: float = 0.9,
+                        top_k: int = 50):
+    """Fully-fused generation frame: the 16-layer backbone single-token
+    step AND every depth-decoder step run as whole-stack Pallas launches
+    (~33 launches + sampling glue per frame, vs ~1400 XLA ops).
+
+    tokens/mask (1, 1, K+1) — the previous frame; kc/vc: backbone cache in
+    the kernel's (L, KVH, S_pad, hd) layout (cache_to_fused after the
+    prefill forward); pos: cache position; start: first valid prompt slot
+    (replaces frame_step's additive left-pad extra_mask).
+    Returns (frame (1, max_codebooks), kc, vc)."""
+    from tpu_audio.ops.pallas import fused_step as fs
+
+    bcfg = cfg.backbone
+    h = embed_frame_tokens(params, cfg, tokens, mask)[:, 0]     # (1, D)
+    ang = (pos.astype(jnp.float32)
+           * jnp.asarray(bcfg.inv_freq(), jnp.float32))
+    ang = jnp.concatenate([ang, ang]).reshape(1, bcfg.hd)
+    stack_bb = fs.prepare_stack(params["backbone"], bcfg)
+    last_h, kc, vc = fs.fused_decode_step(
+        h, pos, jnp.cos(ang), jnp.sin(ang), stack_bb, kc, vc, start=start,
+        n_heads=bcfg.n_heads, n_kv_heads=bcfg.kv_heads, hd=bcfg.hd,
+        eps=bcfg.norm_eps)
+    last_h = last_h.astype(h.dtype)
+
+    sample = _sampler(temperature, top_k)
+    keys = jax.random.split(key, max_codebooks)
+    c0 = sample(keys[0], layers.linear(params["codebook0_head"], last_h))
+    if max_codebooks == 1:
+        return c0[:, None], kc, vc
+    c0_embed = layers.embedding(params["audio_embeddings"], c0[:, None])
+    frame = _depth_fused_decode(params, cfg, last_h, c0, c0_embed,
+                                keys, sample, max_codebooks)
+    return frame, kc, vc
+
+
 def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
                bb_cache: KVCache, key, *, max_codebooks: int,
                temperature: float = 0.9, top_k: int = 50,
@@ -100,13 +209,7 @@ def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
     last_h = h[:, -1]  # (B, D)
     b = last_h.shape[0]
 
-    def sample(k_, logits):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        lg = sampling.apply_top_k(logits.astype(jnp.float32) / temperature,
-                                  top_k)
-        return jax.random.categorical(k_, lg, axis=-1).astype(jnp.int32)
-
+    sample = _sampler(temperature, top_k)
     keys = jax.random.split(key, max_codebooks)
     c0 = sample(keys[0], layers.linear(params["codebook0_head"], last_h))
     c0_embed = layers.embedding(params["audio_embeddings"], c0[:, None])
@@ -115,54 +218,9 @@ def frame_step(params, cfg: MarvisConfig, tokens: jax.Array, mask: jax.Array,
         return c0[:, None], bb_cache
 
     if depth_fused:
-        import numpy as _np
-
-        from tpu_audio.ops.pallas import fused_step as fs
-
-        dcfg = cfg.decoder
-        s_pad = -(-(cfg.n_codebooks + 1) // 8) * 8
-        kc = jnp.zeros((dcfg.n_layers, dcfg.kv_heads, s_pad, dcfg.hd),
-                       last_h.dtype)
-        vc = jnp.zeros_like(kc)
-        # cos/sin table for the static depth positions (numpy constant)
-        ang = (_np.arange(s_pad)[:, None]
-               * _np.asarray(dcfg.inv_freq())[None, :])
-        ang = _np.concatenate([ang, ang], -1).astype(_np.float32)
-        cos_t, sin_t = jnp.asarray(_np.cos(ang)), jnp.asarray(_np.sin(ang))
-        stack = fs.prepare_stack(params["decoder"], dcfg)
-
-        def dstep(x, pos, kc, vc):
-            cos = jax.lax.dynamic_slice_in_dim(cos_t, pos, 1)
-            sin = jax.lax.dynamic_slice_in_dim(sin_t, pos, 1)
-            return fs.fused_decode_step(
-                x, pos, cos, sin, stack, kc, vc, n_heads=dcfg.n_heads,
-                n_kv_heads=dcfg.kv_heads, hd=dcfg.hd, eps=dcfg.norm_eps)
-
-        x0 = layers.linear(params["projection"], last_h)
-        _, kc, vc = dstep(x0, 0, kc, vc)
-        x1 = layers.linear(params["projection"], c0_embed[:, 0])
-        dh1, kc, vc = dstep(x1, 1, kc, vc)
-        c1 = sample(keys[1], dh1 @ params["audio_head"][0].astype(dh1.dtype))
-        if max_codebooks == 2:
-            return jnp.stack([c0, c1], axis=1), bb_cache
-
-        def fbody(carry, xs):
-            ci_prev, kc, vc = carry
-            w, k_, i = xs
-            emb = layers.embedding(
-                params["audio_embeddings"],
-                (ci_prev + (i - 1) * cfg.audio_vocab_size)[:, None])
-            x = layers.linear(params["projection"], emb[:, 0])
-            dh, kc, vc = dstep(x, i, kc, vc)
-            ci = sample(k_, dh @ w.astype(dh.dtype))
-            return (ci, kc, vc), ci
-
-        xs = (params["audio_head"][1:max_codebooks - 1], keys[2:],
-              jnp.arange(2, max_codebooks))
-        (_, _, _), rest = jax.lax.scan(fbody, (c1, kc, vc), xs)
-        rest = jnp.moveaxis(rest, 0, 1)
-        return jnp.concatenate([c0[:, None], c1[:, None], rest], axis=1), \
-            bb_cache
+        frame = _depth_fused_decode(params, cfg, last_h, c0, c0_embed,
+                                    keys, sample, max_codebooks)
+        return frame, bb_cache
 
     # depth decoder: fresh cache, sequence [h, c0_emb, c1_emb, ...].
     # The per-codebook loop runs as ONE lax.scan over the stacked audio

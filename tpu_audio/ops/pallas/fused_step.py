@@ -53,6 +53,7 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
     ph = pl.program_id(1)
     n_ph = pl.num_programs(1)
     pos = pos_ref[0]
+    start = pos_ref[1]  # first valid key slot (left-padded prompts)
     cd = compute_dtype
 
     @pl.when((lyr == 0) & (ph == 0))
@@ -102,7 +103,8 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
                 qg * scale, kbuf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (group, S_pad)
             spos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(spos <= pos, scores, -1e30)
+            scores = jnp.where((spos >= start) & (spos <= pos),
+                               scores, -1e30)
             m = jnp.max(scores, axis=1, keepdims=True)
             e = jnp.exp(scores - m)
             p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -158,6 +160,7 @@ except Exception:  # pragma: no cover - pallas always ships with jax here
     jax.jit, static_argnames=("n_heads", "n_kv_heads", "hd", "eps",
                               "hidden_block", "interpret"))
 def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
+                      start=0,
                       n_heads: int, n_kv_heads: int, hd: int,
                       eps: float = 1e-5, hidden_block: int = 512,
                       interpret: bool = False):
@@ -167,12 +170,15 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     position; callers with offsets fold them into cos/sin); cos/sin (1, hd)
     f32 for this position (half-split duplicated layout, see
     nn/rope.apply_rope); stack: prepare_stack() output; k/v_cache
-    (L, KVH, S_pad, hd) in x.dtype. Returns (h (1, D) f32 after the final
-    stack norm, new k_cache, new v_cache).
+    (L, KVH, S_pad, hd) in x.dtype; start () int32 first valid key slot
+    (left-padded prompt masking — slots < start never attend). Returns
+    (h (1, D) f32 after the final stack norm, new k_cache, new v_cache).
     """
     l_total, qo, d = stack["wqkv"].shape[:3]
     hidden = stack["wgateup"].shape[1] // 2  # gate rows then up rows
-    hb = hidden_block
+    hb = min(hidden_block, hidden)
+    if hidden % hb:
+        raise ValueError(f"hidden {hidden} not divisible by block {hb}")
     n_hb = hidden // hb
     cd = x.dtype
 
@@ -241,7 +247,8 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32).reshape(1),
+    )(jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
+                 jnp.asarray(start, jnp.int32).reshape(())]),
       xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
       stack["wqkv"], stack["sqkv"], stack["wo"], stack["so"],
       gateup, stack["sgate"], gateup, stack["sup"],
@@ -313,4 +320,4 @@ def supported(cfg, params: dict, batch: int) -> bool:
     return (batch == 1 and cfg.norm == "rms" and cfg.mlp == "swiglu"
             and not cfg.qk_norm and cfg.pos_emb == "rope"
             and cfg.hd in (64, 128) and cfg.dim % 128 == 0
-            and cfg.hidden_dim % 512 == 0)
+            and cfg.hidden_dim % min(512, cfg.hidden_dim) == 0)
