@@ -66,6 +66,74 @@ class TestCosyLM:
         assert o1 != o2  # random weights: different prompts → different paths
 
 
+class TestCosyLMFusedDecode:
+    """The T=1 decode steps through the whole-stack fused kernel
+    (FusedKVCache path) must reproduce the plain-cache greedy tokens.
+    Kernel-eligible dims (dim 128, hd 64, hidden 512, Qwen2 qkv bias);
+    the TPU gate is forced on and the kernel runs in interpret mode."""
+
+    def test_greedy_generate_matches_plain(self, monkeypatch):
+        import functools
+
+        from tpu_audio.ops import sampling
+        from tpu_audio.ops.pallas import fused_step
+
+        qwen = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512,
+            vocab_size=400, attn_qkv_bias=True, tie_word_embeddings=True)
+        cfg = lm_mod.CosyLMConfig(qwen=qwen, llm_input_size=128,
+                                  speech_token_size=60)
+        params = lm_mod.init_params(jax.random.PRNGKey(2), cfg)
+        greedy = sampling.SamplerConfig(temperature=0.0)
+        kw = dict(sampler=greedy, max_new=12, seed=0)
+
+        plain = lm_mod.CosyLMGenerator(params, cfg, max_cache=128)
+        ref = plain.generate([5, 6, 7], [1, 2], [3, 4], **kw)
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(
+            fused_step, "supported",
+            lambda c, p, b: b == 1 and "qkv" in p["layers"]["attn"])
+        fused = lm_mod.CosyLMGenerator(params, cfg, max_cache=128)
+        got = fused.generate([5, 6, 7], [1, 2], [3, 4], **kw)
+        assert got == ref, (got, ref)
+
+    def test_streamer_fused_matches_plain(self, monkeypatch):
+        import functools
+
+        from tpu_audio.ops import sampling
+        from tpu_audio.ops.pallas import fused_step
+
+        qwen = transformer.TransformerConfig(
+            dim=128, n_layers=1, n_heads=2, n_kv_heads=1, hidden_dim=512,
+            vocab_size=400, attn_qkv_bias=True, tie_word_embeddings=True)
+        cfg = lm_mod.CosyLMConfig(qwen=qwen, llm_input_size=128,
+                                  speech_token_size=60)
+        params = lm_mod.init_params(jax.random.PRNGKey(3), cfg)
+        greedy = sampling.SamplerConfig(temperature=0.0)
+
+        def collect():
+            gen = lm_mod.CosyLMGenerator(params, cfg, max_cache=128)
+            streamer = lm_mod.CosyLMStreamer(gen, chunk=5)
+            out = []
+            for toks in streamer.stream([5, 6, 7], [1, 2], [3, 4],
+                                        sampler=greedy, seed=0, max_new=12):
+                out.extend(toks)
+            return out
+
+        ref = collect()
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(
+            fused_step, "supported",
+            lambda c, p, b: b == 1 and "qkv" in p["layers"]["attn"])
+        got = collect()
+        assert got == ref, (got, ref)
+
+
 class TestEngine:
     def test_zero_shot_e2e(self, lm_params):
         s3_cfg, s3_params = tiny_s3()

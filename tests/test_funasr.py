@@ -120,3 +120,40 @@ def test_adaptor_fused_qkv_matches_unfused():
     # int8 quantization error only — fused vs unfused is the same math
     assert np.corrcoef(np.asarray(got).ravel(),
                        np.asarray(ref).ravel())[0, 1] > 0.999
+
+
+class TestFusedDecode:
+    """FunASR's Qwen3 decode through the whole-stack fused kernel (qk-norm
+    in-kernel): greedy tokens must match the plain-cache path."""
+
+    def test_greedy_matches_plain(self, monkeypatch, rng):
+        import functools
+
+        from tpu_audio.ops.pallas import fused_step
+
+        cfg = fmodel.FunASRConfig(
+            encoder=TINY.encoder,
+            adaptor=fmodel.AdaptorConfig(encoder_dim=32, downsample_rate=2,
+                                         ffn_dim=64, llm_dim=128, n_layer=1,
+                                         attention_heads=4),
+            llm=transformer.TransformerConfig(
+                dim=128, n_layers=2, n_heads=2, n_kv_heads=1,
+                hidden_dim=512, vocab_size=300, qk_norm=True,
+                tie_word_embeddings=True))
+        params = fmodel.init_params(jax.random.PRNGKey(4), cfg)
+        feats = rng.standard_normal((20, 560)).astype(np.float32)
+
+        gen = fmodel.FunASRGenerator(params, cfg, max_cache=256)
+        ref = gen.generate([1, 2, 3], [4, 5], feats, eos_ids=(7,),
+                           max_new=10)
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(
+            fused_step, "supported",
+            lambda c, p, b: b == 1 and "qkv" in p["layers"]["attn"])
+        gen_f = fmodel.FunASRGenerator(params, cfg, max_cache=256)
+        got = gen_f.generate([1, 2, 3], [4, 5], feats, eos_ids=(7,),
+                             max_new=10)
+        assert got == ref, (got, ref)

@@ -597,6 +597,19 @@ class TestFusedDecodeStep:
         got, ref = self._run_pair(rng, cfg, steps=3)
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
+    def test_qwen2_qkv_bias(self, rng):
+        """Qwen2-style stacks: qkv bias applied after the output scale,
+        plus a hidden_dim (608) that needs a non-power-of-two block."""
+        cfg = self._cfg(attn_qkv_bias=True, hidden_dim=608)
+        got, ref = self._run_pair(rng, cfg, steps=4)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_qwen3_qk_norm(self, rng):
+        """Qwen3-style per-head q/k rms-norm before rope."""
+        cfg = self._cfg(qk_norm=True)
+        got, ref = self._run_pair(rng, cfg, steps=4)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
     def test_int8_tracks_dequant_reference(self, rng):
         got, ref = self._run_pair(rng, self._cfg(), quantize=True)
         # int8 weights, exact activations: vs the dequantized-weight fp
@@ -614,3 +627,92 @@ class TestFusedDecodeStep:
             transformer.init_params(jax.random.PRNGKey(0), cfg))
         # CPU backend → off regardless of structure
         assert not fused_step.supported(cfg, params, 1)
+
+
+class TestFusedKVCache:
+    """forward_hidden over ops/kvcache.FusedKVCache: prefill through the
+    XLA layout view, single-token steps through the whole-stack kernel —
+    hidden outputs must match the plain KVCache path with the equivalent
+    additive left-pad mask."""
+
+    def test_prefill_plus_steps_match_plain(self, rng, monkeypatch):
+        import functools
+
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512,
+            attn_qkv_bias=True)  # Qwen2-shaped
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), cfg))
+        s_max, start = 24, 3
+        x_pre = jnp.asarray(rng.standard_normal((1, 8, cfg.dim)) * .5,
+                            jnp.float32)
+        x_pre = x_pre.at[:, :start].set(0.0)
+
+        plain = transformer.make_cache(cfg, 1, s_max, dtype=jnp.float32)
+        slot = jnp.arange(s_max)
+        extra = jnp.where(slot < start, -1e30, 0.0)[None, None, None, :]
+        fused = transformer.make_fused_cache(cfg, s_max, jnp.float32,
+                                             start=start)
+
+        h_p, plain = transformer.forward_hidden(params, cfg, x_pre, plain,
+                                                extra)
+        h_f, fused = transformer.forward_hidden(params, cfg, x_pre, fused)
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_p),
+                                   rtol=2e-4, atol=2e-5)
+        assert int(fused.pos) == 8
+
+        for i in range(4):
+            xt = jnp.asarray(rng.standard_normal((1, 1, cfg.dim)) * .5,
+                             jnp.float32)
+            h_p, plain = transformer.forward_hidden(params, cfg, xt, plain,
+                                                    extra)
+            h_f, fused = transformer.forward_hidden(params, cfg, xt, fused)
+            np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_p),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_pos_offset_matches_plain(self, rng, monkeypatch):
+        """pos_offset (canonical rope positions for left-padded prompts)
+        must shift the kernel's cos/sin exactly like the XLA path."""
+        import functools
+
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=1, n_heads=2, n_kv_heads=2, hidden_dim=512)
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(1), cfg))
+        s_max, start = 16, 2
+        off = jnp.asarray([start], jnp.int32)
+        x_pre = jnp.asarray(rng.standard_normal((1, 6, cfg.dim)) * .5,
+                            jnp.float32).at[:, :start].set(0.0)
+        plain = transformer.make_cache(cfg, 1, s_max, dtype=jnp.float32)
+        slot = jnp.arange(s_max)
+        extra = jnp.where(slot < start, -1e30, 0.0)[None, None, None, :]
+        fused = transformer.make_fused_cache(cfg, s_max, jnp.float32,
+                                             start=start)
+        h_p, plain = transformer.forward_hidden(params, cfg, x_pre, plain,
+                                                extra, pos_offset=off)
+        h_f, fused = transformer.forward_hidden(params, cfg, x_pre, fused,
+                                                pos_offset=off)
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_p),
+                                   rtol=2e-4, atol=2e-5)
+        xt = jnp.asarray(rng.standard_normal((1, 1, cfg.dim)) * .5,
+                         jnp.float32)
+        h_p, _ = transformer.forward_hidden(params, cfg, xt, plain, extra,
+                                            pos_offset=off)
+        h_f, _ = transformer.forward_hidden(params, cfg, xt, fused,
+                                            pos_offset=off)
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_p),
+                                   rtol=5e-4, atol=5e-5)

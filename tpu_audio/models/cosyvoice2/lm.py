@@ -66,7 +66,11 @@ def init_params(key, cfg: CosyLMConfig, dtype=jnp.float32) -> dict:
 
 class CosyLMGenerator:
     def __init__(self, params, cfg: CosyLMConfig, max_cache: int = 4096):
-        self.params = params
+        # fuse fp qkv/gateup leaves (bit-identical; int8 trees arrive
+        # pre-fused from requantize_tree_int8): fewer GEMM dispatches per
+        # step and the shape the fused decode kernel streams
+        self.params = dict(params,
+                           llm=transformer.fuse_fp_tree(params["llm"]))
         self.cfg = cfg
         self.max_cache = max_cache
         self._fns = {}
@@ -78,6 +82,10 @@ class CosyLMGenerator:
             return self._fns[key_]
         cfg = self.cfg
         qcfg = cfg.qwen
+        # whole-stack fused decode kernel for the T=1 steps (TPU-gated):
+        # one Pallas launch per token instead of ~24 layers of small ops;
+        # the left-pad mask rides the cache's `start` bound
+        fused = transformer.fused_decode_supported(qcfg, self.params["llm"])
 
         def run(params, text_tokens, n_text, speech_tokens, n_speech,
                 min_len, key):
@@ -101,9 +109,15 @@ class CosyLMGenerator:
             shift = total - n_real
             x = jnp.roll(x, shift, axis=1)
 
-            cache = transformer.make_cache(qcfg, 1, self.max_cache)
-            slot = jnp.arange(self.max_cache)
-            extra = jnp.where(slot < shift, -1e30, 0.0)[None, None, None, :]
+            if fused:
+                cache = transformer.make_fused_cache(qcfg, self.max_cache,
+                                                     start=shift)
+                extra = None
+            else:
+                cache = transformer.make_cache(qcfg, 1, self.max_cache)
+                slot = jnp.arange(self.max_cache)
+                extra = jnp.where(slot < shift, -1e30,
+                                  0.0)[None, None, None, :]
             hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
                                                        cache, extra)
             first_logits = layers.linear(params["llm_decoder"],
@@ -284,6 +298,8 @@ class CosyLMStreamer:
             return self._prefill_fns[key_]
         cfg = self.gen.cfg
         qcfg = cfg.qwen
+        fused = transformer.fused_decode_supported(qcfg,
+                                                   self.gen.params["llm"])
 
         def run(params, text_tokens, n_text, speech_tokens, n_speech):
             d = cfg.llm_input_size
@@ -301,9 +317,15 @@ class CosyLMStreamer:
                                              (0, 2 + n_text, 0))
             shift = total - (2 + n_text + n_speech)
             x = jnp.roll(x, shift, axis=1)
-            cache = transformer.make_cache(qcfg, 1, self.gen.max_cache)
-            slot = jnp.arange(self.gen.max_cache)
-            extra = jnp.where(slot < shift, -1e30, 0.0)[None, None, None, :]
+            if fused:
+                cache = transformer.make_fused_cache(
+                    qcfg, self.gen.max_cache, start=shift)
+                extra = None
+            else:
+                cache = transformer.make_cache(qcfg, 1, self.gen.max_cache)
+                slot = jnp.arange(self.gen.max_cache)
+                extra = jnp.where(slot < shift, -1e30,
+                                  0.0)[None, None, None, :]
             hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
                                                        cache, extra)
             logits = layers.linear(params["llm_decoder"],

@@ -229,7 +229,11 @@ class FunASRGenerator:
     the roll-packed layout. Yields tokens in chunks for streaming."""
 
     def __init__(self, params, cfg: FunASRConfig, max_cache: int = 4096):
-        self.params = params
+        # fuse fp qkv/gateup leaves of the Qwen3 stack (bit-identical;
+        # int8 trees arrive pre-fused) — the shape the whole-stack fused
+        # decode kernel streams, and fewer dispatches per step either way
+        self.params = dict(params,
+                           llm=transformer.fuse_fp_tree(params["llm"]))
         self.cfg = cfg
         self.max_cache = max_cache
         self._fns = {}
@@ -241,6 +245,9 @@ class FunASRGenerator:
             return self._fns[key_]
         cfg = self.cfg
         lcfg = cfg.llm
+        # whole-stack fused decode kernel for the T=1 steps (TPU-gated;
+        # the kernel handles Qwen3's per-head q/k norms in-kernel)
+        fused = transformer.fused_decode_supported(lcfg, self.params["llm"])
 
         def run(params, pre_ids, post_ids, feats, feat_len, key):
             audio = encode(params["encoder"], cfg.encoder, feats, feat_len)
@@ -261,9 +268,15 @@ class FunASRGenerator:
             shift = total - n_real
             x = jnp.roll(x, shift, axis=1)
 
-            cache = transformer.make_cache(lcfg, 1, self.max_cache)
-            slot = jnp.arange(self.max_cache)
-            extra = jnp.where(slot < shift, -1e30, 0.0)[None, None, None, :]
+            if fused:
+                cache = transformer.make_fused_cache(lcfg, self.max_cache,
+                                                     start=shift)
+                extra = None
+            else:
+                cache = transformer.make_cache(lcfg, 1, self.max_cache)
+                slot = jnp.arange(self.max_cache)
+                extra = jnp.where(slot < shift, -1e30,
+                                  0.0)[None, None, None, :]
             hidden, cache = transformer.forward_hidden(params["llm"], lcfg, x,
                                                        cache, extra)
             first_logits = transformer.logits(

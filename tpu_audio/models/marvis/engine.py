@@ -101,39 +101,14 @@ class MarvisEngine(TTSEngineBase):
 
         depth = (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
                  and fused_step.supported(cfg.decoder, params["decoder"], 1)
-                 and MarvisEngine._fused_probe(cfg.decoder,
-                                               params["decoder"]))
+                 and fused_step.probe_compile(cfg.decoder,
+                                              params["decoder"]))
         bb = (depth and not kv_quantized
               and _os.environ.get("TPU_AUDIO_FUSED_BB", "1") != "0"
               and fused_step.supported(cfg.backbone, params["backbone"], 1)
-              and MarvisEngine._fused_probe(cfg.backbone,
-                                            params["backbone"]))
+              and fused_step.probe_compile(cfg.backbone,
+                                           params["backbone"]))
         return depth, bb
-
-    @staticmethod
-    def _fused_probe(tcfg, tparams) -> bool:
-        """Compile-and-run the fused kernel once at real layer shapes
-        before committing the generation graphs to it: the kernel is
-        Mosaic-compiled per backend, and a lowering failure inside the
-        jitted span would otherwise surface mid-generation with no
-        fallback."""
-        from tpu_audio.ops.pallas import fused_step
-
-        try:
-            stack = fused_step.prepare_stack(tparams, tcfg)
-            kc = jnp.zeros((tcfg.n_layers, tcfg.kv_heads, 8, tcfg.hd),
-                           jnp.float32)
-            cos = jnp.ones((1, tcfg.hd), jnp.float32)
-            h, _, _ = fused_step.fused_decode_step(
-                jnp.zeros((1, tcfg.dim), jnp.float32), 0, cos, cos * 0,
-                stack, kc, kc, n_heads=tcfg.n_heads,
-                n_kv_heads=tcfg.kv_heads, hd=tcfg.hd, eps=tcfg.norm_eps)
-            return bool(np.isfinite(np.asarray(h)).all())
-        except Exception as exc:
-            from tpu_audio.ops.quant import _warn_kernel_fallback
-
-            _warn_kernel_fallback(exc)
-            return False
 
     @staticmethod
     def _quantize(params, quantization):

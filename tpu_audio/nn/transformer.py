@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_audio.nn import attention, layers, rope
-from tpu_audio.ops.kvcache import KVCache, QuantizedKVCache
+from tpu_audio.ops.kvcache import FusedKVCache, KVCache, QuantizedKVCache
 
 
 @dataclass(frozen=True)
@@ -271,6 +271,9 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
     residual adds. Row-parallel biases are unsupported here (they would be
     multiplied by tp) — tp_quant validates that at setup.
     """
+    if isinstance(cache, FusedKVCache):
+        return _forward_fused(params, cfg, x, cache, extra_mask,
+                              axis_name, pos_offset)
     b, t, _ = x.shape
     s_max = cache.max_len
     pos = cache.pos
@@ -357,6 +360,69 @@ def forward_hidden(params: dict, cfg: TransformerConfig, x: jax.Array,
                                       unroll=unroll)
     x = _norm(cfg, params["norm"], x)
     return x, KVCache(k=kbuf, v=vbuf, pos=pos + t)
+
+
+def _forward_fused(params: dict, cfg: TransformerConfig, x: jax.Array,
+                   cache: FusedKVCache, extra_mask, axis_name, pos_offset):
+    """forward_hidden over a FusedKVCache (single stream, kernel layout).
+
+    T == 1 steps run the ENTIRE layer stack as one Pallas launch
+    (ops/pallas/fused_step.py) — the decode hot path for latency-bound
+    small models. Prefill (T > 1, or steps carrying an explicit
+    extra_mask) runs the regular XLA scan through a layout view; the
+    cache's `start` slot bound replaces the additive left-pad mask."""
+    from tpu_audio.ops.pallas import fused_step as fs
+
+    if axis_name is not None:
+        raise ValueError("FusedKVCache does not support shard_map TP")
+    b, t, _ = x.shape
+    if b != 1:
+        raise ValueError("FusedKVCache is single-stream (B=1)")
+
+    if t == 1 and extra_mask is None:
+        rope_pos = cache.pos
+        if pos_offset is not None:
+            rope_pos = jnp.maximum(rope_pos - pos_offset.reshape(()), 0)
+        cos, sin = fs.make_cos_sin(rope_pos, cfg.inv_freq(), cfg.hd)
+        stack = fs.prepare_stack(params, cfg)
+        h, kc, vc = fs.fused_decode_step(
+            x[:, 0], cache.pos, cos, sin, stack, cache.k, cache.v,
+            start=cache.start, n_heads=cfg.n_heads,
+            n_kv_heads=cfg.kv_heads, hd=cfg.hd, eps=cfg.norm_eps)
+        return (h[:, None].astype(x.dtype),
+                FusedKVCache(k=kc, v=vc, pos=cache.pos + 1,
+                             start=cache.start))
+
+    inner = KVCache(k=jnp.moveaxis(cache.k, 1, 2)[:, None],
+                    v=jnp.moveaxis(cache.v, 1, 2)[:, None], pos=cache.pos)
+    if extra_mask is None:
+        slot = jnp.arange(cache.max_len)
+        extra_mask = jnp.where(slot < cache.start, -1e30,
+                               0.0)[None, None, None, :]
+    h, inner = forward_hidden(params, cfg, x, inner, extra_mask,
+                              pos_offset=pos_offset)
+    return h, FusedKVCache(k=jnp.moveaxis(inner.k[:, 0], 2, 1),
+                           v=jnp.moveaxis(inner.v[:, 0], 2, 1),
+                           pos=inner.pos, start=cache.start)
+
+
+def make_fused_cache(cfg: TransformerConfig, max_len: int,
+                     dtype=jnp.bfloat16, start=0) -> FusedKVCache:
+    return FusedKVCache.create(cfg.n_layers, max_len, cfg.kv_heads, cfg.hd,
+                               dtype, start)
+
+
+def fused_decode_supported(cfg: TransformerConfig, params: dict) -> bool:
+    """Whether the whole-stack fused decode kernel can serve this stack
+    single-stream (TPU backend, fused leaves, size/shape constraints, and
+    a memoized compile-and-run probe at the real layer shapes)."""
+    import os
+
+    from tpu_audio.ops.pallas import fused_step as fs
+
+    if os.environ.get("TPU_AUDIO_FUSED_DECODE", "1") == "0":
+        return False
+    return fs.supported(cfg, params, 1) and fs.probe_compile(cfg, params)
 
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,

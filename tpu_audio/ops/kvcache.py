@@ -55,6 +55,35 @@ class KVCache:
         return KVCache(k=self.k, v=self.v, pos=self.pos + t)
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class FusedKVCache:
+    """KV cache in the whole-stack fused decode kernel's layout
+    (ops/pallas/fused_step.py): (L, H_kv, S_max, D) with B=1 implicit.
+    Left-pad prompt masking rides `start` (first valid slot) instead of an
+    additive mask. forward_hidden dispatches on this type: prefill (T>1)
+    runs the XLA scan path through layout transposes; single-token decode
+    steps run as ONE Pallas launch for the entire layer stack."""
+
+    k: jax.Array  # (L, H_kv, S_max, D)
+    v: jax.Array
+    pos: jax.Array  # int32 scalar
+    start: jax.Array  # int32 scalar: first valid key slot
+
+    @staticmethod
+    def create(layers: int, max_len: int, kv_heads: int, head_dim: int,
+               dtype=jnp.bfloat16, start=0) -> "FusedKVCache":
+        shape = (layers, kv_heads, max_len, head_dim)
+        return FusedKVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            pos=jnp.zeros((), jnp.int32),
+            start=jnp.asarray(start, jnp.int32))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
 def write(cache_k: jax.Array, cache_v: jax.Array, pos,
           new_k: jax.Array, new_v: jax.Array):
     """Functional single-layer write: (B, S, H, D) buffers, (B, T, H, D) new."""

@@ -44,11 +44,13 @@ def _rms(x, w, eps):
 
 
 def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
-            wqkv_ref, sqkv_ref, wo_ref, so_ref, wg_ref, sg_ref,
-            wu_ref, su_ref, wd_ref, sd_ref, kin_ref, vin_ref,
+            wqkv_ref, sqkv_ref, bqkv_ref, qknorm_ref, wo_ref, so_ref,
+            wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
+            kin_ref, vin_ref,
             hout_ref, kout_ref, vout_ref,
             x_s, hn2_s, acc_s, *,
-            n_heads, n_kv_heads, hd, eps, hb, l_total, compute_dtype):
+            n_heads, n_kv_heads, hd, eps, hb, l_total, compute_dtype,
+            qkv_bias, qk_norm):
     lyr = pl.program_id(0)
     ph = pl.program_id(1)
     n_ph = pl.num_programs(1)
@@ -69,12 +71,18 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (ROWS, QO)
         qkv = qkv * sqkv_ref[0][None, :]
+        if qkv_bias:
+            qkv = qkv + bqkv_ref[0][None, :]
 
         cos = cos_ref[0].astype(jnp.float32)                # (hd,)
         sin = sin_ref[0].astype(jnp.float32)
         half = hd // 2
 
-        def rot(vec):                                       # (rows, hd) f32
+        def rot(vec, which=0):                              # (rows, hd) f32
+            if qk_norm:  # Qwen3: per-head rms before rope; qknorm (1,2,hd)
+                # holds the layer's q_norm (row 0) / k_norm (row 1) weights
+                vec = _rms(vec, qknorm_ref[0, which].astype(jnp.float32),
+                           eps)
             r = jnp.concatenate([-vec[:, half:], vec[:, :half]], axis=1)
             return vec * cos[None, :] + r * sin[None, :]
 
@@ -88,7 +96,8 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
         vout_ref[...] = vin_ref[...]
         outs = []
         for g in range(n_kv_heads):
-            kg_new = rot(qkv[0:1, k_off + g * hd:k_off + (g + 1) * hd])
+            kg_new = rot(qkv[0:1, k_off + g * hd:k_off + (g + 1) * hd],
+                         which=1)
             vg_new = qkv[0:1, v_off + g * hd:v_off + (g + 1) * hd]
             kbuf = jax.lax.dynamic_update_slice(
                 kin_ref[0, g].astype(jnp.float32), kg_new, (pos, 0))
@@ -177,8 +186,10 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     l_total, qo, d = stack["wqkv"].shape[:3]
     hidden = stack["wgateup"].shape[1] // 2  # gate rows then up rows
     hb = min(hidden_block, hidden)
-    if hidden % hb:
-        raise ValueError(f"hidden {hidden} not divisible by block {hb}")
+    while hidden % hb:  # largest divisor <= hidden_block (128-steps, then 8)
+        hb -= 128 if hb > 128 else 8
+    if hb < 8:
+        raise ValueError(f"no usable hidden block for hidden={hidden}")
     n_hb = hidden // hb
     cd = x.dtype
 
@@ -188,7 +199,14 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     grid = (l_total, 1 + n_hb)
     kernel = functools.partial(
         _kernel, n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd, eps=eps,
-        hb=hb, l_total=l_total, compute_dtype=cd)
+        hb=hb, l_total=l_total, compute_dtype=cd,
+        qkv_bias="bqkv" in stack, qk_norm="qknorm" in stack)
+    bqkv = stack.get("bqkv")
+    if bqkv is None:
+        bqkv = jnp.zeros((l_total, qo), jnp.float32)
+    qknorm = stack.get("qknorm")
+    if qknorm is None:
+        qknorm = jnp.ones((l_total, 2, hd), jnp.float32)
 
     gateup = stack["wgateup"]
     up_row0 = hidden // hb  # up rows start at block index n_hb
@@ -208,6 +226,8 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
             pl.BlockSpec((1, d), lambda l, p, s: (0, 0)),         # norm
             attn_blk((1, qo, d)),                                 # wqkv
             attn_blk((1, qo)),                                    # sqkv
+            attn_blk((1, qo)),                                    # bqkv
+            attn_blk((1, 2, hd)),                                 # qk norms
             attn_blk((1, d, n_heads * hd)),                       # wo
             attn_blk((1, d)),                                     # so
             pl.BlockSpec(                                         # gate view
@@ -250,7 +270,8 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     )(jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
                  jnp.asarray(start, jnp.int32).reshape(())]),
       xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
-      stack["wqkv"], stack["sqkv"], stack["wo"], stack["so"],
+      stack["wqkv"], stack["sqkv"], bqkv, qknorm,
+      stack["wo"], stack["so"],
       gateup, stack["sgate"], gateup, stack["sup"],
       stack["wdown"], stack["sdown"], k_cache, v_cache)
     return h[0:1], kc, vc
@@ -270,23 +291,24 @@ def prepare_stack(params: dict, cfg) -> dict:
         raise ValueError("fused qkv/gateup leaves required "
                          "(fuse_fp_tree / fuse_int8_tree)")
 
-    def wsc(leaf):
+    def wsc(leaf, allow_bias=False):
+        if "bias" in leaf and not allow_bias:
+            raise ValueError("bias only supported on the qkv projection")
         if "weight_i8" in leaf:
             w = leaf["weight_i8"]
             s = leaf["scale_i8"].reshape(w.shape[:-1]).astype(jnp.float32)
-            return w, s
-        w = leaf["weight"]
-        if "bias" in leaf:
-            raise ValueError("biases unsupported in the fused step kernel")
-        return w, jnp.ones(w.shape[:-1], jnp.float32)
+        else:
+            w = leaf["weight"]
+            s = jnp.ones(w.shape[:-1], jnp.float32)
+        return w, s
 
-    wqkv, sqkv = wsc(attn["qkv"])
+    wqkv, sqkv = wsc(attn["qkv"], allow_bias=True)
     wo, so = wsc(attn["o"])
     wgu, sgu = wsc(mlp["gateup"])
     wd, sd = wsc(mlp["down"])
     hidden = wgu.shape[1] // 2
     d = wqkv.shape[-1]
-    return {
+    out = {
         "wqkv": wqkv, "sqkv": sqkv,
         "wo": wo, "so": so,
         "wgateup": wgu, "sgate": sgu[:, :hidden], "sup": sgu[:, hidden:],
@@ -295,6 +317,13 @@ def prepare_stack(params: dict, cfg) -> dict:
         "ln2": lp["ln2"]["weight"].astype(jnp.float32),
         "norm": params["norm"]["weight"].astype(jnp.float32).reshape(1, d),
     }
+    if "bias" in attn["qkv"]:  # Qwen2-style qkv bias
+        out["bqkv"] = attn["qkv"]["bias"].astype(jnp.float32)
+    if "q_norm" in attn:  # Qwen3 per-head q/k rms (shared (hd,) weights)
+        out["qknorm"] = jnp.stack(
+            [attn["q_norm"]["weight"], attn["k_norm"]["weight"]],
+            axis=1).astype(jnp.float32)
+    return out
 
 
 def make_cos_sin(pos, inv_freq, hd: int):
@@ -303,6 +332,40 @@ def make_cos_sin(pos, inv_freq, hd: int):
     ang = jnp.asarray(pos, jnp.float32) * jnp.asarray(inv_freq, jnp.float32)
     ang = jnp.concatenate([ang, ang]).reshape(1, hd)
     return jnp.cos(ang), jnp.sin(ang)
+
+
+_PROBE_MEMO: dict = {}
+
+
+def probe_compile(cfg, params: dict) -> bool:
+    """Compile-and-run the kernel once at this stack's real layer shapes
+    before callers commit their decode graphs to it: Mosaic compiles per
+    backend, and a lowering failure inside a jitted decode loop would
+    otherwise surface mid-generation with no fallback. Memoized per
+    (config, weight shape/dtype) signature."""
+    lp = params["layers"]
+    w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
+    sig = (cfg, w.shape, str(w.dtype))
+    if sig in _PROBE_MEMO:
+        return _PROBE_MEMO[sig]
+    try:
+        stack = prepare_stack(params, cfg)
+        kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, 8, cfg.hd), jnp.float32)
+        cos = jnp.ones((1, cfg.hd), jnp.float32)
+        h, _, _ = fused_decode_step(
+            jnp.zeros((1, cfg.dim), jnp.float32), 0, cos, cos * 0,
+            stack, kc, kc, n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
+            hd=cfg.hd, eps=cfg.norm_eps)
+        import numpy as _np
+
+        ok = bool(_np.isfinite(_np.asarray(h)).all())
+    except Exception as exc:
+        from tpu_audio.ops.quant import _warn_kernel_fallback
+
+        _warn_kernel_fallback(exc)
+        ok = False
+    _PROBE_MEMO[sig] = ok
+    return ok
 
 
 def supported(cfg, params: dict, batch: int) -> bool:
@@ -315,9 +378,20 @@ def supported(cfg, params: dict, batch: int) -> bool:
     lp = params.get("layers", {})
     if "qkv" not in lp.get("attn", {}) or "gateup" not in lp.get("mlp", {}):
         return False
-    if "bias" in lp["attn"]["qkv"] or "bias" in lp["attn"].get("o", {}):
+    if ("bias" in lp["attn"].get("o", {}) or "bias" in lp["mlp"]["gateup"]
+            or "bias" in lp["mlp"]["down"]):
+        return False
+    # per-layer VMEM budget: the attention-phase blocks (qkv + o) are
+    # double-buffered by the pipeline; stay well inside ~16 MB/core
+    w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
+    if w is None:
+        return False
+    item = w.dtype.itemsize
+    qo = w.shape[1]
+    attn_bytes = (qo * cfg.dim + cfg.dim * cfg.n_heads * cfg.hd) * item * 2
+    if attn_bytes > 10 * 2 ** 20:
         return False
     return (batch == 1 and cfg.norm == "rms" and cfg.mlp == "swiglu"
-            and not cfg.qk_norm and cfg.pos_emb == "rope"
+            and cfg.pos_emb == "rope"
             and cfg.hd in (64, 128) and cfg.dim % 128 == 0
-            and cfg.hidden_dim % min(512, cfg.hidden_dim) == 0)
+            and cfg.hidden_dim % 8 == 0)
