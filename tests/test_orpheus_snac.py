@@ -255,3 +255,42 @@ class TestBatchGeneration:
             assert np.isfinite(r.samples).all()
         assert not eng.is_generating
         assert eng.generation_time > 0
+
+
+class TestFusedGenerate:
+    """CausalLMGenerator over the fused whole-stack kernel (FusedKVCache in
+    _fn): greedy tokens must match the plain cache, in both kernel
+    layouts (plain / grouped)."""
+
+    CFG128 = transformer.TransformerConfig(
+        dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512,
+        vocab_size=300, tie_word_embeddings=True)
+
+    def _check(self, monkeypatch, mode):
+        import functools
+
+        from tpu_audio.ops.pallas import fused_step
+
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), self.CFG128))
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(299,),
+                  max_new=10, seed=0)
+        ref = omodel.CausalLMGenerator(params, self.CFG128,
+                                       max_cache=128).generate([3, 5], **kw)
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(fused_step, "choose_mode",
+                            lambda c, p, b=1: mode)
+        got = omodel.CausalLMGenerator(params, self.CFG128,
+                                       max_cache=128).generate([3, 5], **kw)
+        assert got == ref, (mode, got, ref)
+
+    def test_plain_layout(self, monkeypatch):
+        self._check(monkeypatch, "plain")
+
+    def test_grouped_layout(self, monkeypatch):
+        self._check(monkeypatch, "grouped")

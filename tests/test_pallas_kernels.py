@@ -526,7 +526,7 @@ class TestFusedDecodeStep:
         return transformer.TransformerConfig(**base)
 
     def _run_pair(self, rng, cfg, steps=5, quantize=False, s_pad=16,
-                  hidden_block=512):
+                  hidden_block=512, grouped=False):
         from tpu_audio.nn import transformer
         from tpu_audio.ops import quant
         from tpu_audio.ops.pallas import fused_step
@@ -544,7 +544,7 @@ class TestFusedDecodeStep:
                         np.stack([d["weight_i8"] for d in qd])),
                     "scale_i8": jnp.asarray(
                         np.stack([d["scale_i8"] for d in qd]))}
-        stack = fused_step.prepare_stack(fused, cfg)
+        stack = fused_step.prepare_stack(fused, cfg, grouped=grouped)
 
         # reference: the (possibly dequantized) weights through the XLA path
         ref_params = params
@@ -596,6 +596,26 @@ class TestFusedDecodeStep:
         cfg = self._cfg(hidden_dim=512)
         got, ref = self._run_pair(rng, cfg, steps=3)
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_grouped_layout_matches(self, rng):
+        """The large-model grouped layout (per-kv-group attention
+        phases, row-regrouped qkv, column-split wo with accumulated o
+        partials) must match forward_hidden like the plain layout."""
+        cfg = self._cfg(dim=256, n_heads=4, n_kv_heads=2, head_dim=64,
+                        hidden_dim=1024)
+        got, ref = self._run_pair(rng, cfg, steps=5, grouped=True)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    def test_grouped_qwen2_bias_int8(self, rng):
+        cfg = self._cfg(dim=128, n_heads=2, n_kv_heads=2, head_dim=64,
+                        hidden_dim=512, attn_qkv_bias=True)
+        got, ref = self._run_pair(rng, cfg, steps=4, grouped=True)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+        got, ref = self._run_pair(rng, self._cfg(), steps=4, quantize=True,
+                                  grouped=True)
+        a, b = got.ravel(), ref.ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, cos
 
     def test_qwen2_qkv_bias(self, rng):
         """Qwen2-style stacks: qkv bias applied after the output scale,

@@ -355,3 +355,44 @@ class TestCosyVoiceNgramSpeculative:
                            sampler=lm_mod.RAS_SAMPLER, max_new=32,
                            speculative="ngram", gamma=4)
         assert all(0 <= t < 60 for t in out)
+
+
+class TestFusedDraft:
+    """Speculative decode with the DRAFT on the fused whole-stack kernel
+    (T=1 chain + the T=2 re-deposit as two sequential launches): greedy
+    speculative output must still exactly equal the plain greedy chain."""
+
+    def test_greedy_exact_with_fused_draft(self, monkeypatch):
+        import functools
+
+        from tpu_audio.ops.pallas import fused_step
+
+        cfg = TransformerConfig(
+            dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512,
+            vocab_size=300, tie_word_embeddings=True)
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), cfg))
+        dparams = transformer.fuse_fp_tree(
+            _noisy(transformer.init_params(jax.random.PRNGKey(0), cfg),
+                   0.05))
+        gen = CausalLMGenerator(params, cfg, max_cache=128)
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(299,),
+                  max_new=16, seed=3)
+        ref = gen.generate([3, 5, 7], **kw)
+
+        calls = {"n": 0}
+        real = fused_step.fused_decode_step
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, interpret=True, **k)
+
+        monkeypatch.setattr(fused_step, "fused_decode_step", counting)
+        monkeypatch.setattr(fused_step, "choose_mode",
+                            lambda c, p, b=1: "plain")
+        draft = DraftModel(dparams, cfg, max_cache=128)
+        gen2 = CausalLMGenerator(params, cfg, max_cache=128)
+        got = gen2.generate_speculative([3, 5, 7], gamma=3, draft=draft,
+                                        **kw)
+        assert got == ref, (got, ref)
+        assert calls["n"] > 0, "fused draft path never engaged"

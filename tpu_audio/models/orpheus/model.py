@@ -71,6 +71,11 @@ class DraftModel:
     cfg: transformer.TransformerConfig
     max_cache: int = 2048
 
+    def __post_init__(self):
+        # single-chip fp fusion (bit-identical) — see CausalLMGenerator;
+        # the draft always runs replicated, so this is unconditional
+        self.params = transformer.fuse_fp_tree(self.params)
+
 
 class CausalLMGenerator:
     """Compiled prefill+decode over nn/transformer for any Llama-family
@@ -136,7 +141,12 @@ class CausalLMGenerator:
                 self.params = shard_tree(params, mesh, transformer_rules,
                                          layer_prefixes=("layers",))
         else:
-            self.params = params
+            # single-chip: fuse fp qkv/gateup leaves (bit-identical; int8
+            # trees arrive pre-fused from requantize_tree_int8) — fewer
+            # dispatches per step, and the layout the whole-stack fused
+            # decode kernel streams. TP keeps unfused leaves: the megatron
+            # sharding rules split q/k/v along different head axes.
+            self.params = transformer.fuse_fp_tree(params)
 
     def _constrain_cache(self, cache):
         """Pin the KV cache (L, B, S, H_kv, D) to head-sharding on tp."""
@@ -195,16 +205,27 @@ class CausalLMGenerator:
         if key_ in self._fns:
             return self._fns[key_]
         cfg = self.cfg_run
+        # whole-stack fused decode kernel for the T=1 steps (single-chip
+        # single-stream only; grouped layout for 1B/3B dims): TPU-gated
+        # with a compile probe, falls back to the plain cache otherwise
+        fused = (self.mesh is None
+                 and transformer.fused_decode_supported(cfg, self.params))
 
         def run(params, prompt, pad_amount, key):
-            cache = self._constrain_cache(
-                transformer.make_cache(cfg, 1, self.max_cache))
             # left-padded prompt: mask key slots < pad_amount everywhere;
             # pos_offset makes RoPE see canonical positions 0,1,2,... so
             # every bucket size yields BIT-identical logits
-            slot = jnp.arange(self.max_cache)
-            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
             off = jnp.reshape(pad_amount, (1,))
+            if fused:
+                cache = transformer.make_fused_cache(cfg, self.max_cache,
+                                                     start=pad_amount)
+                extra = None
+            else:
+                cache = self._constrain_cache(
+                    transformer.make_cache(cfg, 1, self.max_cache))
+                slot = jnp.arange(self.max_cache)
+                extra = jnp.where(slot >= pad_amount, 0.0,
+                                  -1e30)[None, None, None, :]
             logits, cache = transformer.forward(params, cfg, prompt[None],
                                                 cache, extra_mask=extra,
                                                 axis_name=self._axis,
@@ -361,6 +382,11 @@ class CausalLMGenerator:
         from tpu_audio.ops.speculative import speculative_decode_loop
 
         cfg = self.cfg_run
+        # fused-kernel eligibility for the DRAFT's sequential steps —
+        # resolved here (outside jit: the gate compile-probes the kernel)
+        d_fused = (draft is not None and self.mesh is None
+                   and transformer.fused_decode_supported(
+                       draft.cfg, draft.params))
 
         def run(params, draft_params, prompt, pad_amount, key):
             cache = self._constrain_cache(
@@ -390,11 +416,20 @@ class CausalLMGenerator:
                           pad_id=self.pad_id)
             if draft is not None:
                 # the draft runs replicated (no axis_name): it is small, and
-                # under TP-quant shard_map every device drafts identically
-                d_slot = jnp.arange(draft.max_cache)
-                d_extra = jnp.where(d_slot >= pad_amount, 0.0,
-                                    -1e30)[None, None, None, :]
-                d_cache = transformer.make_cache(dcfg, 1, draft.max_cache)
+                # under TP-quant shard_map every device drafts identically.
+                # Its sequential T=1/T=2 steps ride the fused whole-stack
+                # kernel when eligible (the TARGET stays on the plain cache:
+                # its chunked gamma+1 verify is a large-T forward).
+                if d_fused:
+                    d_extra = None
+                    d_cache = transformer.make_fused_cache(
+                        dcfg, draft.max_cache, start=pad_amount)
+                else:
+                    d_slot = jnp.arange(draft.max_cache)
+                    d_extra = jnp.where(d_slot >= pad_amount, 0.0,
+                                        -1e30)[None, None, None, :]
+                    d_cache = transformer.make_cache(dcfg, 1,
+                                                     draft.max_cache)
                 _, d_cache = transformer.forward(draft_params, dcfg,
                                                  prompt[None], d_cache,
                                                  extra_mask=d_extra,

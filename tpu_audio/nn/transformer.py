@@ -379,18 +379,29 @@ def _forward_fused(params: dict, cfg: TransformerConfig, x: jax.Array,
     if b != 1:
         raise ValueError("FusedKVCache is single-stream (B=1)")
 
-    if t == 1 and extra_mask is None:
-        rope_pos = cache.pos
-        if pos_offset is not None:
-            rope_pos = jnp.maximum(rope_pos - pos_offset.reshape(()), 0)
-        cos, sin = fs.make_cos_sin(rope_pos, cfg.inv_freq(), cfg.hd)
-        stack = fs.prepare_stack(params, cfg)
-        h, kc, vc = fs.fused_decode_step(
-            x[:, 0], cache.pos, cos, sin, stack, cache.k, cache.v,
-            start=cache.start, n_heads=cfg.n_heads,
-            n_kv_heads=cfg.kv_heads, hd=cfg.hd, eps=cfg.norm_eps)
-        return (h[:, None].astype(x.dtype),
-                FusedKVCache(k=kc, v=vc, pos=cache.pos + 1,
+    if t <= 4 and extra_mask is None:
+        # run t sequential whole-stack launches (t is 1 on the decode hot
+        # path; tiny t>1 steps — e.g. the speculative draft's 2-token
+        # re-deposit — stay in kernel layout instead of paying the
+        # full-cache transpose of the prefill fallback below)
+        stack = fs.prepare_stack(
+            params, cfg, grouped=fs.choose_mode(cfg, params) == "grouped")
+        kc, vc = cache.k, cache.v
+        hs = []
+        for i in range(t):
+            pos_i = cache.pos + i
+            rope_pos = pos_i
+            if pos_offset is not None:
+                rope_pos = jnp.maximum(rope_pos - pos_offset.reshape(()), 0)
+            cos, sin = fs.make_cos_sin(rope_pos, cfg.inv_freq(), cfg.hd)
+            h, kc, vc = fs.fused_decode_step(
+                x[:, i], pos_i, cos, sin, stack, kc, vc,
+                start=cache.start, n_heads=cfg.n_heads,
+                n_kv_heads=cfg.kv_heads, hd=cfg.hd, eps=cfg.norm_eps)
+            hs.append(h)
+        h = jnp.stack(hs, axis=1) if t > 1 else hs[0][:, None]
+        return (h.astype(x.dtype),
+                FusedKVCache(k=kc, v=vc, pos=cache.pos + t,
                              start=cache.start))
 
     inner = KVCache(k=jnp.moveaxis(cache.k, 1, 2)[:, None],

@@ -38,6 +38,15 @@ import jax.numpy as jnp
 ROWS = 8  # sublane-padded batch rows; row 0 is the real stream
 
 
+def _pick_hb(hidden: int, hidden_block: int) -> int:
+    hb = min(hidden_block, hidden)
+    while hidden % hb:  # largest divisor <= hidden_block (128-steps, then 8)
+        hb -= 128 if hb > 128 else 8
+    if hb < 8:
+        raise ValueError(f"no usable hidden block for hidden={hidden}")
+    return hb
+
+
 def _rms(x, w, eps):
     return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True)
                              + eps) * w
@@ -157,6 +166,125 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
                     x, normw_ref[0].astype(jnp.float32), eps)
 
 
+def _kernel_grouped(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref,
+                    normw_ref, wqkv_ref, sqkv_ref, bqkv_ref, qknorm_ref,
+                    wo_ref, so_ref, wg_ref, sg_ref, wu_ref, su_ref,
+                    wd_ref, sd_ref, kin_ref, vin_ref,
+                    hout_ref, kout_ref, vout_ref,
+                    x_s, hn1_s, hn2_s, oacc_s, acc_s, *,
+                    n_heads, n_kv_heads, hd, eps, hb, l_total,
+                    compute_dtype, qkv_bias, qk_norm):
+    """Large-model variant: the attention phase splits per kv-head group
+    so no single weight block exceeds the VMEM budget. qkv rows arrive
+    group-major (prepare_stack(grouped=True)): per group g the block is
+    [q rows of its G heads | k rows | v rows] = (G+2)*hd rows; wo arrives
+    column-grouped (L, KVH, D, G*hd) and o accumulates across phases
+    (per-output-channel scales factor out of the partial sums exactly)."""
+    lyr = pl.program_id(0)
+    ph = pl.program_id(1)
+    n_ph = pl.num_programs(1)
+    pos = pos_ref[0]
+    start = pos_ref[1]
+    cd = compute_dtype
+    group = n_heads // n_kv_heads
+
+    @pl.when((lyr == 0) & (ph == 0))
+    def _init():
+        x_s[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(ph == 0)
+    def _layer_start():
+        hn1_s[...] = _rms(x_s[...], ln1_ref[0].astype(jnp.float32), eps)
+        oacc_s[...] = jnp.zeros_like(oacc_s)
+
+    @pl.when(ph < n_kv_heads)
+    def _attn_group():
+        hn = hn1_s[...].astype(cd)                          # (ROWS, D)
+        qkv = jax.lax.dot_general(
+            hn, wqkv_ref[0, 0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (ROWS, R)
+        qkv = qkv * sqkv_ref[0, 0][None, :]
+        if qkv_bias:
+            qkv = qkv + bqkv_ref[0, 0][None, :]
+
+        cos = cos_ref[0].astype(jnp.float32)
+        sin = sin_ref[0].astype(jnp.float32)
+        half = hd // 2
+
+        def rot(vec, which=0):
+            if qk_norm:
+                vec = _rms(vec, qknorm_ref[0, which].astype(jnp.float32),
+                           eps)
+            r = jnp.concatenate([-vec[:, half:], vec[:, :half]], axis=1)
+            return vec * cos[None, :] + r * sin[None, :]
+
+        k_off = group * hd
+        v_off = (group + 1) * hd
+        kg_new = rot(qkv[0:1, k_off:k_off + hd], which=1)
+        vg_new = qkv[0:1, v_off:v_off + hd]
+        kbuf = jax.lax.dynamic_update_slice(
+            kin_ref[0, 0].astype(jnp.float32), kg_new, (pos, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vin_ref[0, 0].astype(jnp.float32), vg_new, (pos, 0))
+        kout_ref[0, 0] = kbuf.astype(kout_ref.dtype)
+        vout_ref[0, 0] = vbuf.astype(vout_ref.dtype)
+
+        qg = jnp.concatenate(
+            [rot(qkv[0:1, h * hd:(h + 1) * hd]) for h in range(group)],
+            axis=0)                                         # (G, hd)
+        scores = jax.lax.dot_general(
+            qg * (hd ** -0.5), kbuf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (G, S_pad)
+        spos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where((spos >= start) & (spos <= pos), scores, -1e30)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        og = jax.lax.dot_general(
+            p.astype(cd), vbuf.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (G, hd)
+        flat = jnp.concatenate([og[j:j + 1] for j in range(group)],
+                               axis=1)                      # (1, G*hd)
+        part = jax.lax.dot_general(
+            flat.astype(cd), wo_ref[0, 0].astype(cd),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (1, D)
+        oacc_s[0:1] += part
+
+        @pl.when(ph == n_kv_heads - 1)
+        def _attn_done():
+            x = x_s[...]
+            o = oacc_s[0:1] * so_ref[0][None, :]
+            x = jax.lax.dynamic_update_slice(x, x[0:1] + o, (0, 0))
+            x_s[...] = x
+            hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
+            acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ph >= n_kv_heads)
+    def _mlp():
+        hn2 = hn2_s[...].astype(cd)
+        g = jax.lax.dot_general(
+            hn2, wg_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sg_ref[0][None, :]
+        u = jax.lax.dot_general(
+            hn2, wu_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * su_ref[0][None, :]
+        act = (g * jax.lax.logistic(g)) * u
+        acc_s[...] += jax.lax.dot_general(
+            act.astype(cd), wd_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(ph == n_ph - 1)
+        def _layer_end():
+            x = x_s[...] + acc_s[...] * sd_ref[0][None, :]
+            x_s[...] = x
+
+            @pl.when(lyr == l_total - 1)
+            def _emit():
+                hout_ref[...] = _rms(
+                    x, normw_ref[0].astype(jnp.float32), eps)
+
+
 try:  # import at module scope for the kernel body above
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -183,13 +311,14 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     (left-padded prompt masking — slots < start never attend). Returns
     (h (1, D) f32 after the final stack norm, new k_cache, new v_cache).
     """
+    if "wqkv_g" in stack:
+        return _fused_step_grouped(
+            x, pos, cos, sin, stack, k_cache, v_cache, start=start,
+            n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd, eps=eps,
+            hidden_block=hidden_block, interpret=interpret)
     l_total, qo, d = stack["wqkv"].shape[:3]
     hidden = stack["wgateup"].shape[1] // 2  # gate rows then up rows
-    hb = min(hidden_block, hidden)
-    while hidden % hb:  # largest divisor <= hidden_block (128-steps, then 8)
-        hb -= 128 if hb > 128 else 8
-    if hb < 8:
-        raise ValueError(f"no usable hidden block for hidden={hidden}")
+    hb = _pick_hb(hidden, hidden_block)
     n_hb = hidden // hb
     cd = x.dtype
 
@@ -277,14 +406,121 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     return h[0:1], kc, vc
 
 
-def prepare_stack(params: dict, cfg) -> dict:
+def _fused_step_grouped(x, pos, cos, sin, stack, k_cache, v_cache, *,
+                        start, n_heads, n_kv_heads, hd, eps, hidden_block,
+                        interpret):
+    l_total, kvh, r, d = stack["wqkv_g"].shape
+    hidden = stack["wgateup"].shape[1] // 2
+    hb = _pick_hb(hidden, hidden_block)
+    n_hb = hidden // hb
+    cd = x.dtype
+    xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
+    s_pad = k_cache.shape[2]
+    gdim = (n_heads // n_kv_heads) * hd
+
+    grid = (l_total, n_kv_heads + n_hb)
+    kernel = functools.partial(
+        _kernel_grouped, n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd,
+        eps=eps, hb=hb, l_total=l_total, compute_dtype=cd,
+        qkv_bias="bqkv_g" in stack, qk_norm="qknorm" in stack)
+    bqkv = stack.get("bqkv_g")
+    if bqkv is None:
+        bqkv = jnp.zeros((l_total, kvh, r), jnp.float32)
+    qknorm = stack.get("qknorm")
+    if qknorm is None:
+        qknorm = jnp.ones((l_total, 2, hd), jnp.float32)
+
+    def attn_blk(shape):
+        return pl.BlockSpec(shape,
+                            lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
+
+    def grp(shape):  # per-kv-group blocks, clamped during MLP phases
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l, jnp.minimum(p, n_kv_heads - 1))
+            + (0,) * (len(shape) - 2))
+
+    def mlp_blk(shape, row0=0):
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (
+                l, row0 + jnp.clip(p - n_kv_heads, 0, n_hb - 1))
+            + (0,) * (len(shape) - 2))
+
+    def mlp_col(shape):  # down: contraction blocks on the last axis
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (
+                l, 0, jnp.clip(p - n_kv_heads, 0, n_hb - 1)))
+
+    gateup = stack["wgateup"]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
+            pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # cos
+            pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # sin
+            attn_blk((1, d)),                                     # ln1
+            attn_blk((1, d)),                                     # ln2
+            pl.BlockSpec((1, d), lambda l, p, s: (0, 0)),         # norm
+            grp((1, 1, r, d)),                                    # wqkv_g
+            grp((1, 1, r)),                                       # sqkv_g
+            grp((1, 1, r)),                                       # bqkv_g
+            attn_blk((1, 2, hd)),                                 # qk norms
+            grp((1, 1, d, gdim)),                                 # wo_g
+            attn_blk((1, d)),                                     # so
+            mlp_blk((1, hb, d)),                                  # gate view
+            mlp_blk((1, hb)),                                     # sgate
+            mlp_blk((1, hb, d), row0=n_hb),                       # up view
+            mlp_blk((1, hb), row0=n_hb),                          # sup
+            mlp_col((1, d, hb)),                                  # down
+            attn_blk((1, d)),                                     # sdown
+            grp((1, 1, s_pad, hd)),                               # k cache
+            grp((1, 1, s_pad, hd)),                               # v cache
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),
+            grp((1, 1, s_pad, hd)),
+            grp((1, 1, s_pad, hd)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, d), jnp.float32),   # residual stream
+            pltpu.VMEM((ROWS, d), jnp.float32),   # pre-attn norm
+            pltpu.VMEM((ROWS, d), jnp.float32),   # post-attn norm
+            pltpu.VMEM((ROWS, d), jnp.float32),   # o accumulator
+            pltpu.VMEM((ROWS, d), jnp.float32),   # mlp accumulator
+        ],
+    )
+    h, kc, vc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ROWS, d), jnp.float32),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
+                 jnp.asarray(start, jnp.int32).reshape(())]),
+      xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
+      stack["wqkv_g"], stack["sqkv_g"], bqkv, qknorm,
+      stack["wo_g"], stack["so"],
+      gateup, stack["sgate"], gateup, stack["sup"],
+      stack["wdown"], stack["sdown"], k_cache, v_cache)
+    return h[0:1], kc, vc
+
+
+def prepare_stack(params: dict, cfg, grouped: bool = False) -> dict:
     """Stacked layer params (nn/transformer init_params layout, fp fused or
     int8 fused leaves) → the flat array dict the kernel streams.
 
     fp leaves keep their dtype and get unit scales; int8 leaves pass codes +
     per-channel scales. gate/up ride as ONE (L, 2*hidden, D) array consumed
     through two BlockSpec views (gate rows first — ops/quant.fuse_int8_tree
-    and nn/transformer.fuse_fp_tree both concat gate before up)."""
+    and nn/transformer.fuse_fp_tree both concat gate before up).
+
+    grouped=True reorders qkv rows kv-group-major ([q heads of group |
+    its k | its v] per group) and splits wo into per-group column blocks —
+    the large-model layout whose attention phase streams one group at a
+    time (per-channel scales/biases reorder with their rows exactly)."""
     lp = params["layers"]
     attn, mlp = lp["attn"], lp["mlp"]
     if "qkv" not in attn or "gateup" not in mlp:
@@ -323,6 +559,28 @@ def prepare_stack(params: dict, cfg) -> dict:
         out["qknorm"] = jnp.stack(
             [attn["q_norm"]["weight"], attn["k_norm"]["weight"]],
             axis=1).astype(jnp.float32)
+
+    if grouped:
+        h, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
+        g = h // kvh
+        l = wqkv.shape[0]
+
+        def regroup_rows(a):  # (L, QO, ...) -> (L, KVH, (G+2)*hd, ...)
+            tail = a.shape[2:]
+            q = a[:, :h * hd].reshape((l, kvh, g * hd) + tail)
+            k = a[:, h * hd:(h + kvh) * hd].reshape((l, kvh, hd) + tail)
+            v = a[:, (h + kvh) * hd:].reshape((l, kvh, hd) + tail)
+            return jnp.concatenate([q, k, v], axis=2)
+
+        out["wqkv_g"] = regroup_rows(out.pop("wqkv"))
+        out["sqkv_g"] = regroup_rows(out.pop("sqkv"))
+        if "bqkv" in out:
+            out["bqkv_g"] = regroup_rows(out.pop("bqkv"))
+        # wo columns split per group: (L, D, H*hd) -> (L, KVH, D, G*hd)
+        wo = out.pop("wo")
+        d = wo.shape[1]
+        out["wo_g"] = jnp.moveaxis(
+            wo.reshape(l, d, kvh, g * hd), 2, 1)
     return out
 
 
@@ -345,11 +603,16 @@ def probe_compile(cfg, params: dict) -> bool:
     (config, weight shape/dtype) signature."""
     lp = params["layers"]
     w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
+    if isinstance(w, jax.core.Tracer):
+        # called under trace (gates must resolve at closure-build time);
+        # refuse without poisoning the memo
+        return False
     sig = (cfg, w.shape, str(w.dtype))
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
     try:
-        stack = prepare_stack(params, cfg)
+        stack = prepare_stack(params, cfg,
+                              grouped=choose_mode(cfg, params) == "grouped")
         kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, 8, cfg.hd), jnp.float32)
         cos = jnp.ones((1, cfg.hd), jnp.float32)
         h, _, _ = fused_decode_step(
@@ -368,30 +631,48 @@ def probe_compile(cfg, params: dict) -> bool:
     return ok
 
 
-def supported(cfg, params: dict, batch: int) -> bool:
-    """Kernel applicability for a TransformerConfig + stacked params."""
+def choose_mode(cfg, params: dict, batch: int = 1) -> str | None:
+    """Kernel applicability + layout choice for a TransformerConfig and
+    stacked params: "plain" (one attention phase — small models),
+    "grouped" (per-kv-group attention phases — large models whose qkv/o
+    blocks would blow the ~16 MB VMEM budget), or None."""
     try:
         if jax.default_backend() not in ("tpu", "axon"):
-            return False
+            return None
     except Exception:
-        return False
+        return None
     lp = params.get("layers", {})
     if "qkv" not in lp.get("attn", {}) or "gateup" not in lp.get("mlp", {}):
-        return False
+        return None
     if ("bias" in lp["attn"].get("o", {}) or "bias" in lp["mlp"]["gateup"]
             or "bias" in lp["mlp"]["down"]):
-        return False
-    # per-layer VMEM budget: the attention-phase blocks (qkv + o) are
-    # double-buffered by the pipeline; stay well inside ~16 MB/core
-    w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
-    if w is None:
-        return False
-    item = w.dtype.itemsize
-    qo = w.shape[1]
-    attn_bytes = (qo * cfg.dim + cfg.dim * cfg.n_heads * cfg.hd) * item * 2
-    if attn_bytes > 10 * 2 ** 20:
-        return False
-    return (batch == 1 and cfg.norm == "rms" and cfg.mlp == "swiglu"
+        return None
+    if not (batch == 1 and cfg.norm == "rms" and cfg.mlp == "swiglu"
             and cfg.pos_emb == "rope"
             and cfg.hd in (64, 128) and cfg.dim % 128 == 0
-            and cfg.hidden_dim % 8 == 0)
+            and cfg.hidden_dim % 8 == 0):
+        return None
+    w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
+    if w is None:
+        return None
+    item = w.dtype.itemsize
+    qo = w.shape[1]
+    d, h_, kvh, hd = cfg.dim, cfg.n_heads, cfg.kv_heads, cfg.hd
+    # double-buffered attention blocks of the single-phase layout
+    attn_bytes = (qo * d + d * h_ * hd) * item * 2
+    if attn_bytes <= 10 * 2 ** 20:
+        return "plain"
+    # grouped layout: per-phase blocks are one kv group's qkv rows + its
+    # wo column block (+ hidden blocks); budget with the deeper (~3x)
+    # buffering the scalar-prefetch pipeline was observed to use
+    g = h_ // kvh
+    r = (g + 2) * hd
+    hb = _pick_hb(cfg.hidden_dim, 512 if d <= 2048 else 384)
+    grouped_bytes = (r * d + d * g * hd + 3 * hb * d) * item * 3
+    if grouped_bytes <= 12 * 2 ** 20:
+        return "grouped"
+    return None
+
+
+def supported(cfg, params: dict, batch: int) -> bool:
+    return choose_mode(cfg, params, batch) is not None
