@@ -133,10 +133,27 @@ def main():
         hidden_dim=3072, vocab_size=151936, qk_norm=True,
         rope_theta=1000000.0, tie_word_embeddings=True)
 
+    llama1b = transformer.TransformerConfig(  # OuteTTS Llama-3.2-1B
+        dim=2048, n_layers=16, n_heads=32, n_kv_heads=8, head_dim=64,
+        hidden_dim=8192, vocab_size=128256, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+        tie_word_embeddings=True)
+    llama3b = transformer.TransformerConfig(  # Orpheus Llama-3.2-3B
+        dim=3072, n_layers=28, n_heads=24, n_kv_heads=8, head_dim=128,
+        hidden_dim=8192, vocab_size=128256, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192})
+
     for quantize in (False, True):
         bench_lm("qwen2.5-0.5B (CosyVoice2/3)", qwen05, quantize,
                  steps=args.steps)
     bench_lm("qwen3-0.6B (FunASR)", qwen06, False, steps=args.steps)
+    # grouped-layout territory (1B/3B); w8a8 is the serving format
+    bench_lm("llama-1B (OuteTTS)", llama1b, True, steps=args.steps)
+    bench_lm("llama-3B (Orpheus)", llama3b, True, steps=args.steps)
 
     if not args.skip_marvis:
         bench_marvis(None)

@@ -294,3 +294,28 @@ class TestFusedGenerate:
 
     def test_grouped_layout(self, monkeypatch):
         self._check(monkeypatch, "grouped")
+
+    def test_spanned_generate_fused(self, monkeypatch):
+        """The spanned path (cancellation spans crossing the host between
+        dispatches) must carry the FusedKVCache across spans and match the
+        plain spanned output."""
+        import functools
+
+        from tpu_audio.ops.pallas import fused_step
+        from tpu_audio.ops.sampling import SamplerConfig
+
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), self.CFG128))
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(299,),
+                  max_new=14, seed=0, span=5, should_stop=lambda: False)
+        ref = omodel.CausalLMGenerator(params, self.CFG128,
+                                       max_cache=128).generate([3, 5], **kw)
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(fused_step, "choose_mode",
+                            lambda c, p, b=1: "plain")
+        got = omodel.CausalLMGenerator(params, self.CFG128,
+                                       max_cache=128).generate([3, 5], **kw)
+        assert got == ref, (got, ref)

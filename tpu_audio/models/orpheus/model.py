@@ -208,8 +208,7 @@ class CausalLMGenerator:
         # whole-stack fused decode kernel for the T=1 steps (single-chip
         # single-stream only; grouped layout for 1B/3B dims): TPU-gated
         # with a compile probe, falls back to the plain cache otherwise
-        fused = (self.mesh is None
-                 and transformer.fused_decode_supported(cfg, self.params))
+        fused = self._fused_ok()
 
         def run(params, prompt, pad_amount, key):
             # left-padded prompt: mask key slots < pad_amount everywhere;
@@ -505,17 +504,30 @@ class CausalLMGenerator:
 
     # ------------------------------------------------------------- spans
 
+    def _fused_ok(self) -> bool:
+        """Whole-stack fused decode eligibility (single-chip only)."""
+        return (self.mesh is None
+                and transformer.fused_decode_supported(self.cfg_run,
+                                                       self.params))
+
     def _prefill_fn(self, prompt_pad: int, sampler: SamplerConfig):
         key_ = ("prefill", prompt_pad, sampler)
         if key_ in self._fns:
             return self._fns[key_]
         cfg = self.cfg_run
+        fused = self._fused_ok()
 
         def run(params, prompt, pad_amount, key):
-            cache = self._constrain_cache(
-                transformer.make_cache(cfg, 1, self.max_cache))
-            slot = jnp.arange(self.max_cache)
-            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+            if fused:
+                cache = transformer.make_fused_cache(cfg, self.max_cache,
+                                                     start=pad_amount)
+                extra = None
+            else:
+                cache = self._constrain_cache(
+                    transformer.make_cache(cfg, 1, self.max_cache))
+                slot = jnp.arange(self.max_cache)
+                extra = jnp.where(slot >= pad_amount, 0.0,
+                                  -1e30)[None, None, None, :]
             logits, cache = transformer.forward(params, cfg, prompt[None],
                                                 cache, extra_mask=extra,
                                                 axis_name=self._axis,
@@ -539,10 +551,15 @@ class CausalLMGenerator:
         if key_ in self._fns:
             return self._fns[key_]
         cfg = self.cfg_run
+        fused = self._fused_ok()
 
         def run(params, cache, last, recent, finished, pad_amount, key):
-            slot = jnp.arange(self.max_cache)
-            extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]
+            if fused:
+                extra = None
+            else:
+                slot = jnp.arange(self.max_cache)
+                extra = jnp.where(slot >= pad_amount, 0.0,
+                                  -1e30)[None, None, None, :]
 
             def step(tok, cache):
                 lg, cache = transformer.forward(params, cfg, tok, cache,

@@ -110,7 +110,8 @@ def _self_attention(p, x, n_heads, mask=None):
             b, t, _ = x.shape
             if ea.supported(jnp.empty((b, t, n_heads, hd), x.dtype),
                             jnp.empty((b, t, n_heads, hd), x.dtype), mask):
-                if PACKED_ATTN and n_heads % 2 == 0 and 2 * hd == 128:
+                if (PACKED_ATTN and n_heads % 2 == 0 and 2 * hd == 128
+                        and ea.packed_probe(hd, x.dtype)):
                     # pair-packed: head pairs channel-concatenated to 128
                     # lanes — the packed kernel's dots contract/emit full
                     # MXU tiles (the hd=64 dots run at half efficiency)

@@ -202,6 +202,34 @@ def encoder_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :t]
 
 
+_PACKED_PROBE: dict = {}
+
+
+def packed_probe(hd: int, dtype) -> bool:
+    """Compile-and-run encoder_attention_packed once at a tiny shape
+    before the production encoder commits to it (Mosaic compiles per
+    backend; a lowering failure inside the jitted pipeline would not be
+    caught by the trace-time try/except around the call site). Safe to
+    call while tracing another function: the probe runs eagerly on
+    concrete zeros. Memoized per (hd, dtype)."""
+    key = (hd, jnp.dtype(dtype).name)
+    if key in _PACKED_PROBE:
+        return _PACKED_PROBE[key]
+    try:
+        import numpy as np
+
+        q = jnp.zeros((1, 512, 2 * hd), dtype)
+        out = np.asarray(encoder_attention_packed(q, q, q))
+        ok = bool(np.isfinite(out).all())
+    except Exception as exc:
+        from tpu_audio.ops.quant import _warn_kernel_fallback
+
+        _warn_kernel_fallback(exc)
+        ok = False
+    _PACKED_PROBE[key] = ok
+    return ok
+
+
 def supported(q: jax.Array, k: jax.Array, mask) -> bool:
     """Kernel applicability: big bidirectional self-attention, no mask,
     equal head counts, K/V head small enough to sit in VMEM."""

@@ -47,6 +47,14 @@ def _pick_hb(hidden: int, hidden_block: int) -> int:
     return hb
 
 
+def _grouped_hb(d: int, hidden: int) -> int:
+    """Hidden-block policy for the grouped layout: shrink blocks as the
+    model dim grows so per-phase VMEM stays bounded (shared by the gate
+    estimate and the kernel wrapper)."""
+    cap = 512 if d <= 1024 else (256 if d <= 2048 else 128)
+    return _pick_hb(hidden, cap)
+
+
 def _rms(x, w, eps):
     return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True)
                              + eps) * w
@@ -100,7 +108,9 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
         k_off = n_heads * hd
         v_off = (n_heads + n_kv_heads) * hd
 
-        # cache write (row 0 only), then attention per kv head
+        # cache write (row 0 only) via ref stores at the dynamic slot —
+        # the documented Mosaic idiom; attention reads back through the
+        # cache dtype exactly like the XLA path's buffer round-trip
         kout_ref[...] = kin_ref[...]
         vout_ref[...] = vin_ref[...]
         outs = []
@@ -108,12 +118,10 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
             kg_new = rot(qkv[0:1, k_off + g * hd:k_off + (g + 1) * hd],
                          which=1)
             vg_new = qkv[0:1, v_off + g * hd:v_off + (g + 1) * hd]
-            kbuf = jax.lax.dynamic_update_slice(
-                kin_ref[0, g].astype(jnp.float32), kg_new, (pos, 0))
-            vbuf = jax.lax.dynamic_update_slice(
-                vin_ref[0, g].astype(jnp.float32), vg_new, (pos, 0))
-            kout_ref[0, g] = kbuf.astype(kout_ref.dtype)
-            vout_ref[0, g] = vbuf.astype(vout_ref.dtype)
+            kout_ref[0, g, pl.ds(pos, 1), :] = kg_new.astype(kout_ref.dtype)
+            vout_ref[0, g, pl.ds(pos, 1), :] = vg_new.astype(vout_ref.dtype)
+            kbuf = kout_ref[0, g].astype(jnp.float32)       # (S_pad, hd)
+            vbuf = vout_ref[0, g].astype(jnp.float32)
             qg = jnp.concatenate(
                 [rot(qkv[0:1, h * hd:(h + 1) * hd])
                  for h in range(g * group, (g + 1) * group)], axis=0)
@@ -136,8 +144,8 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (1, D)
         o = o * so_ref[0][None, :]
-        x = jax.lax.dynamic_update_slice(x, x[0:1] + o, (0, 0))
-        x_s[...] = x
+        x_s[0:1, :] = x[0:1] + o
+        x = x_s[...]
         hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
         acc_s[...] = jnp.zeros_like(acc_s)
 
@@ -222,12 +230,12 @@ def _kernel_grouped(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref,
         v_off = (group + 1) * hd
         kg_new = rot(qkv[0:1, k_off:k_off + hd], which=1)
         vg_new = qkv[0:1, v_off:v_off + hd]
-        kbuf = jax.lax.dynamic_update_slice(
-            kin_ref[0, 0].astype(jnp.float32), kg_new, (pos, 0))
-        vbuf = jax.lax.dynamic_update_slice(
-            vin_ref[0, 0].astype(jnp.float32), vg_new, (pos, 0))
-        kout_ref[0, 0] = kbuf.astype(kout_ref.dtype)
-        vout_ref[0, 0] = vbuf.astype(vout_ref.dtype)
+        kout_ref[...] = kin_ref[...]
+        vout_ref[...] = vin_ref[...]
+        kout_ref[0, 0, pl.ds(pos, 1), :] = kg_new.astype(kout_ref.dtype)
+        vout_ref[0, 0, pl.ds(pos, 1), :] = vg_new.astype(vout_ref.dtype)
+        kbuf = kout_ref[0, 0].astype(jnp.float32)
+        vbuf = vout_ref[0, 0].astype(jnp.float32)
 
         qg = jnp.concatenate(
             [rot(qkv[0:1, h * hd:(h + 1) * hd]) for h in range(group)],
@@ -253,10 +261,9 @@ def _kernel_grouped(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref,
 
         @pl.when(ph == n_kv_heads - 1)
         def _attn_done():
-            x = x_s[...]
             o = oacc_s[0:1] * so_ref[0][None, :]
-            x = jax.lax.dynamic_update_slice(x, x[0:1] + o, (0, 0))
-            x_s[...] = x
+            x_s[0:1, :] = x_s[0:1, :] + o
+            x = x_s[...]
             hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
             acc_s[...] = jnp.zeros_like(acc_s)
 
@@ -409,9 +416,10 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
 def _fused_step_grouped(x, pos, cos, sin, stack, k_cache, v_cache, *,
                         start, n_heads, n_kv_heads, hd, eps, hidden_block,
                         interpret):
+    del hidden_block  # the grouped layout uses the shared dim policy
     l_total, kvh, r, d = stack["wqkv_g"].shape
     hidden = stack["wgateup"].shape[1] // 2
-    hb = _pick_hb(hidden, hidden_block)
+    hb = _grouped_hb(d, hidden)
     n_hb = hidden // hb
     cd = x.dtype
     xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
@@ -663,13 +671,14 @@ def choose_mode(cfg, params: dict, batch: int = 1) -> str | None:
     if attn_bytes <= 10 * 2 ** 20:
         return "plain"
     # grouped layout: per-phase blocks are one kv group's qkv rows + its
-    # wo column block (+ hidden blocks); budget with the deeper (~3x)
-    # buffering the scalar-prefetch pipeline was observed to use
+    # wo column block (+ hidden blocks). This is a coarse sanity bound —
+    # probe_compile is the ground truth (Mosaic raises on a real VMEM
+    # overflow and the caller falls back to the plain path).
     g = h_ // kvh
     r = (g + 2) * hd
-    hb = _pick_hb(cfg.hidden_dim, 512 if d <= 2048 else 384)
-    grouped_bytes = (r * d + d * g * hd + 3 * hb * d) * item * 3
-    if grouped_bytes <= 12 * 2 ** 20:
+    hb = _grouped_hb(d, cfg.hidden_dim)
+    grouped_bytes = (r * d + d * g * hd + 3 * hb * d) * item * 2.5
+    if grouped_bytes <= 14 * 2 ** 20:
         return "grouped"
     return None
 
