@@ -131,12 +131,14 @@ def _round_trip(samples: np.ndarray, sr: int) -> float:
 
 def validate_tts(card: Scorecard, quick: bool) -> None:
     from tpu_audio.api.tts import TTS
+    from tpu_audio.models.marvis.engine import MarvisEngine
 
     engines = {
         "kokoro": lambda: TTS.kokoro(),
         "orpheus": lambda: TTS.orpheus(),
         "oute": lambda: TTS.oute(),
         "marvis": lambda: TTS.marvis(),
+        "marvis-w8a8": lambda: MarvisEngine(quantization="w8a8"),
         "chatterbox": lambda: TTS.chatterbox(),
         "chatterbox_turbo": lambda: TTS.chatterbox_turbo(),
         "cosyvoice2": lambda: TTS.cosyvoice2(),
