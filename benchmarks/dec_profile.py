@@ -117,8 +117,7 @@ def main():
     try:
         from tpu_audio.models.whisper.load import serve_tree_int8
 
-        params_w8 = serve_tree_int8(params)
-        params_w8 = {**params_w8, "encoder": params["encoder"]}
+        params_w8 = serve_tree_int8(params, encoder=False)
         report("decode step (int8 dec + int8 KV)",
                slope("full_w8", dec_full_q8, params_w8, feats))
     except Exception as exc:

@@ -370,7 +370,7 @@ def main():
     # int8 (w8a8 serving) encoder
     try:
         from tpu_audio.models.whisper.load import serve_tree_int8
-        pi8 = serve_tree_int8(params)
+        pi8 = serve_tree_int8(params, decoder=False)
         report("full encoder int8",
                slope_time("full_i8", make_loop(
                    lambda p, m: wmodel.encode(p, cfg, m)), pi8, mel),

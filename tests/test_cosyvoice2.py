@@ -95,7 +95,7 @@ class TestCosyLMFusedDecode:
             functools.partial(fused_step.fused_decode_step, interpret=True))
         monkeypatch.setattr(
             fused_step, "supported",
-            lambda c, p, b: b == 1 and "qkv" in p["layers"]["attn"])
+            lambda c, p, b, *a, **k: b == 1 and "qkv" in p["layers"]["attn"])
         fused = lm_mod.CosyLMGenerator(params, cfg, max_cache=128)
         got = fused.generate([5, 6, 7], [1, 2], [3, 4], **kw)
         assert got == ref, (got, ref)
@@ -129,7 +129,7 @@ class TestCosyLMFusedDecode:
             functools.partial(fused_step.fused_decode_step, interpret=True))
         monkeypatch.setattr(
             fused_step, "supported",
-            lambda c, p, b: b == 1 and "qkv" in p["layers"]["attn"])
+            lambda c, p, b, *a, **k: b == 1 and "qkv" in p["layers"]["attn"])
         got = collect()
         assert got == ref, (got, ref)
 

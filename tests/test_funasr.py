@@ -152,7 +152,7 @@ class TestFusedDecode:
             functools.partial(fused_step.fused_decode_step, interpret=True))
         monkeypatch.setattr(
             fused_step, "supported",
-            lambda c, p, b: b == 1 and "qkv" in p["layers"]["attn"])
+            lambda c, p, b, *a, **k: b == 1 and "qkv" in p["layers"]["attn"])
         gen_f = fmodel.FunASRGenerator(params, cfg, max_cache=256)
         got = gen_f.generate([1, 2, 3], [4, 5], feats, eos_ids=(7,),
                              max_new=10)

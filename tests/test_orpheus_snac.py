@@ -284,7 +284,7 @@ class TestFusedGenerate:
             fused_step, "fused_decode_step",
             functools.partial(fused_step.fused_decode_step, interpret=True))
         monkeypatch.setattr(fused_step, "choose_mode",
-                            lambda c, p, b=1: mode)
+                            lambda c, p, *a, **k: mode)
         got = omodel.CausalLMGenerator(params, self.CFG128,
                                        max_cache=128).generate([3, 5], **kw)
         assert got == ref, (mode, got, ref)
@@ -315,7 +315,7 @@ class TestFusedGenerate:
             fused_step, "fused_decode_step",
             functools.partial(fused_step.fused_decode_step, interpret=True))
         monkeypatch.setattr(fused_step, "choose_mode",
-                            lambda c, p, b=1: "plain")
+                            lambda c, p, *a, **k: "plain")
         got = omodel.CausalLMGenerator(params, self.CFG128,
                                        max_cache=128).generate([3, 5], **kw)
         assert got == ref, (got, ref)

@@ -526,7 +526,7 @@ class TestFusedDecodeStep:
         return transformer.TransformerConfig(**base)
 
     def _run_pair(self, rng, cfg, steps=5, quantize=False, s_pad=16,
-                  hidden_block=512, grouped=False):
+                  grouped=False):
         from tpu_audio.nn import transformer
         from tpu_audio.ops import quant
         from tpu_audio.ops.pallas import fused_step
@@ -544,7 +544,7 @@ class TestFusedDecodeStep:
                         np.stack([d["weight_i8"] for d in qd])),
                     "scale_i8": jnp.asarray(
                         np.stack([d["scale_i8"] for d in qd]))}
-        stack = fused_step.prepare_stack(fused, cfg, grouped=grouped)
+        stack = fused_step.prepare_stack(fused, cfg)
 
         # reference: the (possibly dequantized) weights through the XLA path
         ref_params = params
@@ -573,9 +573,9 @@ class TestFusedDecodeStep:
             x = jnp.asarray(xs[t])
             cos, sin = fused_step.make_cos_sin(t, inv_freq, cfg.hd)
             h, kc, vc = fused_step.fused_decode_step(
-                x, t, cos, sin, stack, kc, vc,
+                x, t, cos, sin, stack, kc, vc, grouped=grouped,
                 n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads, hd=cfg.hd,
-                eps=cfg.norm_eps, hidden_block=hidden_block, interpret=True)
+                eps=cfg.norm_eps, interpret=True)
             got.append(np.asarray(h)[0])
             hr, cache = transformer.forward_hidden(
                 ref_params, cfg, x[None], cache)

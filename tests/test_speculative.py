@@ -389,7 +389,7 @@ class TestFusedDraft:
 
         monkeypatch.setattr(fused_step, "fused_decode_step", counting)
         monkeypatch.setattr(fused_step, "choose_mode",
-                            lambda c, p, b=1: "plain")
+                            lambda c, p, *a, **k: "plain")
         draft = DraftModel(dparams, cfg, max_cache=128)
         gen2 = CausalLMGenerator(params, cfg, max_cache=128)
         got = gen2.generate_speculative([3, 5, 7], gamma=3, draft=draft,

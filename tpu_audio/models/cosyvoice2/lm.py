@@ -85,7 +85,8 @@ class CosyLMGenerator:
         # whole-stack fused decode kernel for the T=1 steps (TPU-gated):
         # one Pallas launch per token instead of ~24 layers of small ops;
         # the left-pad mask rides the cache's `start` bound
-        fused = transformer.fused_decode_supported(qcfg, self.params["llm"])
+        fused = transformer.fused_decode_supported(
+            qcfg, self.params["llm"], self.max_cache)
 
         def run(params, text_tokens, n_text, speech_tokens, n_speech,
                 min_len, key):
@@ -109,15 +110,8 @@ class CosyLMGenerator:
             shift = total - n_real
             x = jnp.roll(x, shift, axis=1)
 
-            if fused:
-                cache = transformer.make_fused_cache(qcfg, self.max_cache,
-                                                     start=shift)
-                extra = None
-            else:
-                cache = transformer.make_cache(qcfg, 1, self.max_cache)
-                slot = jnp.arange(self.max_cache)
-                extra = jnp.where(slot < shift, -1e30,
-                                  0.0)[None, None, None, :]
+            cache, extra = transformer.decode_cache_and_mask(
+                qcfg, self.max_cache, shift, fused)
             hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
                                                        cache, extra)
             first_logits = layers.linear(params["llm_decoder"],
@@ -298,8 +292,8 @@ class CosyLMStreamer:
             return self._prefill_fns[key_]
         cfg = self.gen.cfg
         qcfg = cfg.qwen
-        fused = transformer.fused_decode_supported(qcfg,
-                                                   self.gen.params["llm"])
+        fused = transformer.fused_decode_supported(
+            qcfg, self.gen.params["llm"], self.gen.max_cache)
 
         def run(params, text_tokens, n_text, speech_tokens, n_speech):
             d = cfg.llm_input_size
@@ -317,15 +311,8 @@ class CosyLMStreamer:
                                              (0, 2 + n_text, 0))
             shift = total - (2 + n_text + n_speech)
             x = jnp.roll(x, shift, axis=1)
-            if fused:
-                cache = transformer.make_fused_cache(
-                    qcfg, self.gen.max_cache, start=shift)
-                extra = None
-            else:
-                cache = transformer.make_cache(qcfg, 1, self.gen.max_cache)
-                slot = jnp.arange(self.gen.max_cache)
-                extra = jnp.where(slot < shift, -1e30,
-                                  0.0)[None, None, None, :]
+            cache, extra = transformer.decode_cache_and_mask(
+                qcfg, self.gen.max_cache, shift, fused)
             hidden, cache = transformer.forward_hidden(params["llm"], qcfg, x,
                                                        cache, extra)
             logits = layers.linear(params["llm_decoder"],

@@ -247,7 +247,8 @@ class FunASRGenerator:
         lcfg = cfg.llm
         # whole-stack fused decode kernel for the T=1 steps (TPU-gated;
         # the kernel handles Qwen3's per-head q/k norms in-kernel)
-        fused = transformer.fused_decode_supported(lcfg, self.params["llm"])
+        fused = transformer.fused_decode_supported(
+            lcfg, self.params["llm"], self.max_cache)
 
         def run(params, pre_ids, post_ids, feats, feat_len, key):
             audio = encode(params["encoder"], cfg.encoder, feats, feat_len)
@@ -268,15 +269,8 @@ class FunASRGenerator:
             shift = total - n_real
             x = jnp.roll(x, shift, axis=1)
 
-            if fused:
-                cache = transformer.make_fused_cache(lcfg, self.max_cache,
-                                                     start=shift)
-                extra = None
-            else:
-                cache = transformer.make_cache(lcfg, 1, self.max_cache)
-                slot = jnp.arange(self.max_cache)
-                extra = jnp.where(slot < shift, -1e30,
-                                  0.0)[None, None, None, :]
+            cache, extra = transformer.decode_cache_and_mask(
+                lcfg, self.max_cache, shift, fused)
             hidden, cache = transformer.forward_hidden(params["llm"], lcfg, x,
                                                        cache, extra)
             first_logits = transformer.logits(

@@ -99,15 +99,22 @@ class MarvisEngine(TTSEngineBase):
 
         from tpu_audio.ops.pallas import fused_step
 
+        # probe at the REAL cache shapes each path serves: the depth
+        # decoder's tiny per-frame ring, and a representative backbone
+        # ring (prompt bucket + frame budget, engine cache dtype f32)
+        d_len = -(-(cfg.n_codebooks + 1) // 8) * 8
+        bb_len = -(-(64 + 512 + 8 + 8) // 8) * 8
         depth = (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
-                 and fused_step.supported(cfg.decoder, params["decoder"], 1)
-                 and fused_step.probe_compile(cfg.decoder,
-                                              params["decoder"]))
+                 and fused_step.supported(cfg.decoder, params["decoder"], 1,
+                                          d_len, jnp.float32)
+                 and fused_step.probe_compile(cfg.decoder, params["decoder"],
+                                              d_len, jnp.float32))
         bb = (depth and not kv_quantized
               and _os.environ.get("TPU_AUDIO_FUSED_BB", "1") != "0"
-              and fused_step.supported(cfg.backbone, params["backbone"], 1)
-              and fused_step.probe_compile(cfg.backbone,
-                                           params["backbone"]))
+              and fused_step.supported(cfg.backbone, params["backbone"], 1,
+                                       bb_len, jnp.float32)
+              and fused_step.probe_compile(cfg.backbone, params["backbone"],
+                                           bb_len, jnp.float32))
         return depth, bb
 
     @staticmethod
@@ -184,11 +191,15 @@ class MarvisEngine(TTSEngineBase):
                                  top_k=self.top_k,
                                  depth_fused=self._depth_fused)
 
+        # 8-aligned ring: the fused backbone kernel takes (KVH, S, hd)
+        # cache blocks whose sublane dim should stay tile-aligned
+        s_max = -(-(prompt_pad + self.max_frames + self.frame_span + 8)
+                  // 8) * 8
+
         @jax.jit
         def prefill(params, tokens, mask, pad_amount, key):
             cache = transformer.make_cache(
-                cfg.backbone, 1,
-                prompt_pad + self.max_frames + self.frame_span + 8,
+                cfg.backbone, 1, s_max,
                 dtype=jnp.float32, quantized=self.kv_quantized)
             slot = jnp.arange(cache.max_len)
             extra = jnp.where(slot >= pad_amount, 0.0, -1e30)[None, None, None, :]

@@ -215,16 +215,10 @@ class CausalLMGenerator:
             # pos_offset makes RoPE see canonical positions 0,1,2,... so
             # every bucket size yields BIT-identical logits
             off = jnp.reshape(pad_amount, (1,))
-            if fused:
-                cache = transformer.make_fused_cache(cfg, self.max_cache,
-                                                     start=pad_amount)
-                extra = None
-            else:
-                cache = self._constrain_cache(
-                    transformer.make_cache(cfg, 1, self.max_cache))
-                slot = jnp.arange(self.max_cache)
-                extra = jnp.where(slot >= pad_amount, 0.0,
-                                  -1e30)[None, None, None, :]
+            cache, extra = transformer.decode_cache_and_mask(
+                cfg, self.max_cache, pad_amount, fused)
+            if not fused:
+                cache = self._constrain_cache(cache)
             logits, cache = transformer.forward(params, cfg, prompt[None],
                                                 cache, extra_mask=extra,
                                                 axis_name=self._axis,
@@ -385,7 +379,7 @@ class CausalLMGenerator:
         # resolved here (outside jit: the gate compile-probes the kernel)
         d_fused = (draft is not None and self.mesh is None
                    and transformer.fused_decode_supported(
-                       draft.cfg, draft.params))
+                       draft.cfg, draft.params, draft.max_cache))
 
         def run(params, draft_params, prompt, pad_amount, key):
             cache = self._constrain_cache(
@@ -419,16 +413,8 @@ class CausalLMGenerator:
                 # Its sequential T=1/T=2 steps ride the fused whole-stack
                 # kernel when eligible (the TARGET stays on the plain cache:
                 # its chunked gamma+1 verify is a large-T forward).
-                if d_fused:
-                    d_extra = None
-                    d_cache = transformer.make_fused_cache(
-                        dcfg, draft.max_cache, start=pad_amount)
-                else:
-                    d_slot = jnp.arange(draft.max_cache)
-                    d_extra = jnp.where(d_slot >= pad_amount, 0.0,
-                                        -1e30)[None, None, None, :]
-                    d_cache = transformer.make_cache(dcfg, 1,
-                                                     draft.max_cache)
+                d_cache, d_extra = transformer.decode_cache_and_mask(
+                    dcfg, draft.max_cache, pad_amount, d_fused)
                 _, d_cache = transformer.forward(draft_params, dcfg,
                                                  prompt[None], d_cache,
                                                  extra_mask=d_extra,
@@ -507,8 +493,8 @@ class CausalLMGenerator:
     def _fused_ok(self) -> bool:
         """Whole-stack fused decode eligibility (single-chip only)."""
         return (self.mesh is None
-                and transformer.fused_decode_supported(self.cfg_run,
-                                                       self.params))
+                and transformer.fused_decode_supported(
+                    self.cfg_run, self.params, self.max_cache))
 
     def _prefill_fn(self, prompt_pad: int, sampler: SamplerConfig):
         key_ = ("prefill", prompt_pad, sampler)
@@ -518,16 +504,10 @@ class CausalLMGenerator:
         fused = self._fused_ok()
 
         def run(params, prompt, pad_amount, key):
-            if fused:
-                cache = transformer.make_fused_cache(cfg, self.max_cache,
-                                                     start=pad_amount)
-                extra = None
-            else:
-                cache = self._constrain_cache(
-                    transformer.make_cache(cfg, 1, self.max_cache))
-                slot = jnp.arange(self.max_cache)
-                extra = jnp.where(slot >= pad_amount, 0.0,
-                                  -1e30)[None, None, None, :]
+            cache, extra = transformer.decode_cache_and_mask(
+                cfg, self.max_cache, pad_amount, fused)
+            if not fused:
+                cache = self._constrain_cache(cache)
             logits, cache = transformer.forward(params, cfg, prompt[None],
                                                 cache, extra_mask=extra,
                                                 axis_name=self._axis,

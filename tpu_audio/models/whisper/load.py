@@ -145,7 +145,8 @@ def load(model: str = "tiny", quantization: str = "fp16",
     return params, cfg, tok
 
 
-def serve_tree_int8(tree: dict, decoder: bool = True) -> dict:
+def serve_tree_int8(tree: dict, decoder: bool = True,
+                    encoder: bool = True) -> dict:
     """Requantize a loaded whisper tree (group-affine q8/q4 or fp leaves)
     to the per-channel int8 W8A8 serving format.
 
@@ -159,10 +160,11 @@ def serve_tree_int8(tree: dict, decoder: bool = True) -> dict:
     dequantizes rows on the fly. Convs / norms / positions stay fp."""
     from tpu_audio.ops import quant
 
-    enc = quant.requantize_tree_int8(tree["encoder"], fuse=False)
-    enc = quant.quantize_tree_int8(enc,
-                                   predicate=lambda k, v: "blocks" in k)
-    out = {**tree, "encoder": enc}
+    out = {**tree}
+    if encoder:
+        enc = quant.requantize_tree_int8(tree["encoder"], fuse=False)
+        out["encoder"] = quant.quantize_tree_int8(
+            enc, predicate=lambda k, v: "blocks" in k)
     if decoder:
         dec = quant.requantize_tree_int8(tree["decoder"], fuse=False)
         dec = quant.quantize_tree_int8(

@@ -384,8 +384,9 @@ def _forward_fused(params: dict, cfg: TransformerConfig, x: jax.Array,
         # path; tiny t>1 steps — e.g. the speculative draft's 2-token
         # re-deposit — stay in kernel layout instead of paying the
         # full-cache transpose of the prefill fallback below)
-        stack = fs.prepare_stack(
-            params, cfg, grouped=fs.choose_mode(cfg, params) == "grouped")
+        stack = fs.prepare_stack(params, cfg)  # copy-free views
+        grouped = fs.choose_mode(cfg, params, max_len=cache.max_len,
+                                 cache_dtype=cache.k.dtype) == "grouped"
         kc, vc = cache.k, cache.v
         hs = []
         for i in range(t):
@@ -396,7 +397,7 @@ def _forward_fused(params: dict, cfg: TransformerConfig, x: jax.Array,
             cos, sin = fs.make_cos_sin(rope_pos, cfg.inv_freq(), cfg.hd)
             h, kc, vc = fs.fused_decode_step(
                 x[:, i], pos_i, cos, sin, stack, kc, vc,
-                start=cache.start, n_heads=cfg.n_heads,
+                start=cache.start, grouped=grouped, n_heads=cfg.n_heads,
                 n_kv_heads=cfg.kv_heads, hd=cfg.hd, eps=cfg.norm_eps)
             hs.append(h)
         h = jnp.stack(hs, axis=1) if t > 1 else hs[0][:, None]
@@ -423,17 +424,34 @@ def make_fused_cache(cfg: TransformerConfig, max_len: int,
                                dtype, start)
 
 
-def fused_decode_supported(cfg: TransformerConfig, params: dict) -> bool:
+def decode_cache_and_mask(cfg: TransformerConfig, max_len: int, start,
+                          fused: bool, dtype=jnp.bfloat16):
+    """The decode loops' left-padded cache setup, in both serving modes:
+    fused → (FusedKVCache carrying `start`, None); plain → (KVCache,
+    additive mask hiding key slots < start). `start` may be traced."""
+    if fused:
+        return make_fused_cache(cfg, max_len, dtype, start=start), None
+    cache = make_cache(cfg, 1, max_len, dtype)
+    slot = jnp.arange(max_len)
+    extra = jnp.where(slot < start, -1e30, 0.0)[None, None, None, :]
+    return cache, extra
+
+
+def fused_decode_supported(cfg: TransformerConfig, params: dict,
+                           max_len: int = 512,
+                           cache_dtype=jnp.bfloat16) -> bool:
     """Whether the whole-stack fused decode kernel can serve this stack
     single-stream (TPU backend, fused leaves, size/shape constraints, and
-    a memoized compile-and-run probe at the real layer shapes)."""
+    a memoized compile-and-run probe at the REAL shapes — pass the cache
+    length and dtype the decode loop will actually use)."""
     import os
 
     from tpu_audio.ops.pallas import fused_step as fs
 
     if os.environ.get("TPU_AUDIO_FUSED_DECODE", "1") == "0":
         return False
-    return fs.supported(cfg, params, 1) and fs.probe_compile(cfg, params)
+    return (fs.supported(cfg, params, 1, max_len, cache_dtype)
+            and fs.probe_compile(cfg, params, max_len, cache_dtype))
 
 
 def forward(params: dict, cfg: TransformerConfig, tokens: jax.Array,

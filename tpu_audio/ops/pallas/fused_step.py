@@ -1,31 +1,47 @@
 """Fused single-token transformer decode step: the WHOLE layer stack in one
 Pallas kernel launch.
 
-Why: latency-bound tiny-model decode loops (the Marvis depth decoder runs
+Why: latency-bound small-model decode loops (the Marvis depth decoder runs
 4 layers × 31 sequential codebook steps per 12.5 Hz frame — reference
 package/TTS/Marvis/Models/MarvisModel.swift:365-587) spend their time on
-per-op dispatch, not on math or bytes: one XLA decode step of the 4-layer
+per-op dispatch, not on math or bytes: one XLA decode step of a small
 stack issues ~90 small ops (norms, matvecs, rope, cache updates, attention
 pieces), each microseconds of fixed cost on the sequential TPU pipeline.
 This kernel collapses the entire stack to ONE launch per token: grid
-(layers, 1 + hidden_blocks), residual stream carried in VMEM scratch
-across grid steps, weights streamed layer-by-layer from HBM with Pallas'
-double-buffered pipeline (the weight stream — the true lower bound of
-small-batch decode — overlaps the compute of the previous block).
+(layers, attn_phases + hidden_blocks), residual stream carried in VMEM
+scratch across grid steps, weights streamed layer-by-layer from HBM with
+Pallas' double-buffered pipeline (the weight stream — the true lower bound
+of small-batch decode — overlaps the compute of the previous block).
+
+Two grid layouts over the SAME stack arrays (no re-layout, no copies —
+every per-phase weight block is a BlockSpec view into the fused qkv /
+gateup arrays, whose group rows are already contiguous):
+  - plain:   one attention phase covers all kv heads (small models);
+  - grouped: one attention phase per kv-head group, with the o projection
+    accumulated across phases (per-output-channel scales factor out of
+    the partial sums exactly) — large models (1B/3B) whose qkv/o blocks
+    would otherwise blow the ~16 MB/core VMEM budget.
+`choose_mode` picks the layout; `probe_compile` compile-checks the REAL
+shapes (incl. the caller's cache length/dtype) before any decode graph
+commits to the kernel.
+
+The KV cache is INPUT-only: attention handles the current token's k/v as
+an online-softmax fresh term, and the kernel emits just the (L, KVH, 1,
+hd) new slot, which the wrapper scatters into the cache with one XLA
+dynamic_update_slice — no full-cache write-back per token.
 
 Semantics match nn/transformer.forward_hidden for the supported subset:
-rms-norm, no-bias fused qkv, half-split RoPE (cos/sin computed outside at
-the step position), GQA attention over a (KVH, S_pad, hd) cache, swiglu
-MLP, final stack norm. Weights are either fp (bf16/f32) or per-channel
-int8 (ops/quant.quantize_array_int8): int8 codes are cast raw to the
-compute dtype inside the kernel and the per-output-channel scale is
-applied to the dot OUTPUT — activations stay exact (higher fidelity than
-the W8A8 XLA fallback's int8 activations) at the same 1 byte/weight HBM
-stream.
+rms-norm, fused qkv (optional Qwen2 bias), optional Qwen3 per-head q/k
+rms, half-split RoPE (cos/sin computed outside at the step position), GQA
+attention over a (KVH, S_pad, hd) cache, swiglu MLP, final stack norm.
+Weights are either fp (bf16/f32) or per-channel int8
+(ops/quant.quantize_array_int8): int8 codes are cast raw to the compute
+dtype inside the kernel and the per-output-channel scale applies to the
+dot OUTPUT — activations stay exact at 1 byte/weight of HBM stream.
 
-Batch handling: the kernel is built for the B=1 latency case; the row axis
-is padded to 8 sublanes and only row 0 carries data (pad rows are zeros
-through every op: rms(0)=0, dot(0)=0).
+Batch handling: built for the B=1 latency case; the row axis is padded to
+8 sublanes and only row 0 carries data (pad rows are zeros through every
+op: rms(0)=0, dot(0)=0).
 """
 
 from __future__ import annotations
@@ -61,16 +77,19 @@ def _rms(x, w, eps):
 
 
 def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
-            wqkv_ref, sqkv_ref, bqkv_ref, qknorm_ref, wo_ref, so_ref,
+            wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+            wv_ref, sv_ref, bv_ref, qknorm_ref, wo_ref, so_ref,
             wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
             kin_ref, vin_ref,
-            hout_ref, kout_ref, vout_ref,
-            x_s, hn2_s, acc_s, *,
-            n_heads, n_kv_heads, hd, eps, hb, l_total, compute_dtype,
+            hout_ref, knew_ref, vnew_ref,
+            x_s, hn1_s, hn2_s, oacc_s, acc_s, *,
+            n_heads, n_kv_heads, gpp, hd, eps, l_total, compute_dtype,
             qkv_bias, qk_norm):
     lyr = pl.program_id(0)
     ph = pl.program_id(1)
     n_ph = pl.num_programs(1)
+    n_attn_ph = n_kv_heads // gpp
+    group = n_heads // n_kv_heads
     pos = pos_ref[0]
     start = pos_ref[1]  # first valid key slot (left-padded prompts)
     cd = compute_dtype
@@ -80,16 +99,26 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
         x_s[...] = x_ref[...].astype(jnp.float32)
 
     @pl.when(ph == 0)
+    def _layer_start():
+        hn1_s[...] = _rms(x_s[...], ln1_ref[0].astype(jnp.float32), eps)
+        oacc_s[...] = jnp.zeros_like(oacc_s)
+
+    @pl.when(ph < n_attn_ph)
     def _attn():
-        x = x_s[...]                                        # (ROWS, D) f32
-        hn = _rms(x, ln1_ref[0].astype(jnp.float32), eps)
-        qkv = jax.lax.dot_general(
-            hn.astype(cd), wqkv_ref[0].astype(cd),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (ROWS, QO)
-        qkv = qkv * sqkv_ref[0][None, :]
-        if qkv_bias:
-            qkv = qkv + bqkv_ref[0][None, :]
+        hn = hn1_s[...].astype(cd)                          # (ROWS, D)
+
+        def proj(w_ref, s_ref, b_ref):
+            y = jax.lax.dot_general(
+                hn, w_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = y * s_ref[0][None, :]
+            if qkv_bias:
+                y = y + b_ref[0][None, :]
+            return y
+
+        q = proj(wq_ref, sq_ref, bq_ref)                    # (ROWS, gpp*G*hd)
+        k = proj(wk_ref, sk_ref, bk_ref)                    # (ROWS, gpp*hd)
+        v = proj(wv_ref, sv_ref, bv_ref)
 
         cos = cos_ref[0].astype(jnp.float32)                # (hd,)
         sin = sin_ref[0].astype(jnp.float32)
@@ -97,59 +126,61 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
 
         def rot(vec, which=0):                              # (rows, hd) f32
             if qk_norm:  # Qwen3: per-head rms before rope; qknorm (1,2,hd)
-                # holds the layer's q_norm (row 0) / k_norm (row 1) weights
                 vec = _rms(vec, qknorm_ref[0, which].astype(jnp.float32),
                            eps)
             r = jnp.concatenate([-vec[:, half:], vec[:, :half]], axis=1)
             return vec * cos[None, :] + r * sin[None, :]
 
-        group = n_heads // n_kv_heads
         scale = hd ** -0.5
-        k_off = n_heads * hd
-        v_off = (n_heads + n_kv_heads) * hd
-
-        # cache write (row 0 only) via ref stores at the dynamic slot —
-        # the documented Mosaic idiom; attention reads back through the
-        # cache dtype exactly like the XLA path's buffer round-trip
-        kout_ref[...] = kin_ref[...]
-        vout_ref[...] = vin_ref[...]
         outs = []
-        for g in range(n_kv_heads):
-            kg_new = rot(qkv[0:1, k_off + g * hd:k_off + (g + 1) * hd],
-                         which=1)
-            vg_new = qkv[0:1, v_off + g * hd:v_off + (g + 1) * hd]
-            kout_ref[0, g, pl.ds(pos, 1), :] = kg_new.astype(kout_ref.dtype)
-            vout_ref[0, g, pl.ds(pos, 1), :] = vg_new.astype(vout_ref.dtype)
-            kbuf = kout_ref[0, g].astype(jnp.float32)       # (S_pad, hd)
-            vbuf = vout_ref[0, g].astype(jnp.float32)
+        for gi in range(gpp):
+            k_g = rot(k[0:1, gi * hd:(gi + 1) * hd], which=1)   # (1, hd)
+            v_g = v[0:1, gi * hd:(gi + 1) * hd]
+            knew_ref[0, gi] = k_g.astype(knew_ref.dtype)
+            vnew_ref[0, gi] = v_g.astype(vnew_ref.dtype)
+            kbuf = kin_ref[0, gi].astype(jnp.float32)           # (S_pad, hd)
+            vbuf = vin_ref[0, gi].astype(jnp.float32)
             qg = jnp.concatenate(
-                [rot(qkv[0:1, h * hd:(h + 1) * hd])
-                 for h in range(g * group, (g + 1) * group)], axis=0)
-            scores = jax.lax.dot_general(
-                qg * scale, kbuf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (group, S_pad)
-            spos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where((spos >= start) & (spos <= pos),
-                               scores, -1e30)
-            m = jnp.max(scores, axis=1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
-            og = jax.lax.dot_general(
-                p.astype(cd), vbuf.astype(cd), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (group, hd)
+                [rot(q[0:1, (gi * group + j) * hd:
+                           (gi * group + j + 1) * hd])
+                 for j in range(group)], axis=0) * scale        # (G, hd)
+            # history scores over [start, pos) + the CURRENT token as an
+            # online-softmax fresh term (slot `pos` of the input cache is
+            # stale — the new k/v leave the kernel via knew/vnew instead
+            # of a full-cache write-back)
+            s_hist = jax.lax.dot_general(
+                qg, kbuf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (G, S_pad)
+            spos = jax.lax.broadcasted_iota(jnp.int32, s_hist.shape, 1)
+            s_hist = jnp.where((spos >= start) & (spos < pos),
+                               s_hist, -1e30)
+            s_fresh = jnp.sum(qg * k_g, axis=1, keepdims=True)  # (G, 1)
+            m = jnp.maximum(jnp.max(s_hist, axis=1, keepdims=True), s_fresh)
+            e_h = jnp.exp(s_hist - m)
+            e_f = jnp.exp(s_fresh - m)
+            den = jnp.sum(e_h, axis=1, keepdims=True) + e_f
+            o_hist = jax.lax.dot_general(
+                (e_h / den).astype(cd), vbuf.astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (G, hd)
+            og = o_hist + (e_f / den) * v_g.astype(jnp.float32)
             outs.extend(og[j:j + 1] for j in range(group))
-        attn_row = jnp.concatenate(outs, axis=1)            # (1, H*hd)
-        o = jax.lax.dot_general(
-            attn_row.astype(cd), wo_ref[0].astype(cd),
+        flat = jnp.concatenate(outs, axis=1)                # (1, gpp*G*hd)
+        part = jax.lax.dot_general(
+            flat.astype(cd), wo_ref[0].astype(cd),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (1, D)
-        o = o * so_ref[0][None, :]
-        x_s[0:1, :] = x[0:1] + o
-        x = x_s[...]
-        hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
-        acc_s[...] = jnp.zeros_like(acc_s)
+        oacc_s[0:1] += part
 
-    @pl.when(ph > 0)
+        @pl.when(ph == n_attn_ph - 1)
+        def _attn_done():
+            o = oacc_s[0:1] * so_ref[0][None, :]
+            x_s[0:1, :] = x_s[0:1, :] + o
+            x = x_s[...]
+            hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
+            acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ph >= n_attn_ph)
     def _mlp():
         hn2 = hn2_s[...].astype(cd)                         # (ROWS, D)
         g = jax.lax.dot_general(
@@ -174,124 +205,6 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
                     x, normw_ref[0].astype(jnp.float32), eps)
 
 
-def _kernel_grouped(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref,
-                    normw_ref, wqkv_ref, sqkv_ref, bqkv_ref, qknorm_ref,
-                    wo_ref, so_ref, wg_ref, sg_ref, wu_ref, su_ref,
-                    wd_ref, sd_ref, kin_ref, vin_ref,
-                    hout_ref, kout_ref, vout_ref,
-                    x_s, hn1_s, hn2_s, oacc_s, acc_s, *,
-                    n_heads, n_kv_heads, hd, eps, hb, l_total,
-                    compute_dtype, qkv_bias, qk_norm):
-    """Large-model variant: the attention phase splits per kv-head group
-    so no single weight block exceeds the VMEM budget. qkv rows arrive
-    group-major (prepare_stack(grouped=True)): per group g the block is
-    [q rows of its G heads | k rows | v rows] = (G+2)*hd rows; wo arrives
-    column-grouped (L, KVH, D, G*hd) and o accumulates across phases
-    (per-output-channel scales factor out of the partial sums exactly)."""
-    lyr = pl.program_id(0)
-    ph = pl.program_id(1)
-    n_ph = pl.num_programs(1)
-    pos = pos_ref[0]
-    start = pos_ref[1]
-    cd = compute_dtype
-    group = n_heads // n_kv_heads
-
-    @pl.when((lyr == 0) & (ph == 0))
-    def _init():
-        x_s[...] = x_ref[...].astype(jnp.float32)
-
-    @pl.when(ph == 0)
-    def _layer_start():
-        hn1_s[...] = _rms(x_s[...], ln1_ref[0].astype(jnp.float32), eps)
-        oacc_s[...] = jnp.zeros_like(oacc_s)
-
-    @pl.when(ph < n_kv_heads)
-    def _attn_group():
-        hn = hn1_s[...].astype(cd)                          # (ROWS, D)
-        qkv = jax.lax.dot_general(
-            hn, wqkv_ref[0, 0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (ROWS, R)
-        qkv = qkv * sqkv_ref[0, 0][None, :]
-        if qkv_bias:
-            qkv = qkv + bqkv_ref[0, 0][None, :]
-
-        cos = cos_ref[0].astype(jnp.float32)
-        sin = sin_ref[0].astype(jnp.float32)
-        half = hd // 2
-
-        def rot(vec, which=0):
-            if qk_norm:
-                vec = _rms(vec, qknorm_ref[0, which].astype(jnp.float32),
-                           eps)
-            r = jnp.concatenate([-vec[:, half:], vec[:, :half]], axis=1)
-            return vec * cos[None, :] + r * sin[None, :]
-
-        k_off = group * hd
-        v_off = (group + 1) * hd
-        kg_new = rot(qkv[0:1, k_off:k_off + hd], which=1)
-        vg_new = qkv[0:1, v_off:v_off + hd]
-        kout_ref[...] = kin_ref[...]
-        vout_ref[...] = vin_ref[...]
-        kout_ref[0, 0, pl.ds(pos, 1), :] = kg_new.astype(kout_ref.dtype)
-        vout_ref[0, 0, pl.ds(pos, 1), :] = vg_new.astype(vout_ref.dtype)
-        kbuf = kout_ref[0, 0].astype(jnp.float32)
-        vbuf = vout_ref[0, 0].astype(jnp.float32)
-
-        qg = jnp.concatenate(
-            [rot(qkv[0:1, h * hd:(h + 1) * hd]) for h in range(group)],
-            axis=0)                                         # (G, hd)
-        scores = jax.lax.dot_general(
-            qg * (hd ** -0.5), kbuf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (G, S_pad)
-        spos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where((spos >= start) & (spos <= pos), scores, -1e30)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        og = jax.lax.dot_general(
-            p.astype(cd), vbuf.astype(cd), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (G, hd)
-        flat = jnp.concatenate([og[j:j + 1] for j in range(group)],
-                               axis=1)                      # (1, G*hd)
-        part = jax.lax.dot_general(
-            flat.astype(cd), wo_ref[0, 0].astype(cd),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (1, D)
-        oacc_s[0:1] += part
-
-        @pl.when(ph == n_kv_heads - 1)
-        def _attn_done():
-            o = oacc_s[0:1] * so_ref[0][None, :]
-            x_s[0:1, :] = x_s[0:1, :] + o
-            x = x_s[...]
-            hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
-            acc_s[...] = jnp.zeros_like(acc_s)
-
-    @pl.when(ph >= n_kv_heads)
-    def _mlp():
-        hn2 = hn2_s[...].astype(cd)
-        g = jax.lax.dot_general(
-            hn2, wg_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sg_ref[0][None, :]
-        u = jax.lax.dot_general(
-            hn2, wu_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * su_ref[0][None, :]
-        act = (g * jax.lax.logistic(g)) * u
-        acc_s[...] += jax.lax.dot_general(
-            act.astype(cd), wd_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        @pl.when(ph == n_ph - 1)
-        def _layer_end():
-            x = x_s[...] + acc_s[...] * sd_ref[0][None, :]
-            x_s[...] = x
-
-            @pl.when(lyr == l_total - 1)
-            def _emit():
-                hout_ref[...] = _rms(
-                    x, normw_ref[0].astype(jnp.float32), eps)
-
-
 try:  # import at module scope for the kernel body above
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -302,11 +215,11 @@ except Exception:  # pragma: no cover - pallas always ships with jax here
 
 @functools.partial(
     jax.jit, static_argnames=("n_heads", "n_kv_heads", "hd", "eps",
-                              "hidden_block", "interpret"))
+                              "grouped", "interpret"))
 def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
-                      start=0,
+                      start=0, grouped: bool = False,
                       n_heads: int, n_kv_heads: int, hd: int,
-                      eps: float = 1e-5, hidden_block: int = 512,
+                      eps: float = 1e-5,
                       interpret: bool = False):
     """One token through the whole stacked layer set, one kernel launch.
 
@@ -314,151 +227,73 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     position; callers with offsets fold them into cos/sin); cos/sin (1, hd)
     f32 for this position (half-split duplicated layout, see
     nn/rope.apply_rope); stack: prepare_stack() output; k/v_cache
-    (L, KVH, S_pad, hd) in x.dtype; start () int32 first valid key slot
-    (left-padded prompt masking — slots < start never attend). Returns
-    (h (1, D) f32 after the final stack norm, new k_cache, new v_cache).
+    (L, KVH, S_pad, hd) in the cache dtype; start () int32 first valid key
+    slot (left-padded prompt masking — slots < start never attend);
+    grouped: one attention phase per kv group (large models — see
+    choose_mode). Returns (h (1, D) f32 after the final stack norm, new
+    k_cache, new v_cache) — the caches are updated with one XLA scatter of
+    the kernel's (L, KVH, 1, hd) fresh-slot outputs.
     """
-    if "wqkv_g" in stack:
-        return _fused_step_grouped(
-            x, pos, cos, sin, stack, k_cache, v_cache, start=start,
-            n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd, eps=eps,
-            hidden_block=hidden_block, interpret=interpret)
     l_total, qo, d = stack["wqkv"].shape[:3]
     hidden = stack["wgateup"].shape[1] // 2  # gate rows then up rows
-    hb = _pick_hb(hidden, hidden_block)
+    hb = _grouped_hb(d, hidden) if grouped else _pick_hb(hidden, 512)
     n_hb = hidden // hb
     cd = x.dtype
+    h_, kvh = n_heads, n_kv_heads
+    gpp = 1 if grouped else kvh  # kv groups per attention phase
+    n_attn_ph = kvh // gpp
+    g = h_ // kvh
+    q_blk = gpp * g * hd  # q rows per phase (contiguous in the fused qkv)
+    k_blk = gpp * hd
 
     xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
     s_pad = k_cache.shape[2]
 
-    grid = (l_total, 1 + n_hb)
+    grid = (l_total, n_attn_ph + n_hb)
     kernel = functools.partial(
-        _kernel, n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd, eps=eps,
-        hb=hb, l_total=l_total, compute_dtype=cd,
+        _kernel, n_heads=h_, n_kv_heads=kvh, gpp=gpp, hd=hd, eps=eps,
+        l_total=l_total, compute_dtype=cd,
         qkv_bias="bqkv" in stack, qk_norm="qknorm" in stack)
+    wqkv = stack["wqkv"]
+    sqkv = stack["sqkv"]
     bqkv = stack.get("bqkv")
     if bqkv is None:
         bqkv = jnp.zeros((l_total, qo), jnp.float32)
     qknorm = stack.get("qknorm")
     if qknorm is None:
         qknorm = jnp.ones((l_total, 2, hd), jnp.float32)
-
     gateup = stack["wgateup"]
-    up_row0 = hidden // hb  # up rows start at block index n_hb
 
-    def attn_blk(shape):
-        return pl.BlockSpec(shape, lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
+    # block index (in block units) where the k / v row regions start inside
+    # the fused qkv array's output rows: [q (H*hd) | k (KVH*hd) | v]
+    k_row0 = h_ * hd // k_blk        # = H // gpp, integral under GQA
+    v_row0 = (h_ + kvh) * hd // k_blk
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
-            pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # cos
-            pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # sin
-            attn_blk((1, d)),                                     # ln1
-            attn_blk((1, d)),                                     # ln2
-            pl.BlockSpec((1, d), lambda l, p, s: (0, 0)),         # norm
-            attn_blk((1, qo, d)),                                 # wqkv
-            attn_blk((1, qo)),                                    # sqkv
-            attn_blk((1, qo)),                                    # bqkv
-            attn_blk((1, 2, hd)),                                 # qk norms
-            attn_blk((1, d, n_heads * hd)),                       # wo
-            attn_blk((1, d)),                                     # so
-            pl.BlockSpec(                                         # gate view
-                (1, hb, d),
-                lambda l, p, s: (l, jnp.maximum(p - 1, 0), 0)),
-            pl.BlockSpec((1, hb),
-                         lambda l, p, s: (l, jnp.maximum(p - 1, 0))),
-            pl.BlockSpec(                                         # up view
-                (1, hb, d),
-                lambda l, p, s: (l, up_row0 + jnp.maximum(p - 1, 0), 0)),
-            pl.BlockSpec((1, hb),
-                         lambda l, p, s: (l, up_row0 + jnp.maximum(p - 1, 0))),
-            pl.BlockSpec(                                         # down
-                (1, d, hb),
-                lambda l, p, s: (l, 0, jnp.maximum(p - 1, 0))),
-            attn_blk((1, d)),                                     # sdown
-            attn_blk((1, n_kv_heads, s_pad, hd)),                 # k cache
-            attn_blk((1, n_kv_heads, s_pad, hd)),                 # v cache
-        ],
-        out_specs=[
-            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),
-            attn_blk((1, n_kv_heads, s_pad, hd)),
-            attn_blk((1, n_kv_heads, s_pad, hd)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ROWS, d), jnp.float32),   # residual stream
-            pltpu.VMEM((ROWS, d), jnp.float32),   # post-attn norm
-            pltpu.VMEM((ROWS, d), jnp.float32),   # mlp accumulator
-        ],
-    )
-    h, kc, vc = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ROWS, d), jnp.float32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ],
-        interpret=interpret,
-    )(jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
-                 jnp.asarray(start, jnp.int32).reshape(())]),
-      xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
-      stack["wqkv"], stack["sqkv"], bqkv, qknorm,
-      stack["wo"], stack["so"],
-      gateup, stack["sgate"], gateup, stack["sup"],
-      stack["wdown"], stack["sdown"], k_cache, v_cache)
-    return h[0:1], kc, vc
-
-
-def _fused_step_grouped(x, pos, cos, sin, stack, k_cache, v_cache, *,
-                        start, n_heads, n_kv_heads, hd, eps, hidden_block,
-                        interpret):
-    del hidden_block  # the grouped layout uses the shared dim policy
-    l_total, kvh, r, d = stack["wqkv_g"].shape
-    hidden = stack["wgateup"].shape[1] // 2
-    hb = _grouped_hb(d, hidden)
-    n_hb = hidden // hb
-    cd = x.dtype
-    xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
-    s_pad = k_cache.shape[2]
-    gdim = (n_heads // n_kv_heads) * hd
-
-    grid = (l_total, n_kv_heads + n_hb)
-    kernel = functools.partial(
-        _kernel_grouped, n_heads=n_heads, n_kv_heads=n_kv_heads, hd=hd,
-        eps=eps, hb=hb, l_total=l_total, compute_dtype=cd,
-        qkv_bias="bqkv_g" in stack, qk_norm="qknorm" in stack)
-    bqkv = stack.get("bqkv_g")
-    if bqkv is None:
-        bqkv = jnp.zeros((l_total, kvh, r), jnp.float32)
-    qknorm = stack.get("qknorm")
-    if qknorm is None:
-        qknorm = jnp.ones((l_total, 2, hd), jnp.float32)
-
-    def attn_blk(shape):
+    def a(shape):  # per-layer block, constant across phases
         return pl.BlockSpec(shape,
                             lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
 
-    def grp(shape):  # per-kv-group blocks, clamped during MLP phases
-        return pl.BlockSpec(
-            shape, lambda l, p, s: (l, jnp.minimum(p, n_kv_heads - 1))
-            + (0,) * (len(shape) - 2))
-
-    def mlp_blk(shape, row0=0):
+    def aph(shape, row0=0):  # per-attention-phase block (clamped in MLP)
         return pl.BlockSpec(
             shape, lambda l, p, s: (
-                l, row0 + jnp.clip(p - n_kv_heads, 0, n_hb - 1))
+                l, row0 + jnp.minimum(p, n_attn_ph - 1))
             + (0,) * (len(shape) - 2))
 
-    def mlp_col(shape):  # down: contraction blocks on the last axis
+    def ocol(shape):  # wo column blocks per attention phase
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l, 0, jnp.minimum(p, n_attn_ph - 1)))
+
+    def mrow(shape, row0=0):  # hidden blocks during MLP phases
         return pl.BlockSpec(
             shape, lambda l, p, s: (
-                l, 0, jnp.clip(p - n_kv_heads, 0, n_hb - 1)))
+                l, row0 + jnp.clip(p - n_attn_ph, 0, n_hb - 1))
+            + (0,) * (len(shape) - 2))
 
-    gateup = stack["wgateup"]
+    def mcol(shape):  # down: contraction blocks on the last axis
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (
+                l, 0, jnp.clip(p - n_attn_ph, 0, n_hb - 1)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -466,28 +301,34 @@ def _fused_step_grouped(x, pos, cos, sin, stack, k_cache, v_cache, *,
             pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
             pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # cos
             pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # sin
-            attn_blk((1, d)),                                     # ln1
-            attn_blk((1, d)),                                     # ln2
+            a((1, d)),                                            # ln1
+            a((1, d)),                                            # ln2
             pl.BlockSpec((1, d), lambda l, p, s: (0, 0)),         # norm
-            grp((1, 1, r, d)),                                    # wqkv_g
-            grp((1, 1, r)),                                       # sqkv_g
-            grp((1, 1, r)),                                       # bqkv_g
-            attn_blk((1, 2, hd)),                                 # qk norms
-            grp((1, 1, d, gdim)),                                 # wo_g
-            attn_blk((1, d)),                                     # so
-            mlp_blk((1, hb, d)),                                  # gate view
-            mlp_blk((1, hb)),                                     # sgate
-            mlp_blk((1, hb, d), row0=n_hb),                       # up view
-            mlp_blk((1, hb), row0=n_hb),                          # sup
-            mlp_col((1, d, hb)),                                  # down
-            attn_blk((1, d)),                                     # sdown
-            grp((1, 1, s_pad, hd)),                               # k cache
-            grp((1, 1, s_pad, hd)),                               # v cache
+            aph((1, q_blk, d)),                                   # wq view
+            aph((1, q_blk)),                                      # sq
+            aph((1, q_blk)),                                      # bq
+            aph((1, k_blk, d), row0=k_row0),                      # wk view
+            aph((1, k_blk), row0=k_row0),                         # sk
+            aph((1, k_blk), row0=k_row0),                         # bk
+            aph((1, k_blk, d), row0=v_row0),                      # wv view
+            aph((1, k_blk), row0=v_row0),                         # sv
+            aph((1, k_blk), row0=v_row0),                         # bv
+            a((1, 2, hd)),                                        # qk norms
+            ocol((1, d, q_blk)),                                  # wo view
+            a((1, d)),                                            # so
+            mrow((1, hb, d)),                                     # gate view
+            mrow((1, hb)),                                        # sgate
+            mrow((1, hb, d), row0=n_hb),                          # up view
+            mrow((1, hb), row0=n_hb),                             # sup
+            mcol((1, d, hb)),                                     # down
+            a((1, d)),                                            # sdown
+            aph((1, gpp, s_pad, hd)),                             # k cache
+            aph((1, gpp, s_pad, hd)),                             # v cache
         ],
         out_specs=[
             pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),
-            grp((1, 1, s_pad, hd)),
-            grp((1, 1, s_pad, hd)),
+            aph((1, gpp, 1, hd)),                                 # k new
+            aph((1, gpp, 1, hd)),                                 # v new
         ],
         scratch_shapes=[
             pltpu.VMEM((ROWS, d), jnp.float32),   # residual stream
@@ -497,38 +338,37 @@ def _fused_step_grouped(x, pos, cos, sin, stack, k_cache, v_cache, *,
             pltpu.VMEM((ROWS, d), jnp.float32),   # mlp accumulator
         ],
     )
-    h, kc, vc = pl.pallas_call(
+    h, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ROWS, d), jnp.float32),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((l_total, kvh, 1, hd), k_cache.dtype),
+            jax.ShapeDtypeStruct((l_total, kvh, 1, hd), v_cache.dtype),
         ],
         interpret=interpret,
     )(jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
                  jnp.asarray(start, jnp.int32).reshape(())]),
       xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
-      stack["wqkv_g"], stack["sqkv_g"], bqkv, qknorm,
-      stack["wo_g"], stack["so"],
+      wqkv, sqkv, bqkv, wqkv, sqkv, bqkv, wqkv, sqkv, bqkv, qknorm,
+      stack["wo"], stack["so"],
       gateup, stack["sgate"], gateup, stack["sup"],
       stack["wdown"], stack["sdown"], k_cache, v_cache)
-    return h[0:1], kc, vc
+    # one in-place scatter of the fresh slot (donated/carried buffers)
+    at = (0, 0, jnp.asarray(pos, jnp.int32), 0)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, at)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, at)
+    return h[0:1], k_cache, v_cache
 
 
-def prepare_stack(params: dict, cfg, grouped: bool = False) -> dict:
+def prepare_stack(params: dict, cfg) -> dict:
     """Stacked layer params (nn/transformer init_params layout, fp fused or
     int8 fused leaves) → the flat array dict the kernel streams.
 
-    fp leaves keep their dtype and get unit scales; int8 leaves pass codes +
-    per-channel scales. gate/up ride as ONE (L, 2*hidden, D) array consumed
-    through two BlockSpec views (gate rows first — ops/quant.fuse_int8_tree
-    and nn/transformer.fuse_fp_tree both concat gate before up).
-
-    grouped=True reorders qkv rows kv-group-major ([q heads of group |
-    its k | its v] per group) and splits wo into per-group column blocks —
-    the large-model layout whose attention phase streams one group at a
-    time (per-channel scales/biases reorder with their rows exactly)."""
+    Copy-free: every per-phase weight block is a BlockSpec VIEW into these
+    arrays (qkv row regions and gate/up halves are contiguous), so this
+    runs safely inside traced decode bodies. fp leaves keep their dtype
+    and get unit scales; int8 leaves pass codes + per-channel scales."""
     lp = params["layers"]
     attn, mlp = lp["attn"], lp["mlp"]
     if "qkv" not in attn or "gateup" not in mlp:
@@ -567,28 +407,6 @@ def prepare_stack(params: dict, cfg, grouped: bool = False) -> dict:
         out["qknorm"] = jnp.stack(
             [attn["q_norm"]["weight"], attn["k_norm"]["weight"]],
             axis=1).astype(jnp.float32)
-
-    if grouped:
-        h, kvh, hd = cfg.n_heads, cfg.kv_heads, cfg.hd
-        g = h // kvh
-        l = wqkv.shape[0]
-
-        def regroup_rows(a):  # (L, QO, ...) -> (L, KVH, (G+2)*hd, ...)
-            tail = a.shape[2:]
-            q = a[:, :h * hd].reshape((l, kvh, g * hd) + tail)
-            k = a[:, h * hd:(h + kvh) * hd].reshape((l, kvh, hd) + tail)
-            v = a[:, (h + kvh) * hd:].reshape((l, kvh, hd) + tail)
-            return jnp.concatenate([q, k, v], axis=2)
-
-        out["wqkv_g"] = regroup_rows(out.pop("wqkv"))
-        out["sqkv_g"] = regroup_rows(out.pop("sqkv"))
-        if "bqkv" in out:
-            out["bqkv_g"] = regroup_rows(out.pop("bqkv"))
-        # wo columns split per group: (L, D, H*hd) -> (L, KVH, D, G*hd)
-        wo = out.pop("wo")
-        d = wo.shape[1]
-        out["wo_g"] = jnp.moveaxis(
-            wo.reshape(l, d, kvh, g * hd), 2, 1)
     return out
 
 
@@ -603,29 +421,38 @@ def make_cos_sin(pos, inv_freq, hd: int):
 _PROBE_MEMO: dict = {}
 
 
-def probe_compile(cfg, params: dict) -> bool:
-    """Compile-and-run the kernel once at this stack's real layer shapes
-    before callers commit their decode graphs to it: Mosaic compiles per
-    backend, and a lowering failure inside a jitted decode loop would
-    otherwise surface mid-generation with no fallback. Memoized per
-    (config, weight shape/dtype) signature."""
+def probe_compile(cfg, params: dict, max_len: int = 512,
+                  cache_dtype=jnp.bfloat16) -> bool:
+    """Compile-and-run the kernel once at this stack's REAL shapes — incl.
+    the caller's cache length and dtype — before callers commit their
+    decode graphs to it: Mosaic compiles per backend, and a lowering
+    failure inside a jitted decode loop would otherwise surface
+    mid-generation with no fallback. Memoized per (config, weight
+    signature, cache signature)."""
     lp = params["layers"]
     w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
     if isinstance(w, jax.core.Tracer):
         # called under trace (gates must resolve at closure-build time);
         # refuse without poisoning the memo
         return False
-    sig = (cfg, w.shape, str(w.dtype))
+    cache_dtype = jnp.dtype(cache_dtype)
+    sig = (cfg, w.shape, str(w.dtype), max_len, cache_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
+    mode = choose_mode(cfg, params, max_len=max_len,
+                       cache_dtype=cache_dtype)
+    if mode is None:
+        _PROBE_MEMO[sig] = False
+        return False
     try:
-        stack = prepare_stack(params, cfg,
-                              grouped=choose_mode(cfg, params) == "grouped")
-        kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, 8, cfg.hd), jnp.float32)
+        stack = prepare_stack(params, cfg)
+        kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, max_len, cfg.hd),
+                       cache_dtype)
         cos = jnp.ones((1, cfg.hd), jnp.float32)
         h, _, _ = fused_decode_step(
             jnp.zeros((1, cfg.dim), jnp.float32), 0, cos, cos * 0,
-            stack, kc, kc, n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
+            stack, kc, kc, grouped=mode == "grouped",
+            n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
             hd=cfg.hd, eps=cfg.norm_eps)
         import numpy as _np
 
@@ -639,11 +466,14 @@ def probe_compile(cfg, params: dict) -> bool:
     return ok
 
 
-def choose_mode(cfg, params: dict, batch: int = 1) -> str | None:
+def choose_mode(cfg, params: dict, batch: int = 1, max_len: int = 512,
+                cache_dtype=jnp.bfloat16) -> str | None:
     """Kernel applicability + layout choice for a TransformerConfig and
     stacked params: "plain" (one attention phase — small models),
     "grouped" (per-kv-group attention phases — large models whose qkv/o
-    blocks would blow the ~16 MB VMEM budget), or None."""
+    blocks would blow the ~16 MB VMEM budget), or None. The estimates are
+    coarse sanity bounds — probe_compile is the ground truth (Mosaic
+    raises on a real VMEM overflow and the caller falls back)."""
     try:
         if jax.default_backend() not in ("tpu", "axon"):
             return None
@@ -666,22 +496,27 @@ def choose_mode(cfg, params: dict, batch: int = 1) -> str | None:
     item = w.dtype.itemsize
     qo = w.shape[1]
     d, h_, kvh, hd = cfg.dim, cfg.n_heads, cfg.kv_heads, cfg.hd
-    # double-buffered attention blocks of the single-phase layout
-    attn_bytes = (qo * d + d * h_ * hd) * item * 2
-    if attn_bytes <= 10 * 2 ** 20:
+    cache_item = jnp.dtype(cache_dtype).itemsize
+    # double-buffered attention-phase blocks of the single-phase layout:
+    # full qkv + wo + all kv-group cache blocks
+    cache_all = kvh * max_len * hd * cache_item
+    hb_p = _pick_hb(cfg.hidden_dim, 512)
+    plain_bytes = ((qo * d + d * h_ * hd) * item + 2 * cache_all
+                   + 3 * hb_p * d * item) * 2
+    if plain_bytes <= 12 * 2 ** 20:
         return "plain"
-    # grouped layout: per-phase blocks are one kv group's qkv rows + its
-    # wo column block (+ hidden blocks). This is a coarse sanity bound —
-    # probe_compile is the ground truth (Mosaic raises on a real VMEM
-    # overflow and the caller falls back to the plain path).
+    # grouped layout: per-phase blocks are one kv group's qkv row views +
+    # its wo column block + its cache blocks (+ hidden blocks)
     g = h_ // kvh
-    r = (g + 2) * hd
+    cache_one = max_len * hd * cache_item
     hb = _grouped_hb(d, cfg.hidden_dim)
-    grouped_bytes = (r * d + d * g * hd + 3 * hb * d) * item * 2.5
+    grouped_bytes = (((g + 2) * hd * d + d * g * hd + 3 * hb * d) * item
+                     + 2 * cache_one) * 2.5
     if grouped_bytes <= 14 * 2 ** 20:
         return "grouped"
     return None
 
 
-def supported(cfg, params: dict, batch: int) -> bool:
-    return choose_mode(cfg, params, batch) is not None
+def supported(cfg, params: dict, batch: int, max_len: int = 512,
+              cache_dtype=jnp.bfloat16) -> bool:
+    return choose_mode(cfg, params, batch, max_len, cache_dtype) is not None
