@@ -736,3 +736,65 @@ class TestFusedKVCache:
                                             pos_offset=off)
         np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_p),
                                    rtol=5e-4, atol=5e-5)
+
+
+class TestFusedWhisperStep:
+    """Whole-decoder whisper step kernel (ops/pallas/fused_whisper_step.py):
+    self-attention (scaled-key cache, online-softmax fresh term), int8
+    cross-attention (scales folded into q / the output), LN/GELU MLPs and
+    the final LN — vs the plain decode_step over a greedy rollout."""
+
+    def _roll(self, fused: bool, monkeypatch, rng, quantize=True):
+        import functools
+
+        import jax as _jax
+
+        from tpu_audio.models.whisper import load as wload
+        from tpu_audio.models.whisper import model as wmodel
+        from tpu_audio.models.whisper.config import WhisperConfig
+        from tpu_audio.ops.pallas import fused_whisper_step as fws
+
+        cfg = WhisperConfig(n_mels=80, n_audio_ctx=64, n_audio_state=256,
+                            n_audio_head=4, n_audio_layer=1, n_vocab=500,
+                            n_text_ctx=16, n_text_state=256, n_text_head=4,
+                            n_text_layer=2)
+        params = wmodel.init_params(_jax.random.PRNGKey(1), cfg)
+        if quantize:
+            params = wload.serve_tree_int8(params, encoder=False)
+        feats = jnp.asarray(rng.standard_normal(
+            (1, cfg.n_audio_ctx, cfg.n_text_state)) * 0.3, jnp.float32)
+        if fused:
+            monkeypatch.setattr(
+                fws, "fused_whisper_decode_step",
+                functools.partial(fws.fused_whisper_decode_step,
+                                  interpret=True))
+            monkeypatch.setattr(fws, "decode_supported",
+                                lambda c, p: True)
+        else:
+            monkeypatch.setattr(fws, "decode_supported",
+                                lambda c, p: False)
+        st = wmodel.init_state(params, cfg, feats, kv_int8=True)
+        toks = jnp.asarray([[3]], jnp.int32)
+        lg, st = wmodel.decode_step(params, cfg, toks, st)
+        out = []
+        for _ in range(6):
+            nxt = int(np.asarray(lg)[0, -1].argmax())
+            out.append(nxt)
+            lg, st = wmodel.decode_step(
+                params, cfg, jnp.asarray([[nxt]], jnp.int32), st)
+        return out
+
+    def test_greedy_rollout_matches_plain(self, rng, monkeypatch):
+        ref = self._roll(False, monkeypatch, rng)
+        rng2 = np.random.default_rng(42)
+        got = self._roll(True, monkeypatch, rng2)
+        agree = sum(a == b for a, b in zip(got, ref))
+        assert agree >= len(ref) - 1, (got, ref)
+
+    def test_fp_decoder_weights(self, rng, monkeypatch):
+        """fp decoder weights + int8 cross-KV through the kernel."""
+        ref = self._roll(False, monkeypatch, rng, quantize=False)
+        rng2 = np.random.default_rng(42)
+        got = self._roll(True, monkeypatch, rng2, quantize=False)
+        agree = sum(a == b for a, b in zip(got, ref))
+        assert agree >= len(ref) - 1, (got, ref)

@@ -269,6 +269,34 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
     pe = jax.lax.dynamic_slice(p["positional_embedding"], (pos, 0),
                                (t, d))
     x = x + pe[None].astype(x.dtype)
+
+    if q8 and t == 1 and b == 1:
+        # single-stream serving: the ENTIRE 4-layer decoder step (self +
+        # int8 cross attention + LN/GELU MLPs + final LN) as one Pallas
+        # launch — the B=1 step is op-issue-bound, not byte-bound
+        # (ops/pallas/fused_whisper_step.py; probe-gated with XLA fallback)
+        from tpu_audio.ops.pallas import fused_whisper_step as fws
+
+        if fws.decode_supported(cfg, p):
+            s_max = state.cache.max_len
+            lyr = cfg.n_text_layer
+            kc = state.cache.k.reshape(lyr, s_max, d)
+            vc = state.cache.v.reshape(lyr, s_max, d)
+            hfin, kc, vc = fws.fused_whisper_decode_step(
+                p, x[:, 0], pos, kc, vc,
+                state.cross_k8, state.cross_ksc,
+                state.cross_v8, state.cross_vsc,
+                n_heads=h, hd=hd, t_valid=cfg.n_audio_ctx)
+            logits = layers.embedding_as_linear(
+                p["token_embedding"], hfin[:, None].astype(x.dtype))
+            new_cache = KVCache(
+                k=kc.reshape(state.cache.k.shape),
+                v=vc.reshape(state.cache.v.shape), pos=pos + 1)
+            return logits, DecoderStateQ8(
+                cache=new_cache, cross_k8=state.cross_k8,
+                cross_v8=state.cross_v8, cross_ksc=state.cross_ksc,
+                cross_vsc=state.cross_vsc)
+
     mask = attention.decode_mask(state.cache.max_len, pos, t)
 
     # int8 (w8a8) decoder blocks: the stacked (L, O, I) int8 weights leave

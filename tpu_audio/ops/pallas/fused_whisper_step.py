@@ -1,0 +1,439 @@
+"""Fused Whisper decoder step: all 4 decoder layers (self-attention with
+cache, int8 cross-attention, LayerNorm/GELU MLP) in ONE Pallas launch.
+
+Why: the single-stream Whisper window loop is decode-step-dominated after
+the encoder — each XLA step of the 4-layer decoder issues ~150 small ops
+(three norms, seven projections, two attentions, cache update per layer),
+each with microseconds of fixed issue cost, while the actual bytes per
+B=1 step (~160 MB int8 weights + 15 MB cross-KV) need ~0.2 ms. Same
+finding and same cure as ops/pallas/fused_step.py for the LLM engines,
+specialized to the whisper decoder's conventions (reference decode loop:
+package/STT/Whisper/WhisperDecoding.swift:81-410, layers
+TextDecoder.swift:17-97, MultiHeadAttention.swift:85-135):
+
+  - LayerNorm (weight + bias) everywhere, GELU (erf) MLP with biases;
+  - (d/h)^-0.25 scaling applied to q AND k (the cache and the
+    precomputed cross-K store the scaled keys, matching the XLA path);
+  - cross-attention reads the per-window int8 K/V (quantize_cross_kv
+    layout: (L, 1, T_pad, H·hd) codes + (L, 1, H·hd) per-channel scales,
+    folded into q and the output exactly as cross_kv_attention does);
+  - the self cache is INPUT-only in a flat (L, S_pad, H·hd) view of the
+    engine's KVCache (a free reshape at B=1): the current token rides an
+    online-softmax fresh term and the kernel emits just the (L, 1, H·hd)
+    new slot, scattered outside with one dynamic_update_slice.
+
+Grid: (L, HG + 2 + n_hb) — HG head-group phases of self-attention (weight
+and cache blocks are BlockSpec column/row VIEWS, no re-layout), one
+cross-score phase (block-diagonal q: ONE MXU dot against the whole int8
+K), one cross-value phase (probs from scratch), n_hb MLP hidden blocks.
+Weights may be per-channel int8 (the w8a8 serving tree) or fp.
+
+B=1, T=1 only — the batched window decoder keeps the XLA path, where the
+per-step op cost amortizes over 16 rows.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+try:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+ROWS = 8          # sublane-padded batch rows; row 0 is the real stream
+HEADS_PER_PHASE = 5  # 5 heads × hd 64 = 320 columns per self-attn phase
+
+
+def _ln(x, w, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)
+            * w.astype(jnp.float32) + b.astype(jnp.float32))
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def _head_onehot(rows: int, cols: int, hd: int):
+    """(rows, cols) 0/1 matrix with [r, c] = 1 iff r // hd == c."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return (r // hd == c).astype(jnp.float32)
+
+
+def _kernel(pos_ref, x_ref,
+            ln1_ref, lnc_ref, ln2_ref, lnf_ref,
+            wq_ref, sq_ref, bq_ref, wk_ref, sk_ref,
+            wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+            wqc_ref, sqc_ref, bqc_ref, woc_ref, soc_ref, boc_ref,
+            k8_ref, ksc_ref, v8_ref, vsc_ref,
+            w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+            kc_ref, vc_ref,
+            hout_ref, knew_ref, vnew_ref,
+            x_s, hn_s, oacc_s, acc_s, p_s, *,
+            n_heads, hd, hg, t_valid, l_total, compute_dtype):
+    lyr = pl.program_id(0)
+    ph = pl.program_id(1)
+    n_ph = pl.num_programs(1)
+    pos = pos_ref[0]
+    cd = compute_dtype
+    gh = n_heads // hg            # heads per self phase
+    gcols = gh * hd
+    scale = hd ** -0.25
+
+    @pl.when((lyr == 0) & (ph == 0))
+    def _init():
+        x_s[...] = x_ref[...].astype(jnp.float32)
+
+    @pl.when(ph == 0)
+    def _layer_start():
+        hn_s[...] = _ln(x_s[...], ln1_ref[0, 0], ln1_ref[0, 1])
+        oacc_s[...] = jnp.zeros_like(oacc_s)
+
+    @pl.when(ph < hg)
+    def _self_attn():
+        hn = hn_s[...].astype(cd)
+
+        def proj(w_ref, s_ref, b_ref):
+            y = jax.lax.dot_general(
+                hn, w_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * s_ref[0][None, :]
+            if b_ref is not None:
+                y = y + b_ref[0][None, :]
+            return y
+
+        q = proj(wq_ref, sq_ref, bq_ref) * scale            # (ROWS, gcols)
+        k = proj(wk_ref, sk_ref, None) * scale              # scaled like
+        v = proj(wv_ref, sv_ref, bv_ref)                    # the XLA cache
+        knew_ref[0] = k[0:1].astype(knew_ref.dtype)
+        vnew_ref[0] = v[0:1].astype(vnew_ref.dtype)
+
+        kbuf = kc_ref[0].astype(jnp.float32)                # (S_pad, gcols)
+        vbuf = vc_ref[0].astype(jnp.float32)
+        qbd = q[0:1].T * _head_onehot(gcols, gh, hd)        # (gcols, gh)
+        s_hist = jax.lax.dot_general(
+            kbuf, qbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (S_pad, gh)
+        spos = jax.lax.broadcasted_iota(jnp.int32, s_hist.shape, 0)
+        s_hist = jnp.where(spos < pos, s_hist, -1e30)
+        # fresh (current-token) score per head
+        qk = q[0:1] * k[0:1]                                # (1, gcols)
+        s_fresh = jax.lax.dot_general(
+            qk, _head_onehot(gcols, gh, hd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (1, gh)
+        m = jnp.maximum(jnp.max(s_hist, axis=0, keepdims=True), s_fresh)
+        e_h = jnp.exp(s_hist - m)
+        e_f = jnp.exp(s_fresh - m)
+        den = jnp.sum(e_h, axis=0, keepdims=True) + e_f     # (1, gh)
+        p = e_h / den                                       # (S_pad, gh)
+        o_rows = jax.lax.dot_general(
+            p.astype(cd), vbuf.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (gh, gcols)
+        sel = _head_onehot(gcols, gh, hd)                   # (gcols, gh)
+        out = jnp.sum(o_rows * sel.T, axis=0,
+                      keepdims=True)                        # (1, gcols)
+        pf = jax.lax.dot_general(
+            e_f / den, sel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (1, gcols)
+        out = out + pf * v[0:1]
+        part = jax.lax.dot_general(
+            out.astype(cd), wo_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (1, D)
+        oacc_s[0:1] += part * so_ref[0][None, :]
+
+        @pl.when(ph == hg - 1)
+        def _self_done():
+            x_s[0:1, :] = (x_s[0:1, :] + oacc_s[0:1]
+                           + bo_ref[0][None, :])
+            hn_s[...] = _ln(x_s[...], lnc_ref[0, 0], lnc_ref[0, 1])
+
+    @pl.when(ph == hg)
+    def _cross_scores():
+        hn = hn_s[...].astype(cd)
+        qc = jax.lax.dot_general(
+            hn[0:1], wqc_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qc = (qc * sqc_ref[0][None, :] + bqc_ref[0][None, :]) * scale
+        qs = qc * ksc_ref[0]                                # fold K scales
+        qbd = qs.T * _head_onehot(qs.shape[1], n_heads, hd)  # (D, H)
+        scores = jax.lax.dot_general(
+            k8_ref[0, 0].astype(cd), qbd.astype(cd),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (T_pad, H)
+        tpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(tpos < t_valid, scores, -1e30)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores - m)
+        p_s[:, :n_heads] = e / jnp.sum(e, axis=0, keepdims=True)
+
+    @pl.when(ph == hg + 1)
+    def _cross_value():
+        p = p_s[:, :n_heads]                                # (T_pad, H)
+        o_rows = jax.lax.dot_general(
+            p.astype(cd), v8_ref[0, 0].astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (H, D)
+        d = o_rows.shape[1]
+        sel = _head_onehot(d, n_heads, hd)                  # (D, H)
+        out = jnp.sum(o_rows * sel.T, axis=0, keepdims=True)  # (1, D)
+        out = out * vsc_ref[0]                              # fold V scales
+        part = jax.lax.dot_general(
+            out.astype(cd), woc_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x_s[0:1, :] = (x_s[0:1, :] + part * soc_ref[0][None, :]
+                       + boc_ref[0][None, :])
+        hn_s[...] = _ln(x_s[...], ln2_ref[0, 0], ln2_ref[0, 1])
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ph > hg + 1)
+    def _mlp():
+        hn = hn_s[...].astype(cd)
+        part = jax.lax.dot_general(
+            hn, w1_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part = part * s1_ref[0][None, :] + b1_ref[0][None, :]
+        act = _gelu(part)
+        acc_s[...] += jax.lax.dot_general(
+            act.astype(cd), w2_ref[0].astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(ph == n_ph - 1)
+        def _layer_end():
+            x = (x_s[...] + acc_s[...] * s2_ref[0][None, :]
+                 + b2_ref[0][None, :])
+            x_s[...] = x
+
+            @pl.when(lyr == l_total - 1)
+            def _emit():
+                hout_ref[...] = _ln(x, lnf_ref[0, 0], lnf_ref[0, 1])
+
+
+def _wsc(leaf, want_bias: bool):
+    """(weight (L,O,I), scale (L,O), bias (L,O)) from an fp or int8 leaf."""
+    if "weight_i8" in leaf:
+        w = leaf["weight_i8"]
+        s = leaf["scale_i8"].reshape(w.shape[:-1]).astype(jnp.float32)
+    else:
+        w = leaf["weight"]
+        s = jnp.ones(w.shape[:-1], jnp.float32)
+    if want_bias:
+        b = leaf.get("bias")
+        b = (jnp.zeros(w.shape[:-1], jnp.float32) if b is None
+             else b.astype(jnp.float32))
+        return w, s, b
+    return w, s
+
+
+def _ln_pair(leaf):
+    return jnp.stack([leaf["weight"].astype(jnp.float32),
+                      leaf["bias"].astype(jnp.float32)], axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "hd", "t_valid",
+                                             "interpret"))
+def fused_whisper_decode_step(dec: dict, x, pos, k_cache, v_cache,
+                              k8, ksc, v8, vsc, *,
+                              n_heads: int, hd: int, t_valid: int,
+                              interpret: bool = False):
+    """x (1, D) embedded token (+position); pos () int32; k/v_cache
+    (L, S_pad, H·hd) flat views of the decoder KVCache; k8/v8
+    (L, 1, T_pad, H·hd) int8 cross-KV with (L, 1, H·hd) scales
+    (ops/pallas/cross_kv_attention.quantize_cross_kv). Returns
+    (h (1, D) f32 after the final LN, new k_cache, new v_cache)."""
+    blocks = dec["blocks"]
+    wq, sq, bq = _wsc(blocks["attn"]["q"], True)
+    wk, sk = _wsc(blocks["attn"]["k"], False)
+    wv, sv, bv = _wsc(blocks["attn"]["v"], True)
+    wo, so, bo = _wsc(blocks["attn"]["o"], True)
+    wqc, sqc, bqc = _wsc(blocks["cross_attn"]["q"], True)
+    woc, soc, boc = _wsc(blocks["cross_attn"]["o"], True)
+    w1, s1, b1 = _wsc(blocks["mlp"]["fc1"], True)
+    w2, s2, b2 = _wsc(blocks["mlp"]["fc2"], True)
+    ln1 = _ln_pair(blocks["ln1"])
+    lnc = _ln_pair(blocks["ln_cross"])
+    ln2 = _ln_pair(blocks["ln2"])
+    lnf = _ln_pair(dec["ln"])[None]                        # (1, 2, D)
+
+    l_total, d = wq.shape[0], wq.shape[1]
+    hg = n_heads // HEADS_PER_PHASE if n_heads % HEADS_PER_PHASE == 0 \
+        else n_heads // 4 if n_heads % 4 == 0 else n_heads
+    gcols = (n_heads // hg) * hd
+    hidden = w1.shape[1]
+    hb = _whisper_hb(hidden)
+    n_hb = hidden // hb
+    s_pad = k_cache.shape[1]
+    t_pad = k8.shape[2]
+    cd = x.dtype
+
+    xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
+    grid = (l_total, hg + 2 + n_hb)
+    kernel = functools.partial(
+        _kernel, n_heads=n_heads, hd=hd, hg=hg, t_valid=t_valid,
+        l_total=l_total, compute_dtype=cd)
+
+    def a(shape):
+        return pl.BlockSpec(shape,
+                            lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
+
+    def sg(shape):  # self head-group column/row view, clamped after hg
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l, jnp.minimum(p, hg - 1))
+            + (0,) * (len(shape) - 2))
+
+    def sgc(shape):  # cache/wo column views on the LAST axis
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l, 0, jnp.minimum(p, hg - 1)))
+
+    def mh(shape):  # MLP hidden row blocks
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (
+                l, jnp.clip(p - hg - 2, 0, n_hb - 1))
+            + (0,) * (len(shape) - 2))
+
+    def mhc(shape):  # fc2 contraction blocks
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l, 0, jnp.clip(p - hg - 2, 0, n_hb - 1)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
+            a((1, 2, d)), a((1, 2, d)), a((1, 2, d)),             # ln1/c/2
+            pl.BlockSpec((1, 2, d), lambda l, p, s: (0, 0, 0)),   # ln final
+            sg((1, gcols, d)), sg((1, gcols)), sg((1, gcols)),    # q w/s/b
+            sg((1, gcols, d)), sg((1, gcols)),                    # k w/s
+            sg((1, gcols, d)), sg((1, gcols)), sg((1, gcols)),    # v w/s/b
+            sgc((1, d, gcols)), a((1, d)), a((1, d)),             # o w/s/b
+            a((1, d, d)), a((1, d)), a((1, d)),                   # cq w/s/b
+            a((1, d, d)), a((1, d)), a((1, d)),                   # co w/s/b
+            a((1, 1, t_pad, d)), a((1, 1, d)),                    # K8 + sc
+            a((1, 1, t_pad, d)), a((1, 1, d)),                    # V8 + sc
+            mh((1, hb, d)), mh((1, hb)), mh((1, hb)),             # fc1
+            mhc((1, d, hb)), a((1, d)), a((1, d)),                # fc2
+            sgc((1, s_pad, gcols)),                               # k cache
+            sgc((1, s_pad, gcols)),                               # v cache
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),
+            sgc((1, 1, gcols)),                                   # k new
+            sgc((1, 1, gcols)),                                   # v new
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, d), jnp.float32),       # residual stream
+            pltpu.VMEM((ROWS, d), jnp.float32),       # section norm
+            pltpu.VMEM((ROWS, d), jnp.float32),       # self-o accumulator
+            pltpu.VMEM((ROWS, d), jnp.float32),       # mlp accumulator
+            pltpu.VMEM((t_pad, max(n_heads, 8)), jnp.float32),  # cross probs
+        ],
+    )
+    h, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ROWS, d), jnp.float32),
+            jax.ShapeDtypeStruct((l_total, 1, d), k_cache.dtype),
+            jax.ShapeDtypeStruct((l_total, 1, d), v_cache.dtype),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1),
+      xp, ln1, lnc, ln2, lnf,
+      wq, sq, bq, wk, sk, wv, sv, bv, wo, so, bo,
+      wqc, sqc, bqc, woc, soc, boc,
+      k8, ksc, v8, vsc,
+      w1, s1, b1, w2, s2, b2, k_cache, v_cache)
+    at = (0, jnp.asarray(pos, jnp.int32), 0)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, at)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, at)
+    return h[0:1], k_cache, v_cache
+
+
+def _whisper_hb(hidden: int) -> int:
+    hb = min(1280, hidden)
+    while hidden % hb:
+        hb -= 128 if hb > 128 else 8
+    return hb
+
+
+_PROBE_MEMO: dict = {}
+
+
+def decode_supported(cfg, dec: dict) -> bool:
+    """Applicability + memoized compile probe for the whisper fused decode
+    step at this config's REAL shapes (synthetic weights — callable while
+    tracing the decode function, since only static cfg dims are used)."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    import os
+
+    if os.environ.get("TPU_AUDIO_FUSED_WHISPER", "1") == "0":
+        return False
+    h, d = cfg.n_text_head, cfg.n_text_state
+    hd = d // h
+    if hd != 64 or d % 128 or cfg.n_text_ctx % 8:
+        return False
+    if h % HEADS_PER_PHASE and h % 4:
+        return False
+    q = dec["blocks"]["attn"]["q"]
+    int8 = "weight_i8" in q
+    sig = (cfg, int8)
+    if sig in _PROBE_MEMO:
+        return _PROBE_MEMO[sig]
+    try:
+        import numpy as _np
+
+        # synthetic decoder at the REAL shapes (never materializes the
+        # full model — the probe can run while tracing a decode graph)
+        lyr, hidden = cfg.n_text_layer, 4 * d
+
+        def leaf(o, i, bias=True):
+            if int8:
+                out = {"weight_i8": jnp.zeros((lyr, o, i), jnp.int8),
+                       "scale_i8": jnp.full((lyr, o, 1), 1e-3, jnp.float32)}
+            else:
+                out = {"weight": jnp.zeros((lyr, o, i), jnp.float32)}
+            if bias:
+                out["bias"] = jnp.zeros((lyr, o), jnp.float32)
+            return out
+
+        def ln(shape=(lyr, d)):
+            return {"weight": jnp.ones(shape, jnp.float32),
+                    "bias": jnp.zeros(shape, jnp.float32)}
+
+        dec_syn = {
+            "blocks": {
+                "attn": {"q": leaf(d, d), "k": leaf(d, d, bias=False),
+                         "v": leaf(d, d), "o": leaf(d, d)},
+                "cross_attn": {"q": leaf(d, d), "o": leaf(d, d)},
+                "mlp": {"fc1": leaf(hidden, d), "fc2": leaf(d, hidden)},
+                "ln1": ln(), "ln_cross": ln(), "ln2": ln(),
+            },
+            "ln": ln((d,)),
+        }
+        t_pad = -(-cfg.n_audio_ctx // 128) * 128
+        k8 = jnp.zeros((lyr, 1, t_pad, d), jnp.int8)
+        sc = jnp.full((lyr, 1, d), 1e-3, jnp.float32)
+        kc = jnp.zeros((lyr, cfg.n_text_ctx, d), jnp.float32)
+        hh, _, _ = fused_whisper_decode_step(
+            dec_syn, jnp.zeros((1, d), jnp.float32), 0,
+            kc, kc, k8, sc, k8, sc, n_heads=h, hd=hd,
+            t_valid=cfg.n_audio_ctx)
+        ok = bool(_np.isfinite(_np.asarray(hh)).all())
+    except Exception as exc:
+        from tpu_audio.ops.quant import _warn_kernel_fallback
+
+        _warn_kernel_fallback(exc)
+        ok = False
+    _PROBE_MEMO[sig] = ok
+    return ok
