@@ -224,6 +224,14 @@ def main():
         except Exception as exc:
             print(f"mixed int8 full-pipeline run failed ({exc})",
                   file=sys.stderr)
+        try:
+            # single-stream w8a8 serving: B=1 steps ride the fused
+            # whole-decoder kernel (ops/pallas/fused_whisper_step.py)
+            single_w8_xrt = measure_full(1, params_i8, kv_int8=True)
+            print(f"FULL pipeline single-stream w8a8 (fused decoder "
+                  f"step): {single_w8_xrt:.1f}x real time", file=sys.stderr)
+        except Exception as exc:
+            print(f"single-stream w8a8 run failed ({exc})", file=sys.stderr)
 
     # encoder MFU: isolate the 32-layer encoder at batch 16 and compare its
     # matmul FLOPs to the v5e bf16 peak (197 TFLOP/s) so the perf claim is
