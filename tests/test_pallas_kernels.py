@@ -744,7 +744,8 @@ class TestFusedWhisperStep:
     cross-attention (scales folded into q / the output), LN/GELU MLPs and
     the final LN — vs the plain decode_step over a greedy rollout."""
 
-    def _roll(self, fused: bool, monkeypatch, rng, quantize=True):
+    def _roll(self, fused: bool, monkeypatch, rng, quantize=True,
+              cache_dtype=None):
         import functools
 
         import jax as _jax
@@ -769,11 +770,14 @@ class TestFusedWhisperStep:
                 functools.partial(fws.fused_whisper_decode_step,
                                   interpret=True))
             monkeypatch.setattr(fws, "decode_supported",
-                                lambda c, p: True)
+                                lambda c, p, *a, **k: True)
         else:
             monkeypatch.setattr(fws, "decode_supported",
-                                lambda c, p: False)
-        st = wmodel.init_state(params, cfg, feats, kv_int8=True)
+                                lambda c, p, *a, **k: False)
+        import jax.numpy as _jnp
+
+        st = wmodel.init_state(params, cfg, feats, kv_int8=True,
+                               dtype=cache_dtype or _jnp.float32)
         toks = jnp.asarray([[3]], jnp.int32)
         lg, st = wmodel.decode_step(params, cfg, toks, st)
         out = []
@@ -788,6 +792,16 @@ class TestFusedWhisperStep:
         ref = self._roll(False, monkeypatch, rng)
         rng2 = np.random.default_rng(42)
         got = self._roll(True, monkeypatch, rng2)
+        agree = sum(a == b for a, b in zip(got, ref))
+        assert agree >= len(ref) - 1, (got, ref)
+
+    def test_bf16_cache(self, rng, monkeypatch):
+        """The serving configuration (bf16 self-cache, int8 weights +
+        cross-KV) through the kernel — the probe memo keys on the cache
+        dtype so this exact variant is what runs on chip."""
+        ref = self._roll(False, monkeypatch, rng, cache_dtype=jnp.bfloat16)
+        rng2 = np.random.default_rng(42)
+        got = self._roll(True, monkeypatch, rng2, cache_dtype=jnp.bfloat16)
         agree = sum(a == b for a, b in zip(got, ref))
         assert agree >= len(ref) - 1, (got, ref)
 

@@ -99,16 +99,19 @@ class MarvisEngine(TTSEngineBase):
 
         from tpu_audio.ops.pallas import fused_step
 
-        # probe at the REAL cache shapes each path serves: the depth
-        # decoder's tiny per-frame ring, and a representative backbone
-        # ring (prompt bucket + frame budget, engine cache dtype f32)
-        d_len = -(-(cfg.n_codebooks + 1) // 8) * 8
-        bb_len = -(-(64 + 512 + 8 + 8) // 8) * 8
+        # probe at the REAL cache shapes each path serves: the depth ring
+        # is fixed (mmodel.depth_ring_len, dtype = the embeddings' dtype =
+        # last_h.dtype); the backbone ring varies per prompt bucket —
+        # gated here at the engine's base bucket and RE-probed per bucket
+        # in _fns before each span function commits to the kernel
+        d_len = mmodel.depth_ring_len(cfg)
+        emb_dtype = params["text_embeddings"]["weight"].dtype
+        bb_len = mmodel.backbone_ring_len(32, 512, 8)
         depth = (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
                  and fused_step.supported(cfg.decoder, params["decoder"], 1,
-                                          d_len, jnp.float32)
+                                          d_len, emb_dtype)
                  and fused_step.probe_compile(cfg.decoder, params["decoder"],
-                                              d_len, jnp.float32))
+                                              d_len, emb_dtype))
         bb = (depth and not kv_quantized
               and _os.environ.get("TPU_AUDIO_FUSED_BB", "1") != "0"
               and fused_step.supported(cfg.backbone, params["backbone"], 1,
@@ -193,8 +196,16 @@ class MarvisEngine(TTSEngineBase):
 
         # 8-aligned ring: the fused backbone kernel takes (KVH, S, hd)
         # cache blocks whose sublane dim should stay tile-aligned
-        s_max = -(-(prompt_pad + self.max_frames + self.frame_span + 8)
-                  // 8) * 8
+        s_max = mmodel.backbone_ring_len(prompt_pad, self.max_frames,
+                                         self.frame_span)
+        # the kernel variant is per (ring length, dtype): re-probe THIS
+        # bucket's shapes before committing the span graph to it
+        bb_fused = self._bb_fused
+        if bb_fused:
+            from tpu_audio.ops.pallas import fused_step
+
+            bb_fused = fused_step.probe_compile(
+                cfg.backbone, self.params["backbone"], s_max, jnp.float32)
 
         @jax.jit
         def prefill(params, tokens, mask, pad_amount, key):
@@ -230,7 +241,7 @@ class MarvisEngine(TTSEngineBase):
             return step(params, tokens=tokens, mask=mask, bb_cache=cache,
                         key=key, extra_mask=extra)
 
-        if self._bb_fused:
+        if bb_fused:
             @jax.jit
             def span_fn(params, frame, state, extra, key):
                 """Fully-fused span: backbone + depth both through the
@@ -268,7 +279,7 @@ class MarvisEngine(TTSEngineBase):
                                                       keys)
                 return frames, last, cache2
 
-        self._frame_fns[key_] = (prefill, span_fn)
+        self._frame_fns[key_] = (prefill, span_fn, bb_fused)
         return self._frame_fns[key_]
 
     def _tokenize_text(self, text: str):
@@ -331,13 +342,13 @@ class MarvisEngine(TTSEngineBase):
             tok_pad[0, pad - n:] = tokens
             mask_pad[0, pad - n:] = mask
 
-            prefill, span_fn = self._fns(pad, k)
+            prefill, span_fn, bb_fused = self._fns(pad, k)
             key = jax.random.PRNGKey(si)
             key, sub = jax.random.split(key)
             frame, cache, extra = prefill(self.params, jnp.asarray(tok_pad),
                                           jnp.asarray(mask_pad),
                                           jnp.int32(pad - n), sub)
-            if self._bb_fused:
+            if bb_fused:
                 kc, vc, pos = mmodel.cache_to_fused(cache)
                 state = (kc, vc, pos, jnp.int32(pad - n))
             else:

@@ -81,6 +81,19 @@ def embed_frame_tokens(params, cfg: MarvisConfig, tokens: jax.Array,
     return jnp.sum(embeds * mask[..., None].astype(embeds.dtype), axis=-2)
 
 
+def depth_ring_len(cfg: MarvisConfig) -> int:
+    """The depth decoder's per-frame cache ring (8-aligned) — shared by
+    the decode path and the engine's kernel probe so the probed shapes
+    ARE the runtime shapes."""
+    return -(-(cfg.n_codebooks + 1) // 8) * 8
+
+
+def backbone_ring_len(prompt_pad: int, max_frames: int,
+                      frame_span: int) -> int:
+    """The backbone cache ring for one sentence bucket (8-aligned)."""
+    return -(-(prompt_pad + max_frames + frame_span + 8) // 8) * 8
+
+
 def _depth_fused_decode(params, cfg: MarvisConfig, last_h, c0, c0_embed,
                         keys, sample, max_codebooks: int):
     """Depth decode via the whole-stack fused kernel: one Pallas launch per
@@ -90,7 +103,7 @@ def _depth_fused_decode(params, cfg: MarvisConfig, last_h, c0, c0_embed,
     from tpu_audio.ops.pallas import fused_step as fs
 
     dcfg = cfg.decoder
-    s_pad = -(-(cfg.n_codebooks + 1) // 8) * 8
+    s_pad = depth_ring_len(cfg)
     kc = jnp.zeros((dcfg.n_layers, dcfg.kv_heads, s_pad, dcfg.hd),
                    last_h.dtype)
     vc = jnp.zeros_like(kc)

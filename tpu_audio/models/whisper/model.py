@@ -277,7 +277,7 @@ def decode_step(params: dict, cfg: WhisperConfig, tokens: jax.Array,
         # (ops/pallas/fused_whisper_step.py; probe-gated with XLA fallback)
         from tpu_audio.ops.pallas import fused_whisper_step as fws
 
-        if fws.decode_supported(cfg, p):
+        if fws.decode_supported(cfg, p, state.cache.k.dtype):
             s_max = state.cache.max_len
             lyr = cfg.n_text_layer
             kc = state.cache.k.reshape(lyr, s_max, d)

@@ -379,14 +379,17 @@ def _forward_fused(params: dict, cfg: TransformerConfig, x: jax.Array,
     if b != 1:
         raise ValueError("FusedKVCache is single-stream (B=1)")
 
-    if t <= 4 and extra_mask is None:
+    mode = fs.choose_mode(cfg, params, max_len=cache.max_len,
+                          cache_dtype=cache.k.dtype)
+    if t <= 4 and extra_mask is None and mode is not None:
         # run t sequential whole-stack launches (t is 1 on the decode hot
         # path; tiny t>1 steps — e.g. the speculative draft's 2-token
         # re-deposit — stay in kernel layout instead of paying the
-        # full-cache transpose of the prefill fallback below)
+        # full-cache transpose of the prefill fallback below). When the
+        # REAL cache shape/dtype fails the gate (mode None) — e.g. a
+        # caller that gated at a different length — the XLA fallback
+        # below serves the step instead of launching an unprobed kernel.
         stack = fs.prepare_stack(params, cfg)  # copy-free views
-        grouped = fs.choose_mode(cfg, params, max_len=cache.max_len,
-                                 cache_dtype=cache.k.dtype) == "grouped"
         kc, vc = cache.k, cache.v
         hs = []
         for i in range(t):
@@ -397,7 +400,7 @@ def _forward_fused(params: dict, cfg: TransformerConfig, x: jax.Array,
             cos, sin = fs.make_cos_sin(rope_pos, cfg.inv_freq(), cfg.hd)
             h, kc, vc = fs.fused_decode_step(
                 x[:, i], pos_i, cos, sin, stack, kc, vc,
-                start=cache.start, grouped=grouped, n_heads=cfg.n_heads,
+                start=cache.start, n_heads=cfg.n_heads,
                 n_kv_heads=cfg.kv_heads, hd=cfg.hd, eps=cfg.norm_eps)
             hs.append(h)
         h = jnp.stack(hs, axis=1) if t > 1 else hs[0][:, None]

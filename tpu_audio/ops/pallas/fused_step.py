@@ -217,7 +217,7 @@ except Exception:  # pragma: no cover - pallas always ships with jax here
     jax.jit, static_argnames=("n_heads", "n_kv_heads", "hd", "eps",
                               "grouped", "interpret"))
 def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
-                      start=0, grouped: bool = False,
+                      start=0, grouped: bool | None = None,
                       n_heads: int, n_kv_heads: int, hd: int,
                       eps: float = 1e-5,
                       interpret: bool = False):
@@ -229,13 +229,21 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     nn/rope.apply_rope); stack: prepare_stack() output; k/v_cache
     (L, KVH, S_pad, hd) in the cache dtype; start () int32 first valid key
     slot (left-padded prompt masking — slots < start never attend);
-    grouped: one attention phase per kv group (large models — see
-    choose_mode). Returns (h (1, D) f32 after the final stack norm, new
-    k_cache, new v_cache) — the caches are updated with one XLA scatter of
-    the kernel's (L, KVH, 1, hd) fresh-slot outputs.
+    grouped: None (default) derives the layout from THIS call's actual
+    weight/cache shapes via the same rule the gate uses — the single
+    source of truth, so probe_compile provably compiles the variant that
+    runs; an explicit bool forces a layout (tests). Returns (h (1, D) f32
+    after the final stack norm, new k_cache, new v_cache) — the caches are
+    updated with one XLA scatter of the kernel's (L, KVH, 1, hd)
+    fresh-slot outputs.
     """
     l_total, qo, d = stack["wqkv"].shape[:3]
     hidden = stack["wgateup"].shape[1] // 2  # gate rows then up rows
+    if grouped is None:
+        mode = _mode_from_shapes(
+            d, n_heads, n_kv_heads, hd, hidden, stack["wqkv"].dtype.itemsize,
+            k_cache.shape[2], k_cache.dtype.itemsize)
+        grouped = mode == "grouped"  # None -> plain; gates should prevent it
     hb = _grouped_hb(d, hidden) if grouped else _pick_hb(hidden, 512)
     n_hb = hidden // hb
     cd = x.dtype
@@ -439,19 +447,20 @@ def probe_compile(cfg, params: dict, max_len: int = 512,
     sig = (cfg, w.shape, str(w.dtype), max_len, cache_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
-    mode = choose_mode(cfg, params, max_len=max_len,
-                       cache_dtype=cache_dtype)
-    if mode is None:
+    if choose_mode(cfg, params, max_len=max_len,
+                   cache_dtype=cache_dtype) is None:
         _PROBE_MEMO[sig] = False
         return False
     try:
+        # grouped left to the wrapper: it derives the layout from these
+        # same shapes, so the probe compiles the variant that will run
         stack = prepare_stack(params, cfg)
         kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, max_len, cfg.hd),
                        cache_dtype)
         cos = jnp.ones((1, cfg.hd), jnp.float32)
         h, _, _ = fused_decode_step(
             jnp.zeros((1, cfg.dim), jnp.float32), 0, cos, cos * 0,
-            stack, kc, kc, grouped=mode == "grouped",
+            stack, kc, kc,
             n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
             hd=cfg.hd, eps=cfg.norm_eps)
         import numpy as _np
@@ -493,14 +502,21 @@ def choose_mode(cfg, params: dict, batch: int = 1, max_len: int = 512,
     w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
     if w is None:
         return None
-    item = w.dtype.itemsize
-    qo = w.shape[1]
-    d, h_, kvh, hd = cfg.dim, cfg.n_heads, cfg.kv_heads, cfg.hd
-    cache_item = jnp.dtype(cache_dtype).itemsize
+    return _mode_from_shapes(cfg.dim, cfg.n_heads, cfg.kv_heads, cfg.hd,
+                             cfg.hidden_dim, w.dtype.itemsize, max_len,
+                             jnp.dtype(cache_dtype).itemsize)
+
+
+def _mode_from_shapes(d: int, h_: int, kvh: int, hd: int, hidden: int,
+                      item: int, s_pad: int, cache_item: int) -> str | None:
+    """Layout choice from concrete shapes — shared by choose_mode (gate
+    time) and fused_decode_step (run time), so the probed variant IS the
+    running variant."""
+    qo = (h_ + 2 * kvh) * hd
     # double-buffered attention-phase blocks of the single-phase layout:
     # full qkv + wo + all kv-group cache blocks
-    cache_all = kvh * max_len * hd * cache_item
-    hb_p = _pick_hb(cfg.hidden_dim, 512)
+    cache_all = kvh * s_pad * hd * cache_item
+    hb_p = _pick_hb(hidden, 512)
     plain_bytes = ((qo * d + d * h_ * hd) * item + 2 * cache_all
                    + 3 * hb_p * d * item) * 2
     if plain_bytes <= 12 * 2 ** 20:
@@ -508,8 +524,8 @@ def choose_mode(cfg, params: dict, batch: int = 1, max_len: int = 512,
     # grouped layout: per-phase blocks are one kv group's qkv row views +
     # its wo column block + its cache blocks (+ hidden blocks)
     g = h_ // kvh
-    cache_one = max_len * hd * cache_item
-    hb = _grouped_hb(d, cfg.hidden_dim)
+    cache_one = s_pad * hd * cache_item
+    hb = _grouped_hb(d, hidden)
     grouped_bytes = (((g + 2) * hd * d + d * g * hd + 3 * hb * d) * item
                      + 2 * cache_one) * 2.5
     if grouped_bytes <= 14 * 2 ** 20:

@@ -366,10 +366,11 @@ def _whisper_hb(hidden: int) -> int:
 _PROBE_MEMO: dict = {}
 
 
-def decode_supported(cfg, dec: dict) -> bool:
+def decode_supported(cfg, dec: dict, cache_dtype=jnp.float32) -> bool:
     """Applicability + memoized compile probe for the whisper fused decode
-    step at this config's REAL shapes (synthetic weights — callable while
-    tracing the decode function, since only static cfg dims are used)."""
+    step at this config's REAL shapes — including the caller's self-cache
+    dtype (synthetic weights — callable while tracing the decode function,
+    since only static cfg dims are used)."""
     try:
         if jax.default_backend() not in ("tpu", "axon"):
             return False
@@ -387,7 +388,8 @@ def decode_supported(cfg, dec: dict) -> bool:
         return False
     q = dec["blocks"]["attn"]["q"]
     int8 = "weight_i8" in q
-    sig = (cfg, int8)
+    cache_dtype = jnp.dtype(cache_dtype)
+    sig = (cfg, int8, cache_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
     try:
@@ -424,7 +426,7 @@ def decode_supported(cfg, dec: dict) -> bool:
         t_pad = -(-cfg.n_audio_ctx // 128) * 128
         k8 = jnp.zeros((lyr, 1, t_pad, d), jnp.int8)
         sc = jnp.full((lyr, 1, d), 1e-3, jnp.float32)
-        kc = jnp.zeros((lyr, cfg.n_text_ctx, d), jnp.float32)
+        kc = jnp.zeros((lyr, cfg.n_text_ctx, d), cache_dtype)
         hh, _, _ = fused_whisper_decode_step(
             dec_syn, jnp.zeros((1, d), jnp.float32), 0,
             kc, kc, k8, sc, k8, sc, n_heads=h, hd=hd,
