@@ -812,3 +812,36 @@ class TestFusedWhisperStep:
         got = self._roll(True, monkeypatch, rng2, quantize=False)
         agree = sum(a == b for a, b in zip(got, ref))
         assert agree >= len(ref) - 1, (got, ref)
+
+
+class TestFusedGateHelpers:
+    def test_mode_from_shapes_boundaries(self):
+        from tpu_audio.ops.pallas.fused_step import _mode_from_shapes
+
+        # small model, short cache -> plain
+        assert _mode_from_shapes(1024, 8, 2, 128, 4096, 1, 40, 4) == "plain"
+        # 3B int8 at a 2048 cache -> grouped (plain attn blocks blow VMEM)
+        assert _mode_from_shapes(3072, 24, 8, 128, 8192, 1,
+                                 2048, 2) == "grouped"
+        # 3B bf16 -> declined entirely
+        assert _mode_from_shapes(3072, 24, 8, 128, 8192, 2, 2048, 2) is None
+        # growing the cache can only demote the mode, never promote it
+        small = _mode_from_shapes(1024, 16, 8, 64, 4096, 1, 64, 4)
+        big = _mode_from_shapes(1024, 16, 8, 64, 4096, 1, 4096, 4)
+        order = {None: 0, "grouped": 1, "plain": 2}
+        assert order[big] <= order[small]
+
+    def test_decode_cache_and_mask(self):
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops.kvcache import FusedKVCache, KVCache
+
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512)
+        cache, extra = transformer.decode_cache_and_mask(cfg, 32, 5, False)
+        assert isinstance(cache, KVCache) and extra is not None
+        # the mask hides exactly the slots below start
+        m = np.asarray(extra)[0, 0, 0]
+        assert (m[:5] < -1e29).all() and (m[5:] == 0).all()
+        fcache, fextra = transformer.decode_cache_and_mask(cfg, 32, 5, True)
+        assert isinstance(fcache, FusedKVCache) and fextra is None
+        assert int(fcache.start) == 5 and fcache.max_len == 32
