@@ -116,6 +116,52 @@ def bench_marvis(quantization=None):
                 os.environ.pop(k, None)
 
 
+def bench_whisper_step(steps: int = 32):
+    """Single-stream whisper w8a8 decode step: plain XLA vs the fused
+    whole-decoder kernel (TPU_AUDIO_FUSED_WHISPER toggles the gate at
+    trace time — two separate jitted rollouts)."""
+    import jax.numpy as jnp
+
+    from tpu_audio.models.whisper import load as wload
+    from tpu_audio.models.whisper import model as wmodel
+    from tpu_audio.models.whisper.config import PRESETS
+
+    cfg = PRESETS["large-v3-turbo"]
+    params = wload.serve_tree_int8(
+        wmodel.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+        encoder=False)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal(
+        (1, cfg.n_audio_ctx, cfg.n_audio_state)) * 0.3, jnp.bfloat16)
+
+    for mode, env in (("plain", "0"), ("fused", "1")):
+        os.environ["TPU_AUDIO_FUSED_WHISPER"] = env
+
+        @jax.jit
+        def roll(p, f):
+            state = wmodel.init_state(p, cfg, f, dtype=jnp.bfloat16,
+                                      kv_int8=True)
+
+            def body(i, carry):
+                tok, state, acc = carry
+                lg, state = wmodel.decode_step(p, cfg, tok, state)
+                nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+                return nxt, state, acc + lg[0, -1, 0].astype(jnp.float32)
+
+            tok0 = jnp.full((1, 1), 50258, jnp.int32)
+            _, _, acc = jax.lax.fori_loop(0, steps, body,
+                                          (tok0, state, jnp.float32(0)))
+            return acc
+
+        try:
+            dt, _ = timeit(roll, params, feats, warmup=1, iters=4)
+            print(f"  whisper-l3t single-stream w8a8 [{mode}]: "
+                  f"{dt / steps * 1e3:.3f} ms/step", flush=True)
+        except Exception as exc:
+            print(f"  whisper step [{mode}]: FAILED {exc}", flush=True)
+    os.environ.pop("TPU_AUDIO_FUSED_WHISPER", None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-marvis", action="store_true")
@@ -154,6 +200,8 @@ def main():
     # grouped-layout territory (1B/3B); w8a8 is the serving format
     bench_lm("llama-1B (OuteTTS)", llama1b, True, steps=args.steps)
     bench_lm("llama-3B (Orpheus)", llama3b, True, steps=args.steps)
+
+    bench_whisper_step()
 
     if not args.skip_marvis:
         bench_marvis(None)
