@@ -134,14 +134,14 @@ def bench_whisper_step(steps: int = 32):
     feats = jnp.asarray(rng.standard_normal(
         (1, cfg.n_audio_ctx, cfg.n_audio_state)) * 0.3, jnp.bfloat16)
 
+    state0 = jax.jit(lambda p, f: wmodel.init_state(
+        p, cfg, f, dtype=jnp.bfloat16, kv_int8=True))(params, feats)
+
     for mode, env in (("plain", "0"), ("fused", "1")):
         os.environ["TPU_AUDIO_FUSED_WHISPER"] = env
 
         @jax.jit
-        def roll(p, f):
-            state = wmodel.init_state(p, cfg, f, dtype=jnp.bfloat16,
-                                      kv_int8=True)
-
+        def roll(p, state):
             def body(i, carry):
                 tok, state, acc = carry
                 lg, state = wmodel.decode_step(p, cfg, tok, state)
@@ -154,7 +154,7 @@ def bench_whisper_step(steps: int = 32):
             return acc
 
         try:
-            dt, _ = timeit(roll, params, feats, warmup=1, iters=4)
+            dt, _ = timeit(roll, params, state0, warmup=1, iters=4)
             print(f"  whisper-l3t single-stream w8a8 [{mode}]: "
                   f"{dt / steps * 1e3:.3f} ms/step", flush=True)
         except Exception as exc:

@@ -90,11 +90,13 @@ class MarvisEngine(TTSEngineBase):
         self.params = self._fuse(self.params)
         self._tune_cfg()
         self._depth_fused, self._bb_fused = self._fused_supported(
-            self.cfg, self.params, self.kv_quantized)
+            self.cfg, self.params, self.kv_quantized,
+            self.max_frames, self.frame_span)
         self.is_loaded = True
 
     @staticmethod
-    def _fused_supported(cfg, params, kv_quantized=False):
+    def _fused_supported(cfg, params, kv_quantized=False,
+                         max_frames=512, frame_span=8):
         import os as _os
 
         from tpu_audio.ops.pallas import fused_step
@@ -106,7 +108,7 @@ class MarvisEngine(TTSEngineBase):
         # in _fns before each span function commits to the kernel
         d_len = mmodel.depth_ring_len(cfg)
         emb_dtype = params["text_embeddings"]["weight"].dtype
-        bb_len = mmodel.backbone_ring_len(32, 512, 8)
+        bb_len = mmodel.backbone_ring_len(32, max_frames, frame_span)
         depth = (_os.environ.get("TPU_AUDIO_FUSED_DEPTH", "1") != "0"
                  and fused_step.supported(cfg.decoder, params["decoder"], 1,
                                           d_len, emb_dtype)
@@ -176,7 +178,8 @@ class MarvisEngine(TTSEngineBase):
         eng.tokenizer = tokenizer or load_tokenizer(None)
         eng.max_frames = max_frames
         eng._depth_fused, eng._bb_fused = cls._fused_supported(
-            eng.cfg, eng.params, eng.kv_quantized)
+            eng.cfg, eng.params, eng.kv_quantized,
+            eng.max_frames, eng.frame_span)
         eng.is_loaded = True
         return eng
 
@@ -198,14 +201,24 @@ class MarvisEngine(TTSEngineBase):
         # cache blocks whose sublane dim should stay tile-aligned
         s_max = mmodel.backbone_ring_len(prompt_pad, self.max_frames,
                                          self.frame_span)
-        # the kernel variant is per (ring length, dtype): re-probe THIS
-        # bucket's shapes before committing the span graph to it
-        bb_fused = self._bb_fused
+        # the kernel variant is per (ring length, dtype): re-gate THIS
+        # bucket's shapes before committing the span graph to it (the
+        # load-time _bb_fused only reflects the base bucket — a bucket
+        # whose ring fits can use the kernel even if another didn't)
+        bb_fused = self._depth_fused and not self.kv_quantized
         if bb_fused:
+            import os as _os
+
             from tpu_audio.ops.pallas import fused_step
 
-            bb_fused = fused_step.probe_compile(
-                cfg.backbone, self.params["backbone"], s_max, jnp.float32)
+            bb_fused = (
+                _os.environ.get("TPU_AUDIO_FUSED_BB", "1") != "0"
+                and fused_step.supported(cfg.backbone,
+                                         self.params["backbone"], 1,
+                                         s_max, jnp.float32)
+                and fused_step.probe_compile(
+                    cfg.backbone, self.params["backbone"], s_max,
+                    jnp.float32))
 
         @jax.jit
         def prefill(params, tokens, mask, pad_amount, key):

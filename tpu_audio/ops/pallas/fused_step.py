@@ -430,13 +430,15 @@ _PROBE_MEMO: dict = {}
 
 
 def probe_compile(cfg, params: dict, max_len: int = 512,
-                  cache_dtype=jnp.bfloat16) -> bool:
+                  cache_dtype=jnp.bfloat16, act_dtype=None) -> bool:
     """Compile-and-run the kernel once at this stack's REAL shapes — incl.
-    the caller's cache length and dtype — before callers commit their
+    the caller's cache length/dtype and ACTIVATION dtype (the kernel
+    specializes on compute_dtype = x.dtype) — before callers commit their
     decode graphs to it: Mosaic compiles per backend, and a lowering
     failure inside a jitted decode loop would otherwise surface
-    mid-generation with no fallback. Memoized per (config, weight
-    signature, cache signature)."""
+    mid-generation with no fallback. act_dtype defaults to the stack's fp
+    leaf dtype (= the embedding/hidden dtype in practice). Memoized per
+    (config, weight signature, cache signature, activation dtype)."""
     lp = params["layers"]
     w = lp["attn"]["qkv"].get("weight_i8", lp["attn"]["qkv"].get("weight"))
     if isinstance(w, jax.core.Tracer):
@@ -444,7 +446,10 @@ def probe_compile(cfg, params: dict, max_len: int = 512,
         # refuse without poisoning the memo
         return False
     cache_dtype = jnp.dtype(cache_dtype)
-    sig = (cfg, w.shape, str(w.dtype), max_len, cache_dtype.name)
+    act_dtype = jnp.dtype(act_dtype if act_dtype is not None
+                          else lp["ln1"]["weight"].dtype)
+    sig = (cfg, w.shape, str(w.dtype), max_len, cache_dtype.name,
+           act_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
     if choose_mode(cfg, params, max_len=max_len,
@@ -459,7 +464,7 @@ def probe_compile(cfg, params: dict, max_len: int = 512,
                        cache_dtype)
         cos = jnp.ones((1, cfg.hd), jnp.float32)
         h, _, _ = fused_decode_step(
-            jnp.zeros((1, cfg.dim), jnp.float32), 0, cos, cos * 0,
+            jnp.zeros((1, cfg.dim), act_dtype), 0, cos, cos * 0,
             stack, kc, kc,
             n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
             hd=cfg.hd, eps=cfg.norm_eps)

@@ -389,7 +389,9 @@ def decode_supported(cfg, dec: dict, cache_dtype=jnp.float32) -> bool:
     q = dec["blocks"]["attn"]["q"]
     int8 = "weight_i8" in q
     cache_dtype = jnp.dtype(cache_dtype)
-    sig = (cfg, int8, cache_dtype.name)
+    # activations = token embedding dtype; the kernel specializes on it
+    act_dtype = jnp.dtype(dec["ln"]["weight"].dtype)
+    sig = (cfg, int8, cache_dtype.name, act_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
     try:
@@ -428,7 +430,7 @@ def decode_supported(cfg, dec: dict, cache_dtype=jnp.float32) -> bool:
         sc = jnp.full((lyr, 1, d), 1e-3, jnp.float32)
         kc = jnp.zeros((lyr, cfg.n_text_ctx, d), cache_dtype)
         hh, _, _ = fused_whisper_decode_step(
-            dec_syn, jnp.zeros((1, d), jnp.float32), 0,
+            dec_syn, jnp.zeros((1, d), act_dtype), 0,
             kc, kc, k8, sc, k8, sc, n_heads=h, hd=hd,
             t_valid=cfg.n_audio_ctx)
         ok = bool(_np.isfinite(_np.asarray(hh)).all())
