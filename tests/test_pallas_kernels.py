@@ -845,3 +845,91 @@ class TestFusedGateHelpers:
         fcache, fextra = transformer.decode_cache_and_mask(cfg, 32, 5, True)
         assert isinstance(fcache, FusedKVCache) and fextra is None
         assert int(fcache.start) == 5 and fcache.max_len == 32
+
+
+class TestProbesUnderTrace:
+    """Compile probes must evaluate eagerly even when first invoked while
+    ANOTHER function is being traced (whisper's encoder scan calls
+    packed_probe at trace time). Under JAX's stackless tracing, jnp.zeros
+    inside an active trace becomes a tracer of that trace, so a probe that
+    doesn't shield itself with ensure_compile_time_eval raises
+    TracerArrayConversionError — which its except clause then silently
+    memoizes as False, disabling the kernel for the whole process
+    (observed on chip: the whisper batch-16 headline fell 666x -> 485x).
+    Kernels run in interpret mode so the probes can succeed on CPU."""
+
+    def test_packed_probe_inside_jit_trace(self, monkeypatch):
+        import functools
+
+        from tpu_audio.ops.pallas import encoder_attention as ea
+
+        monkeypatch.setattr(
+            ea, "encoder_attention_packed",
+            functools.partial(ea.encoder_attention_packed, interpret=True))
+        monkeypatch.setattr(ea, "_PACKED_PROBE", {})
+        seen = []
+
+        @jax.jit
+        def traced(x):
+            seen.append(ea.packed_probe(64, jnp.float32))
+            return x * 2
+
+        traced(jnp.ones((2,)))
+        assert seen == [True]
+        assert ea._PACKED_PROBE[(64, "float32")] is True
+
+    def test_fused_step_probe_inside_jit_trace(self, monkeypatch):
+        import functools
+
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(fused_step, "_PROBE_MEMO", {})
+        # choose_mode gates on the TPU backend before the probe runs
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512)
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), cfg))
+        seen = []
+
+        @jax.jit
+        def traced(x):
+            seen.append(fused_step.probe_compile(cfg, params, max_len=16,
+                                                 cache_dtype=jnp.float32))
+            return x + 1
+
+        traced(jnp.ones((2,)))
+        assert seen == [True]
+        assert list(fused_step._PROBE_MEMO.values()) == [True]
+
+    def test_whisper_probe_inside_jit_trace(self, monkeypatch):
+        import functools
+
+        from tpu_audio.models.whisper.config import PRESETS
+        from tpu_audio.ops.pallas import fused_whisper_step as fws
+
+        monkeypatch.setattr(
+            fws, "fused_whisper_decode_step",
+            functools.partial(fws.fused_whisper_decode_step, interpret=True))
+        monkeypatch.setattr(fws, "_PROBE_MEMO", {})
+        # decode_supported gates on the TPU backend before the probe runs
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = PRESETS["base"]
+        dec = {"blocks": {"attn": {"q": {"weight_i8": jnp.zeros(
+                   (cfg.n_text_layer, 8, 8), jnp.int8)}}},
+               "ln": {"weight": jnp.ones((cfg.n_text_state,), jnp.float32)}}
+        seen = []
+
+        @jax.jit
+        def traced(x):
+            seen.append(fws.decode_supported(cfg, dec,
+                                             cache_dtype=jnp.float32))
+            return x + 1
+
+        traced(jnp.ones((2,)))
+        assert seen == [True]
+        assert list(fws._PROBE_MEMO.values()) == [True]

@@ -210,17 +210,22 @@ def packed_probe(hd: int, dtype) -> bool:
     before the production encoder commits to it (Mosaic compiles per
     backend; a lowering failure inside the jitted pipeline would not be
     caught by the trace-time try/except around the call site). Safe to
-    call while tracing another function: the probe runs eagerly on
-    concrete zeros. Memoized per (hd, dtype)."""
+    call while tracing another function: the probe body runs in a fresh
+    thread outside the ambient trace (ops/pallas/probe.py — JAX's trace
+    context captures even concrete-input ops). Memoized per (hd, dtype)."""
     key = (hd, jnp.dtype(dtype).name)
     if key in _PACKED_PROBE:
         return _PACKED_PROBE[key]
     try:
         import numpy as np
 
-        q = jnp.zeros((1, 512, 2 * hd), dtype)
-        out = np.asarray(encoder_attention_packed(q, q, q))
-        ok = bool(np.isfinite(out).all())
+        from tpu_audio.ops.pallas.probe import run_outside_trace
+
+        def _run():
+            q = jnp.zeros((1, 512, 2 * hd), dtype)
+            return np.asarray(encoder_attention_packed(q, q, q))
+
+        ok = bool(np.isfinite(run_outside_trace(_run)).all())
     except Exception as exc:
         from tpu_audio.ops.quant import _warn_kernel_fallback
 

@@ -100,7 +100,7 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
 
     @pl.when(ph == 0)
     def _layer_start():
-        hn1_s[...] = _rms(x_s[...], ln1_ref[0].astype(jnp.float32), eps)
+        hn1_s[...] = _rms(x_s[...], ln1_ref[0, 0].astype(jnp.float32), eps)
         oacc_s[...] = jnp.zeros_like(oacc_s)
 
     @pl.when(ph < n_attn_ph)
@@ -111,9 +111,9 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
             y = jax.lax.dot_general(
                 hn, w_ref[0].astype(cd), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            y = y * s_ref[0][None, :]
+            y = y * s_ref[0, 0][None, :]
             if qkv_bias:
-                y = y + b_ref[0][None, :]
+                y = y + b_ref[0, 0][None, :]
             return y
 
         q = proj(wq_ref, sq_ref, bq_ref)                    # (ROWS, gpp*G*hd)
@@ -132,39 +132,59 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
             return vec * cos[None, :] + r * sin[None, :]
 
         scale = hd ** -0.5
+        # Per-head attention with NO sublane-axis data movement: this
+        # Mosaic backend crashes on sublane concatenation / transposes of
+        # computed arrays (empirically bisected on-chip), so heads stay on
+        # the LANE axis throughout — scores live in (S_pad, G) columns
+        # built by masked broadcast-sums of per-head skinny dots, the
+        # softmax reduces over the sublane (S) axis, and the per-head
+        # p·V products lane-concatenate back into the flat (1, G·hd)
+        # attention output (the proven cross_kv_attention primitive set).
         outs = []
         for gi in range(gpp):
             k_g = rot(k[0:1, gi * hd:(gi + 1) * hd], which=1)   # (1, hd)
-            v_g = v[0:1, gi * hd:(gi + 1) * hd]
+            v_g = v[0:1, gi * hd:(gi + 1) * hd].astype(jnp.float32)
             knew_ref[0, gi] = k_g.astype(knew_ref.dtype)
             vnew_ref[0, gi] = v_g.astype(vnew_ref.dtype)
             kbuf = kin_ref[0, gi].astype(jnp.float32)           # (S_pad, hd)
             vbuf = vin_ref[0, gi].astype(jnp.float32)
-            qg = jnp.concatenate(
-                [rot(q[0:1, (gi * group + j) * hd:
-                           (gi * group + j + 1) * hd])
-                 for j in range(group)], axis=0) * scale        # (G, hd)
+            s_pad = kbuf.shape[0]
+            lane_g = jax.lax.broadcasted_iota(
+                jnp.int32, (s_pad, group), 1)
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)
             # history scores over [start, pos) + the CURRENT token as an
             # online-softmax fresh term (slot `pos` of the input cache is
             # stale — the new k/v leave the kernel via knew/vnew instead
             # of a full-cache write-back)
-            s_hist = jax.lax.dot_general(
-                qg, kbuf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (G, S_pad)
-            spos = jax.lax.broadcasted_iota(jnp.int32, s_hist.shape, 1)
+            s_hist = jnp.zeros((s_pad, group), jnp.float32)
+            s_fresh = jnp.zeros((1, group), jnp.float32)
+            for j in range(group):
+                qj = rot(q[0:1, (gi * group + j) * hd:
+                              (gi * group + j + 1) * hd]) * scale  # (1, hd)
+                sj = jax.lax.dot_general(
+                    kbuf, qj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (S_pad, 1)
+                s_hist = s_hist + jnp.where(
+                    lane_g == j, jnp.broadcast_to(sj, s_hist.shape), 0.0)
+                fj = jnp.sum(qj * k_g, axis=1, keepdims=True)   # (1, 1)
+                s_fresh = s_fresh + jnp.where(
+                    lane_f == j, jnp.broadcast_to(fj, s_fresh.shape), 0.0)
+            spos = jax.lax.broadcasted_iota(jnp.int32, s_hist.shape, 0)
             s_hist = jnp.where((spos >= start) & (spos < pos),
                                s_hist, -1e30)
-            s_fresh = jnp.sum(qg * k_g, axis=1, keepdims=True)  # (G, 1)
-            m = jnp.maximum(jnp.max(s_hist, axis=1, keepdims=True), s_fresh)
-            e_h = jnp.exp(s_hist - m)
-            e_f = jnp.exp(s_fresh - m)
-            den = jnp.sum(e_h, axis=1, keepdims=True) + e_f
-            o_hist = jax.lax.dot_general(
-                (e_h / den).astype(cd), vbuf.astype(cd),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (G, hd)
-            og = o_hist + (e_f / den) * v_g.astype(jnp.float32)
-            outs.extend(og[j:j + 1] for j in range(group))
+            m = jnp.maximum(jnp.max(s_hist, axis=0, keepdims=True),
+                            s_fresh)                            # (1, G)
+            e_h = jnp.exp(s_hist - m)                           # (S_pad, G)
+            e_f = jnp.exp(s_fresh - m)                          # (1, G)
+            den = jnp.sum(e_h, axis=0, keepdims=True) + e_f     # (1, G)
+            p = (e_h / den).astype(cd)
+            pf = e_f / den                                      # (1, G)
+            for j in range(group):
+                oj = jax.lax.dot_general(
+                    p[:, j:j + 1], vbuf.astype(cd),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (1, hd)
+                outs.append(oj + pf[0:1, j:j + 1] * v_g)
         flat = jnp.concatenate(outs, axis=1)                # (1, gpp*G*hd)
         part = jax.lax.dot_general(
             flat.astype(cd), wo_ref[0].astype(cd),
@@ -174,10 +194,10 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
 
         @pl.when(ph == n_attn_ph - 1)
         def _attn_done():
-            o = oacc_s[0:1] * so_ref[0][None, :]
+            o = oacc_s[0:1] * so_ref[0, 0][None, :]
             x_s[0:1, :] = x_s[0:1, :] + o
             x = x_s[...]
-            hn2_s[...] = _rms(x, ln2_ref[0].astype(jnp.float32), eps)
+            hn2_s[...] = _rms(x, ln2_ref[0, 0].astype(jnp.float32), eps)
             acc_s[...] = jnp.zeros_like(acc_s)
 
     @pl.when(ph >= n_attn_ph)
@@ -185,10 +205,10 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
         hn2 = hn2_s[...].astype(cd)                         # (ROWS, D)
         g = jax.lax.dot_general(
             hn2, wg_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sg_ref[0][None, :]
+            preferred_element_type=jnp.float32) * sg_ref[0, 0][None, :]
         u = jax.lax.dot_general(
             hn2, wu_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * su_ref[0][None, :]
+            preferred_element_type=jnp.float32) * su_ref[0, 0][None, :]
         act = (g * jax.lax.logistic(g)) * u                 # silu(g) * u
         acc_s[...] += jax.lax.dot_general(
             act.astype(cd), wd_ref[0].astype(cd), (((1,), (1,)), ((), ())),
@@ -196,7 +216,7 @@ def _kernel(pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, normw_ref,
 
         @pl.when(ph == n_ph - 1)
         def _layer_end():
-            x = x_s[...] + acc_s[...] * sd_ref[0][None, :]
+            x = x_s[...] + acc_s[...] * sd_ref[0, 0][None, :]
             x_s[...] = x
 
             @pl.when(lyr == l_total - 1)
@@ -277,6 +297,28 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
     k_row0 = h_ * hd // k_blk        # = H // gpp, integral under GQA
     v_row0 = (h_ + kvh) * hd // k_blk
 
+    # Mosaic rejects rank-2 blocks whose sublane (layer) dim is 1 over
+    # L > 1 — the last two block dims must be (8, 128)-divisible or equal
+    # to the array dims. Every per-layer VECTOR therefore rides as a
+    # rank-3 (rows, 1, width) array whose trailing (1, width) block IS the
+    # array's trailing shape: per-layer vectors as (L, 1, d), per-phase
+    # slices flattened to (L·phases, 1, width). All reshapes/slices below
+    # are views of contiguous regions (the qkv row regions and gate/up
+    # halves are contiguous by construction).
+    ln1 = stack["ln1"].reshape(l_total, 1, d)
+    ln2 = stack["ln2"].reshape(l_total, 1, d)
+    so_v = stack["so"].reshape(l_total, 1, d)
+    sd_v = stack["sdown"].reshape(l_total, 1, d)
+    qr, kr = h_ * hd, kvh * hd
+    sq_v = sqkv[:, :qr].reshape(l_total * n_attn_ph, 1, q_blk)
+    sk_v = sqkv[:, qr:qr + kr].reshape(l_total * n_attn_ph, 1, k_blk)
+    sv_v = sqkv[:, qr + kr:].reshape(l_total * n_attn_ph, 1, k_blk)
+    bq_v = bqkv[:, :qr].reshape(l_total * n_attn_ph, 1, q_blk)
+    bk_v = bqkv[:, qr:qr + kr].reshape(l_total * n_attn_ph, 1, k_blk)
+    bv_v = bqkv[:, qr + kr:].reshape(l_total * n_attn_ph, 1, k_blk)
+    sg_v = stack["sgate"].reshape(l_total * n_hb, 1, hb)
+    su_v = stack["sup"].reshape(l_total * n_hb, 1, hb)
+
     def a(shape):  # per-layer block, constant across phases
         return pl.BlockSpec(shape,
                             lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
@@ -287,6 +329,11 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
                 l, row0 + jnp.minimum(p, n_attn_ph - 1))
             + (0,) * (len(shape) - 2))
 
+    def vph(width):  # per-attention-phase VECTOR rows of (L·phases, 1, w)
+        return pl.BlockSpec(
+            (1, 1, width), lambda l, p, s: (
+                l * n_attn_ph + jnp.minimum(p, n_attn_ph - 1), 0, 0))
+
     def ocol(shape):  # wo column blocks per attention phase
         return pl.BlockSpec(
             shape, lambda l, p, s: (l, 0, jnp.minimum(p, n_attn_ph - 1)))
@@ -296,6 +343,11 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
             shape, lambda l, p, s: (
                 l, row0 + jnp.clip(p - n_attn_ph, 0, n_hb - 1))
             + (0,) * (len(shape) - 2))
+
+    def vmh():  # per-hidden-block VECTOR rows of (L·n_hb, 1, hb)
+        return pl.BlockSpec(
+            (1, 1, hb), lambda l, p, s: (
+                l * n_hb + jnp.clip(p - n_attn_ph, 0, n_hb - 1), 0, 0))
 
     def mcol(shape):  # down: contraction blocks on the last axis
         return pl.BlockSpec(
@@ -309,27 +361,27 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
             pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
             pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # cos
             pl.BlockSpec((1, hd), lambda l, p, s: (0, 0)),        # sin
-            a((1, d)),                                            # ln1
-            a((1, d)),                                            # ln2
+            a((1, 1, d)),                                         # ln1
+            a((1, 1, d)),                                         # ln2
             pl.BlockSpec((1, d), lambda l, p, s: (0, 0)),         # norm
             aph((1, q_blk, d)),                                   # wq view
-            aph((1, q_blk)),                                      # sq
-            aph((1, q_blk)),                                      # bq
+            vph(q_blk),                                           # sq
+            vph(q_blk),                                           # bq
             aph((1, k_blk, d), row0=k_row0),                      # wk view
-            aph((1, k_blk), row0=k_row0),                         # sk
-            aph((1, k_blk), row0=k_row0),                         # bk
+            vph(k_blk),                                           # sk
+            vph(k_blk),                                           # bk
             aph((1, k_blk, d), row0=v_row0),                      # wv view
-            aph((1, k_blk), row0=v_row0),                         # sv
-            aph((1, k_blk), row0=v_row0),                         # bv
+            vph(k_blk),                                           # sv
+            vph(k_blk),                                           # bv
             a((1, 2, hd)),                                        # qk norms
             ocol((1, d, q_blk)),                                  # wo view
-            a((1, d)),                                            # so
+            a((1, 1, d)),                                         # so
             mrow((1, hb, d)),                                     # gate view
-            mrow((1, hb)),                                        # sgate
+            vmh(),                                                # sgate
             mrow((1, hb, d), row0=n_hb),                          # up view
-            mrow((1, hb), row0=n_hb),                             # sup
+            vmh(),                                                # sup
             mcol((1, d, hb)),                                     # down
-            a((1, d)),                                            # sdown
+            a((1, 1, d)),                                         # sdown
             aph((1, gpp, s_pad, hd)),                             # k cache
             aph((1, gpp, s_pad, hd)),                             # v cache
         ],
@@ -357,11 +409,11 @@ def fused_decode_step(x, pos, cos, sin, stack, k_cache, v_cache, *,
         interpret=interpret,
     )(jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()),
                  jnp.asarray(start, jnp.int32).reshape(())]),
-      xp, cos, sin, stack["ln1"], stack["ln2"], stack["norm"],
-      wqkv, sqkv, bqkv, wqkv, sqkv, bqkv, wqkv, sqkv, bqkv, qknorm,
-      stack["wo"], stack["so"],
-      gateup, stack["sgate"], gateup, stack["sup"],
-      stack["wdown"], stack["sdown"], k_cache, v_cache)
+      xp, cos, sin, ln1, ln2, stack["norm"],
+      wqkv, sq_v, bq_v, wqkv, sk_v, bk_v, wqkv, sv_v, bv_v, qknorm,
+      stack["wo"], so_v,
+      gateup, sg_v, gateup, su_v,
+      stack["wdown"], sd_v, k_cache, v_cache)
     # one in-place scatter of the fresh slot (donated/carried buffers)
     at = (0, 0, jnp.asarray(pos, jnp.int32), 0)
     k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, at)
@@ -457,20 +509,27 @@ def probe_compile(cfg, params: dict, max_len: int = 512,
         _PROBE_MEMO[sig] = False
         return False
     try:
-        # grouped left to the wrapper: it derives the layout from these
-        # same shapes, so the probe compiles the variant that will run
-        stack = prepare_stack(params, cfg)
-        kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, max_len, cfg.hd),
-                       cache_dtype)
-        cos = jnp.ones((1, cfg.hd), jnp.float32)
-        h, _, _ = fused_decode_step(
-            jnp.zeros((1, cfg.dim), act_dtype), 0, cos, cos * 0,
-            stack, kc, kc,
-            n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
-            hd=cfg.hd, eps=cfg.norm_eps)
         import numpy as _np
 
-        ok = bool(_np.isfinite(_np.asarray(h)).all())
+        from tpu_audio.ops.pallas.probe import run_outside_trace
+
+        # grouped left to the wrapper: it derives the layout from these
+        # same shapes, so the probe compiles the variant that will run.
+        # The body runs in a fresh thread outside any ambient trace
+        # (ops/pallas/probe.py) so a caller can gate on it while tracing.
+        def _run():
+            stack = prepare_stack(params, cfg)
+            kc = jnp.zeros((cfg.n_layers, cfg.kv_heads, max_len, cfg.hd),
+                           cache_dtype)
+            cos = jnp.ones((1, cfg.hd), jnp.float32)
+            h, _, _ = fused_decode_step(
+                jnp.zeros((1, cfg.dim), act_dtype), 0, cos, cos * 0,
+                stack, kc, kc,
+                n_heads=cfg.n_heads, n_kv_heads=cfg.kv_heads,
+                hd=cfg.hd, eps=cfg.norm_eps)
+            return _np.asarray(h)
+
+        ok = bool(_np.isfinite(run_outside_trace(_run)).all())
     except Exception as exc:
         from tpu_audio.ops.quant import _warn_kernel_fallback
 

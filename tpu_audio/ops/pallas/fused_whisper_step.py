@@ -1,4 +1,4 @@
-"""Fused Whisper decoder step: all 4 decoder layers (self-attention with
+"""Fused Whisper decoder step: all decoder layers (self-attention with
 cache, int8 cross-attention, LayerNorm/GELU MLP) in ONE Pallas launch.
 
 Why: the single-stream Whisper window loop is decode-step-dominated after
@@ -22,11 +22,25 @@ TextDecoder.swift:17-97, MultiHeadAttention.swift:85-135):
     online-softmax fresh term and the kernel emits just the (L, 1, H·hd)
     new slot, scattered outside with one dynamic_update_slice.
 
-Grid: (L, HG + 2 + n_hb) — HG head-group phases of self-attention (weight
-and cache blocks are BlockSpec column/row VIEWS, no re-layout), one
-cross-score phase (block-diagonal q: ONE MXU dot against the whole int8
-K), one cross-value phase (probs from scratch), n_hb MLP hidden blocks.
-Weights may be per-channel int8 (the w8a8 serving tree) or fp.
+Grid: (L, HG + HG + n_hb) — HG head-group phases of self-attention
+(weight and cache blocks are BlockSpec column/row VIEWS, no re-layout),
+HG head-group phases of cross-attention (q/o weight row/column views and
+int8 K/V COLUMN views: per-head softmax is column-independent, so each
+group scores, normalizes, and projects its own lane span — loading the
+full (T_pad, D) cross-K/V plus both (D, D) cross weights in one phase
+was measured 4.5 MB over the 16 MB scoped-VMEM limit with everything
+double-buffered), n_hb MLP hidden blocks. Weights may be per-channel
+int8 (the w8a8 serving tree) or fp.
+
+Mosaic constraints honored throughout (empirically bisected on-chip, see
+ops/pallas/fused_step.py): no sublane-axis concatenation or transposes of
+computed arrays — heads stay on the LANE axis (scores are (rows, heads)
+columns built by masked broadcast-sums of per-head skinny dots, softmax
+reduces over the sublane axis, head extraction uses iota-mask reductions);
+every per-layer VECTOR rides as a rank-3 (rows, 1, width) array whose
+trailing block equals the array's trailing shape (Mosaic rejects rank-2
+blocks with a unit sublane dim over L > 1); self-attention head-group
+column views are 128-lane multiples.
 
 B=1, T=1 only — the batched window decoder keeps the XLA path, where the
 per-step op cost amortizes over 16 rows.
@@ -48,7 +62,17 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 ROWS = 8          # sublane-padded batch rows; row 0 is the real stream
-HEADS_PER_PHASE = 5  # 5 heads × hd 64 = 320 columns per self-attn phase
+MAX_GCOLS = 512   # self-attn head-group column cap (VMEM per phase)
+
+
+def _head_group(h: int, hd: int) -> int | None:
+    """Largest head count per self-attention phase with H % g == 0 and a
+    128-lane-multiple column view (Mosaic block constraint), capped at
+    MAX_GCOLS columns. None if no valid grouping."""
+    for g in range(min(h, MAX_GCOLS // max(hd, 1)), 0, -1):
+        if h % g == 0 and (g * hd) % 128 == 0:
+            return g
+    return None
 
 
 def _ln(x, w, b, eps=1e-5):
@@ -59,15 +83,29 @@ def _ln(x, w, b, eps=1e-5):
             * w.astype(jnp.float32) + b.astype(jnp.float32))
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| <= 1.5e-7, below
+    bf16 resolution): this Mosaic backend has no erf lowering for the TC
+    kernel type, but exp is supported."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
 def _gelu(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+    return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)))
 
 
-def _head_onehot(rows: int, cols: int, hd: int):
-    """(rows, cols) 0/1 matrix with [r, c] = 1 iff r // hd == c."""
+def _sel(rows: int, cols: int, hd: int):
+    """(rows, cols) 0/1 matrix with [r, c] = 1 iff c // hd == r — places
+    head r's channel block on its lane span (iota-built, no transposes)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    return (r // hd == c).astype(jnp.float32)
+    return (c // hd == r).astype(jnp.float32)
 
 
 def _kernel(pos_ref, x_ref,
@@ -79,14 +117,13 @@ def _kernel(pos_ref, x_ref,
             w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             kc_ref, vc_ref,
             hout_ref, knew_ref, vnew_ref,
-            x_s, hn_s, oacc_s, acc_s, p_s, *,
-            n_heads, hd, hg, t_valid, l_total, compute_dtype):
+            x_s, hn_s, oacc_s, acc_s, *,
+            n_heads, hd, hg, gh, t_valid, l_total, compute_dtype):
     lyr = pl.program_id(0)
     ph = pl.program_id(1)
     n_ph = pl.num_programs(1)
     pos = pos_ref[0]
     cd = compute_dtype
-    gh = n_heads // hg            # heads per self phase
     gcols = gh * hd
     scale = hd ** -0.25
 
@@ -106,9 +143,9 @@ def _kernel(pos_ref, x_ref,
         def proj(w_ref, s_ref, b_ref):
             y = jax.lax.dot_general(
                 hn, w_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * s_ref[0][None, :]
+                preferred_element_type=jnp.float32) * s_ref[0, 0][None, :]
             if b_ref is not None:
-                y = y + b_ref[0][None, :]
+                y = y + b_ref[0, 0][None, :]
             return y
 
         q = proj(wq_ref, sq_ref, bq_ref) * scale            # (ROWS, gcols)
@@ -119,16 +156,23 @@ def _kernel(pos_ref, x_ref,
 
         kbuf = kc_ref[0].astype(jnp.float32)                # (S_pad, gcols)
         vbuf = vc_ref[0].astype(jnp.float32)
-        qbd = q[0:1].T * _head_onehot(gcols, gh, hd)        # (gcols, gh)
-        s_hist = jax.lax.dot_general(
-            kbuf, qbd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (S_pad, gh)
+        s_pad = kbuf.shape[0]
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (s_pad, gh), 1)
+        s_hist = jnp.zeros((s_pad, gh), jnp.float32)
+        for j in range(gh):  # per-head skinny dots; heads stay on lanes
+            qj = q[0:1, j * hd:(j + 1) * hd]                # (1, hd)
+            sj = jax.lax.dot_general(
+                kbuf[:, j * hd:(j + 1) * hd], qj,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (S_pad, 1)
+            s_hist = s_hist + jnp.where(
+                lane_h == j, jnp.broadcast_to(sj, s_hist.shape), 0.0)
         spos = jax.lax.broadcasted_iota(jnp.int32, s_hist.shape, 0)
         s_hist = jnp.where(spos < pos, s_hist, -1e30)
         # fresh (current-token) score per head
         qk = q[0:1] * k[0:1]                                # (1, gcols)
         s_fresh = jax.lax.dot_general(
-            qk, _head_onehot(gcols, gh, hd), (((1,), (0,)), ((), ())),
+            qk, _sel(gh, gcols, hd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (1, gh)
         m = jnp.maximum(jnp.max(s_hist, axis=0, keepdims=True), s_fresh)
         e_h = jnp.exp(s_hist - m)
@@ -138,68 +182,85 @@ def _kernel(pos_ref, x_ref,
         o_rows = jax.lax.dot_general(
             p.astype(cd), vbuf.astype(cd), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (gh, gcols)
-        sel = _head_onehot(gcols, gh, hd)                   # (gcols, gh)
-        out = jnp.sum(o_rows * sel.T, axis=0,
+        selt = _sel(gh, gcols, hd)                          # (gh, gcols)
+        out = jnp.sum(o_rows * selt, axis=0,
                       keepdims=True)                        # (1, gcols)
         pf = jax.lax.dot_general(
-            e_f / den, sel, (((1,), (1,)), ((), ())),
+            e_f / den, selt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (1, gcols)
         out = out + pf * v[0:1]
         part = jax.lax.dot_general(
             out.astype(cd), wo_ref[0].astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (1, D)
-        oacc_s[0:1] += part * so_ref[0][None, :]
+        oacc_s[0:1] += part * so_ref[0, 0][None, :]
 
         @pl.when(ph == hg - 1)
         def _self_done():
             x_s[0:1, :] = (x_s[0:1, :] + oacc_s[0:1]
-                           + bo_ref[0][None, :])
+                           + bo_ref[0, 0][None, :])
             hn_s[...] = _ln(x_s[...], lnc_ref[0, 0], lnc_ref[0, 1])
+            oacc_s[...] = jnp.zeros_like(oacc_s)  # reused by cross phases
 
-    @pl.when(ph == hg)
-    def _cross_scores():
+    @pl.when((ph >= hg) & (ph < 2 * hg))
+    def _cross_group():
+        # one head-group of cross-attention end-to-end: scores, softmax,
+        # value, and the o-projection partial for this group's lane span.
+        # Per-head softmax is column-independent, so nothing crosses
+        # phases except the oacc accumulator.
         hn = hn_s[...].astype(cd)
         qc = jax.lax.dot_general(
             hn[0:1], wqc_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        qc = (qc * sqc_ref[0][None, :] + bqc_ref[0][None, :]) * scale
-        qs = qc * ksc_ref[0]                                # fold K scales
-        qbd = qs.T * _head_onehot(qs.shape[1], n_heads, hd)  # (D, H)
-        scores = jax.lax.dot_general(
-            k8_ref[0, 0].astype(cd), qbd.astype(cd),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (T_pad, H)
+            preferred_element_type=jnp.float32)             # (1, gcols)
+        qc = (qc * sqc_ref[0, 0][None, :] + bqc_ref[0, 0][None, :]) * scale
+        qs = qc * ksc_ref[0, 0][None, :]                    # fold K scales
+        k8 = k8_ref[0, 0]                                   # (T_pad, gcols)
+        t_pad = k8.shape[0]
+        gw = max(gh, 8)
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (t_pad, gw), 1)
+        scores = jnp.zeros((t_pad, gw), jnp.float32)
+        for j in range(gh):  # per-head skinny dots on lane slices
+            # f32 operands: Mosaic lowers a computed-bf16 skinny dot via a
+            # vector.broadcast that changes element type, which its own
+            # verifier rejects (observed on chip); the f32 path verifies,
+            # and these dots are ~2M MACs/layer — noise next to the value
+            # dot. k8 is int8 so the f32 cast is exact.
+            sj = jax.lax.dot_general(
+                k8[:, j * hd:(j + 1) * hd].astype(jnp.float32),
+                qs[0:1, j * hd:(j + 1) * hd],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (T_pad, 1)
+            scores = scores + jnp.where(
+                lane_h == j, jnp.broadcast_to(sj, scores.shape), 0.0)
         tpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         scores = jnp.where(tpos < t_valid, scores, -1e30)
         m = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - m)
-        p_s[:, :n_heads] = e / jnp.sum(e, axis=0, keepdims=True)
-
-    @pl.when(ph == hg + 1)
-    def _cross_value():
-        p = p_s[:, :n_heads]                                # (T_pad, H)
+        p = e / jnp.sum(e, axis=0, keepdims=True)           # (T_pad, gw)
         o_rows = jax.lax.dot_general(
             p.astype(cd), v8_ref[0, 0].astype(cd), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (H, D)
-        d = o_rows.shape[1]
-        sel = _head_onehot(d, n_heads, hd)                  # (D, H)
-        out = jnp.sum(o_rows * sel.T, axis=0, keepdims=True)  # (1, D)
-        out = out * vsc_ref[0]                              # fold V scales
+            preferred_element_type=jnp.float32)             # (gw, gcols)
+        selt = _sel(gw, gcols, hd)                          # pad rows drop
+        out = jnp.sum(o_rows * selt, axis=0, keepdims=True)  # (1, gcols)
+        out = out * vsc_ref[0, 0][None, :]                  # fold V scales
         part = jax.lax.dot_general(
             out.astype(cd), woc_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        x_s[0:1, :] = (x_s[0:1, :] + part * soc_ref[0][None, :]
-                       + boc_ref[0][None, :])
-        hn_s[...] = _ln(x_s[...], ln2_ref[0, 0], ln2_ref[0, 1])
-        acc_s[...] = jnp.zeros_like(acc_s)
+            preferred_element_type=jnp.float32)             # (1, D)
+        oacc_s[0:1] += part * soc_ref[0, 0][None, :]
 
-    @pl.when(ph > hg + 1)
+        @pl.when(ph == 2 * hg - 1)
+        def _cross_done():
+            x_s[0:1, :] = (x_s[0:1, :] + oacc_s[0:1]
+                           + boc_ref[0, 0][None, :])
+            hn_s[...] = _ln(x_s[...], ln2_ref[0, 0], ln2_ref[0, 1])
+            acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ph >= 2 * hg)
     def _mlp():
         hn = hn_s[...].astype(cd)
         part = jax.lax.dot_general(
             hn, w1_ref[0].astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        part = part * s1_ref[0][None, :] + b1_ref[0][None, :]
+        part = part * s1_ref[0, 0][None, :] + b1_ref[0, 0][None, :]
         act = _gelu(part)
         acc_s[...] += jax.lax.dot_general(
             act.astype(cd), w2_ref[0].astype(cd), (((1,), (1,)), ((), ())),
@@ -207,8 +268,8 @@ def _kernel(pos_ref, x_ref,
 
         @pl.when(ph == n_ph - 1)
         def _layer_end():
-            x = (x_s[...] + acc_s[...] * s2_ref[0][None, :]
-                 + b2_ref[0][None, :])
+            x = (x_s[...] + acc_s[...] * s2_ref[0, 0][None, :]
+                 + b2_ref[0, 0][None, :])
             x_s[...] = x
 
             @pl.when(lyr == l_total - 1)
@@ -263,9 +324,11 @@ def fused_whisper_decode_step(dec: dict, x, pos, k_cache, v_cache,
     lnf = _ln_pair(dec["ln"])[None]                        # (1, 2, D)
 
     l_total, d = wq.shape[0], wq.shape[1]
-    hg = n_heads // HEADS_PER_PHASE if n_heads % HEADS_PER_PHASE == 0 \
-        else n_heads // 4 if n_heads % 4 == 0 else n_heads
-    gcols = (n_heads // hg) * hd
+    gh = _head_group(n_heads, hd)
+    if gh is None:
+        raise ValueError(f"no valid head grouping for H={n_heads} hd={hd}")
+    hg = n_heads // gh
+    gcols = gh * hd
     hidden = w1.shape[1]
     hb = _whisper_hb(hidden)
     n_hb = hidden // hb
@@ -274,33 +337,70 @@ def fused_whisper_decode_step(dec: dict, x, pos, k_cache, v_cache,
     cd = x.dtype
 
     xp = jnp.zeros((ROWS, d), cd).at[0:1].set(x.astype(cd))
-    grid = (l_total, hg + 2 + n_hb)
+    grid = (l_total, 2 * hg + n_hb)
     kernel = functools.partial(
-        _kernel, n_heads=n_heads, hd=hd, hg=hg, t_valid=t_valid,
+        _kernel, n_heads=n_heads, hd=hd, hg=hg, gh=gh, t_valid=t_valid,
         l_total=l_total, compute_dtype=cd)
+
+    # rank-3 per-layer vector layouts (see module docstring): per-phase
+    # slices flatten to (L·phases, 1, width); whole-row vectors to
+    # (L, 1, d) / (L·n_hb, 1, hb). All contiguous reshapes (views).
+    def ph3(a):   # (L, d) -> (L*hg, 1, gcols) phase slices
+        return a.reshape(l_total * hg, 1, gcols)
+
+    def mh3(a):   # (L, hidden) -> (L*n_hb, 1, hb) hidden blocks
+        return a.reshape(l_total * n_hb, 1, hb)
+
+    def r3(a):    # (L, d) -> (L, 1, d)
+        return a.reshape(l_total, 1, d)
 
     def a(shape):
         return pl.BlockSpec(shape,
                             lambda l, p, s: (l,) + (0,) * (len(shape) - 1))
 
-    def sg(shape):  # self head-group column/row view, clamped after hg
+    def sg(shape):  # self head-group weight row views, clamped after hg
         return pl.BlockSpec(
             shape, lambda l, p, s: (l, jnp.minimum(p, hg - 1))
             + (0,) * (len(shape) - 2))
+
+    def sgv():  # self head-group VECTOR rows of (L*hg, 1, gcols)
+        return pl.BlockSpec(
+            (1, 1, gcols), lambda l, p, s: (
+                l * hg + jnp.minimum(p, hg - 1), 0, 0))
 
     def sgc(shape):  # cache/wo column views on the LAST axis
         return pl.BlockSpec(
             shape, lambda l, p, s: (l, 0, jnp.minimum(p, hg - 1)))
 
+    def cg(shape):  # cross head-group weight ROW views (wqc)
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l, jnp.clip(p - hg, 0, hg - 1))
+            + (0,) * (len(shape) - 2))
+
+    def cgv():  # cross head-group VECTOR rows of (L*hg, 1, gcols)
+        return pl.BlockSpec(
+            (1, 1, gcols), lambda l, p, s: (
+                l * hg + jnp.clip(p - hg, 0, hg - 1), 0, 0))
+
+    def cgc(shape):  # cross K8/V8/woc COLUMN views on the LAST axis
+        return pl.BlockSpec(
+            shape, lambda l, p, s: (l,) + (0,) * (len(shape) - 2)
+            + (jnp.clip(p - hg, 0, hg - 1),))
+
     def mh(shape):  # MLP hidden row blocks
         return pl.BlockSpec(
             shape, lambda l, p, s: (
-                l, jnp.clip(p - hg - 2, 0, n_hb - 1))
+                l, jnp.clip(p - 2 * hg, 0, n_hb - 1))
             + (0,) * (len(shape) - 2))
+
+    def mhv():  # MLP hidden VECTOR rows of (L*n_hb, 1, hb)
+        return pl.BlockSpec(
+            (1, 1, hb), lambda l, p, s: (
+                l * n_hb + jnp.clip(p - 2 * hg, 0, n_hb - 1), 0, 0))
 
     def mhc(shape):  # fc2 contraction blocks
         return pl.BlockSpec(
-            shape, lambda l, p, s: (l, 0, jnp.clip(p - hg - 2, 0, n_hb - 1)))
+            shape, lambda l, p, s: (l, 0, jnp.clip(p - 2 * hg, 0, n_hb - 1)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -309,16 +409,16 @@ def fused_whisper_decode_step(dec: dict, x, pos, k_cache, v_cache,
             pl.BlockSpec((ROWS, d), lambda l, p, s: (0, 0)),      # x
             a((1, 2, d)), a((1, 2, d)), a((1, 2, d)),             # ln1/c/2
             pl.BlockSpec((1, 2, d), lambda l, p, s: (0, 0, 0)),   # ln final
-            sg((1, gcols, d)), sg((1, gcols)), sg((1, gcols)),    # q w/s/b
-            sg((1, gcols, d)), sg((1, gcols)),                    # k w/s
-            sg((1, gcols, d)), sg((1, gcols)), sg((1, gcols)),    # v w/s/b
-            sgc((1, d, gcols)), a((1, d)), a((1, d)),             # o w/s/b
-            a((1, d, d)), a((1, d)), a((1, d)),                   # cq w/s/b
-            a((1, d, d)), a((1, d)), a((1, d)),                   # co w/s/b
-            a((1, 1, t_pad, d)), a((1, 1, d)),                    # K8 + sc
-            a((1, 1, t_pad, d)), a((1, 1, d)),                    # V8 + sc
-            mh((1, hb, d)), mh((1, hb)), mh((1, hb)),             # fc1
-            mhc((1, d, hb)), a((1, d)), a((1, d)),                # fc2
+            sg((1, gcols, d)), sgv(), sgv(),                      # q w/s/b
+            sg((1, gcols, d)), sgv(),                             # k w/s
+            sg((1, gcols, d)), sgv(), sgv(),                      # v w/s/b
+            sgc((1, d, gcols)), a((1, 1, d)), a((1, 1, d)),       # o w/s/b
+            cg((1, gcols, d)), cgv(), cgv(),                      # cq w/s/b
+            cgc((1, d, gcols)), a((1, 1, d)), a((1, 1, d)),       # co w/s/b
+            cgc((1, 1, t_pad, gcols)), cgv(),                     # K8 + sc
+            cgc((1, 1, t_pad, gcols)), cgv(),                     # V8 + sc
+            mh((1, hb, d)), mhv(), mhv(),                         # fc1
+            mhc((1, d, hb)), a((1, 1, d)), a((1, 1, d)),          # fc2
             sgc((1, s_pad, gcols)),                               # k cache
             sgc((1, s_pad, gcols)),                               # v cache
         ],
@@ -330,9 +430,8 @@ def fused_whisper_decode_step(dec: dict, x, pos, k_cache, v_cache,
         scratch_shapes=[
             pltpu.VMEM((ROWS, d), jnp.float32),       # residual stream
             pltpu.VMEM((ROWS, d), jnp.float32),       # section norm
-            pltpu.VMEM((ROWS, d), jnp.float32),       # self-o accumulator
+            pltpu.VMEM((ROWS, d), jnp.float32),       # self/cross-o acc
             pltpu.VMEM((ROWS, d), jnp.float32),       # mlp accumulator
-            pltpu.VMEM((t_pad, max(n_heads, 8)), jnp.float32),  # cross probs
         ],
     )
     h, k_new, v_new = pl.pallas_call(
@@ -346,10 +445,11 @@ def fused_whisper_decode_step(dec: dict, x, pos, k_cache, v_cache,
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1),
       xp, ln1, lnc, ln2, lnf,
-      wq, sq, bq, wk, sk, wv, sv, bv, wo, so, bo,
-      wqc, sqc, bqc, woc, soc, boc,
-      k8, ksc, v8, vsc,
-      w1, s1, b1, w2, s2, b2, k_cache, v_cache)
+      wq, ph3(sq), ph3(bq), wk, ph3(sk), wv, ph3(sv), ph3(bv),
+      wo, r3(so), r3(bo),
+      wqc, ph3(sqc), ph3(bqc), woc, r3(soc), r3(boc),
+      k8, ph3(ksc.reshape(l_total, d)), v8, ph3(vsc.reshape(l_total, d)),
+      w1, mh3(s1), mh3(b1), w2, r3(s2), r3(b2), k_cache, v_cache)
     at = (0, jnp.asarray(pos, jnp.int32), 0)
     k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, at)
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, at)
@@ -382,9 +482,9 @@ def decode_supported(cfg, dec: dict, cache_dtype=jnp.float32) -> bool:
         return False
     h, d = cfg.n_text_head, cfg.n_text_state
     hd = d // h
-    if hd != 64 or d % 128 or cfg.n_text_ctx % 8:
+    if d % 128 or cfg.n_text_ctx % 8:
         return False
-    if h % HEADS_PER_PHASE and h % 4:
+    if _head_group(h, hd) is None:
         return False
     q = dec["blocks"]["attn"]["q"]
     int8 = "weight_i8" in q
@@ -397,43 +497,51 @@ def decode_supported(cfg, dec: dict, cache_dtype=jnp.float32) -> bool:
     try:
         import numpy as _np
 
+        from tpu_audio.ops.pallas.probe import run_outside_trace
+
         # synthetic decoder at the REAL shapes (never materializes the
-        # full model — the probe can run while tracing a decode graph)
-        lyr, hidden = cfg.n_text_layer, 4 * d
+        # full model). The probe body runs in a fresh thread outside any
+        # ambient trace (ops/pallas/probe.py) so it stays eager when a
+        # caller gates on it while tracing a decode graph.
+        def _run():
+            lyr, hidden = cfg.n_text_layer, 4 * d
 
-        def leaf(o, i, bias=True):
-            if int8:
-                out = {"weight_i8": jnp.zeros((lyr, o, i), jnp.int8),
-                       "scale_i8": jnp.full((lyr, o, 1), 1e-3, jnp.float32)}
-            else:
-                out = {"weight": jnp.zeros((lyr, o, i), jnp.float32)}
-            if bias:
-                out["bias"] = jnp.zeros((lyr, o), jnp.float32)
-            return out
+            def leaf(o, i, bias=True):
+                if int8:
+                    out = {"weight_i8": jnp.zeros((lyr, o, i), jnp.int8),
+                           "scale_i8": jnp.full((lyr, o, 1), 1e-3,
+                                                jnp.float32)}
+                else:
+                    out = {"weight": jnp.zeros((lyr, o, i), jnp.float32)}
+                if bias:
+                    out["bias"] = jnp.zeros((lyr, o), jnp.float32)
+                return out
 
-        def ln(shape=(lyr, d)):
-            return {"weight": jnp.ones(shape, jnp.float32),
-                    "bias": jnp.zeros(shape, jnp.float32)}
+            def ln(shape=(lyr, d)):
+                return {"weight": jnp.ones(shape, jnp.float32),
+                        "bias": jnp.zeros(shape, jnp.float32)}
 
-        dec_syn = {
-            "blocks": {
-                "attn": {"q": leaf(d, d), "k": leaf(d, d, bias=False),
-                         "v": leaf(d, d), "o": leaf(d, d)},
-                "cross_attn": {"q": leaf(d, d), "o": leaf(d, d)},
-                "mlp": {"fc1": leaf(hidden, d), "fc2": leaf(d, hidden)},
-                "ln1": ln(), "ln_cross": ln(), "ln2": ln(),
-            },
-            "ln": ln((d,)),
-        }
-        t_pad = -(-cfg.n_audio_ctx // 128) * 128
-        k8 = jnp.zeros((lyr, 1, t_pad, d), jnp.int8)
-        sc = jnp.full((lyr, 1, d), 1e-3, jnp.float32)
-        kc = jnp.zeros((lyr, cfg.n_text_ctx, d), cache_dtype)
-        hh, _, _ = fused_whisper_decode_step(
-            dec_syn, jnp.zeros((1, d), act_dtype), 0,
-            kc, kc, k8, sc, k8, sc, n_heads=h, hd=hd,
-            t_valid=cfg.n_audio_ctx)
-        ok = bool(_np.isfinite(_np.asarray(hh)).all())
+            dec_syn = {
+                "blocks": {
+                    "attn": {"q": leaf(d, d), "k": leaf(d, d, bias=False),
+                             "v": leaf(d, d), "o": leaf(d, d)},
+                    "cross_attn": {"q": leaf(d, d), "o": leaf(d, d)},
+                    "mlp": {"fc1": leaf(hidden, d), "fc2": leaf(d, hidden)},
+                    "ln1": ln(), "ln_cross": ln(), "ln2": ln(),
+                },
+                "ln": ln((d,)),
+            }
+            t_pad = -(-cfg.n_audio_ctx // 128) * 128
+            k8 = jnp.zeros((lyr, 1, t_pad, d), jnp.int8)
+            sc = jnp.full((lyr, 1, d), 1e-3, jnp.float32)
+            kc = jnp.zeros((lyr, cfg.n_text_ctx, d), cache_dtype)
+            hh, _, _ = fused_whisper_decode_step(
+                dec_syn, jnp.zeros((1, d), act_dtype), 0,
+                kc, kc, k8, sc, k8, sc, n_heads=h, hd=hd,
+                t_valid=cfg.n_audio_ctx)
+            return _np.asarray(hh)
+
+        ok = bool(_np.isfinite(run_outside_trace(_run)).all())
     except Exception as exc:
         from tpu_audio.ops.quant import _warn_kernel_fallback
 
