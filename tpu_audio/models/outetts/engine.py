@@ -95,10 +95,25 @@ DEFAULT_SPEAKER_PATH = __file__.rsplit("/", 1)[0] + "/default_speaker.json"
 
 def default_speaker() -> SpeakerProfile | None:
     """The bundled default voice, or None if the asset has not been
-    generated on this machine yet (zero-egress build environments)."""
+    generated on this machine yet (zero-egress build environments).
+
+    When the asset is absent this is a LOUD degradation, not a silent
+    one: the reference guarantees an out-of-the-box voice
+    (Package.swift:42 ships default_speaker.json), so running
+    unconditioned is a behavioral difference the user must see."""
     import os
 
     if not os.path.exists(DEFAULT_SPEAKER_PATH):
+        from tpu_audio.utils import get_logger
+
+        get_logger("outetts").warning(
+            "OuteTTS bundled default speaker asset is missing (%s): "
+            "generation will run UNCONDITIONED (no voice cloning prompt), "
+            "which does not match the reference's out-of-the-box voice. "
+            "Generate it once with tools/make_default_speaker.py on a "
+            "machine with network access, or pass an explicit "
+            "SpeakerProfile / speaker=None to silence this warning.",
+            DEFAULT_SPEAKER_PATH)
         return None
     return SpeakerProfile.load(DEFAULT_SPEAKER_PATH)
 
@@ -112,8 +127,8 @@ class OuteTTSEngine(TTSEngineBase):
                  gamma: int = 8):
         """speaker: a SpeakerProfile, the string "default" (bundled
         default_speaker.json, matching the reference's out-of-the-box
-        voice; silently unconditioned if the asset is absent), or None
-        for explicit unconditioned prompts.
+        voice; falls back to unconditioned prompts WITH a warning if the
+        asset is absent), or None for explicit unconditioned prompts.
 
         quantization: "w8a8" (default) requantizes the 4-bit checkpoint
         to the per-channel int8 serving format at load (1B decode 2.66
