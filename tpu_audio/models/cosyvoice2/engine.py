@@ -47,12 +47,25 @@ class CosyVoice2Engine(TTSEngineBase):
     sample_rate = SR_OUT
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
 
-    def __init__(self, speed: float = 1.0, quantization: str = "w8a8"):
+    def __init__(self, speed: float = 1.0, quantization: str = "w8a8",
+                 mesh=None):
         """quantization: "w8a8" (default) requantizes the 4-bit checkpoint
         LM to the per-channel int8 serving format at load; "w4a8" repacks
         losslessly for the int4→int8 MXU kernel; "q4" keeps the
-        checkpoint's group-affine layout (fused dequant kernel)."""
+        checkpoint's group-affine layout (fused dequant kernel).
+
+        mesh: optional jax.sharding.Mesh with ("dp", "tp") axes — shards
+        the WHOLE engine (LM via megatron GSPMD rules, flow conformer +
+        CFM estimator via flow_rules; vocoder/campplus replicated).
+        Requires quantization in ("bf16", "fp16", "none"): the quantized
+        Pallas kernels are single-chip (see CausalLMGenerator's shard_map
+        path for quantized LLM TP)."""
         super().__init__()
+        if mesh is not None and quantization not in ("bf16", "fp16", "none"):
+            raise ValueError(
+                "mesh serving requires an fp LM (quantization='bf16'); the "
+                "int8/int4 Pallas kernels are single-chip")
+        self.mesh = mesh
         self.speed = speed
         self.quantization = quantization
         self.lm: lm_mod.CosyLMGenerator | None = None
@@ -81,16 +94,28 @@ class CosyVoice2Engine(TTSEngineBase):
             from tpu_audio.ops import quant
 
             lm_params = quant.repack_tree_w4a8(lm_params)
-        self.lm = lm_mod.CosyLMGenerator(lm_params, self.lm_cfg)
+        self.lm = lm_mod.CosyLMGenerator(lm_params, self.lm_cfg,
+                                         mesh=self.mesh)
+        if self.mesh is not None:
+            from tpu_audio.parallel import flow_rules, shard_tree
+
+            self.s3gen_params = shard_tree(self.s3gen_params, self.mesh,
+                                           flow_rules)
         self.is_loaded = True
 
     @classmethod
     def from_params(cls, lm_params, lm_cfg, s3gen_params, s3gen_cfg,
                     tok_params, tok_cfg, tokenizer=None,
-                    max_cache: int = 512) -> "CosyVoice2Engine":
-        eng = cls()
+                    max_cache: int = 512, mesh=None) -> "CosyVoice2Engine":
+        eng = cls(quantization="none" if mesh is not None else "w8a8",
+                  mesh=mesh)
         eng.lm_cfg = lm_cfg
-        eng.lm = lm_mod.CosyLMGenerator(lm_params, lm_cfg, max_cache=max_cache)
+        eng.lm = lm_mod.CosyLMGenerator(lm_params, lm_cfg, max_cache=max_cache,
+                                        mesh=mesh)
+        if mesh is not None:
+            from tpu_audio.parallel import flow_rules, shard_tree
+
+            s3gen_params = shard_tree(s3gen_params, mesh, flow_rules)
         eng.s3gen_params, eng.s3gen_cfg = s3gen_params, s3gen_cfg
         eng.tok_params, eng.tok_cfg = tok_params, tok_cfg
         eng.tokenizer = tokenizer or load_tokenizer(None)

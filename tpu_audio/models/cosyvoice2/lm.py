@@ -65,12 +65,22 @@ def init_params(key, cfg: CosyLMConfig, dtype=jnp.float32) -> dict:
 
 
 class CosyLMGenerator:
-    def __init__(self, params, cfg: CosyLMConfig, max_cache: int = 4096):
+    def __init__(self, params, cfg: CosyLMConfig, max_cache: int = 4096,
+                 mesh=None):
         # fuse fp qkv/gateup leaves (bit-identical; int8 trees arrive
         # pre-fused from requantize_tree_int8): fewer GEMM dispatches per
         # step and the shape the fused decode kernel streams
         self.params = dict(params,
                            llm=transformer.fuse_fp_tree(params["llm"]))
+        if mesh is not None:
+            # GSPMD tensor parallelism: megatron shardings on the fused
+            # qkv/gateup leaves; XLA inserts the psums. (Quantized trees
+            # ride the explicit shard_map path in CausalLMGenerator; here
+            # mesh serving is the fp/bf16 GSPMD path.)
+            from tpu_audio.parallel import shard_tree, transformer_rules
+
+            self.params = shard_tree(self.params, mesh, transformer_rules)
+        self.mesh = mesh
         self.cfg = cfg
         self.max_cache = max_cache
         self._fns = {}
@@ -85,7 +95,9 @@ class CosyLMGenerator:
         # whole-stack fused decode kernel for the T=1 steps (TPU-gated):
         # one Pallas launch per token instead of ~24 layers of small ops;
         # the left-pad mask rides the cache's `start` bound
-        fused = transformer.fused_decode_supported(
+        # the single-chip fused decode kernel is not sharding-aware; under a
+        # mesh the GSPMD path serves the steps
+        fused = self.mesh is None and transformer.fused_decode_supported(
             qcfg, self.params["llm"], self.max_cache)
 
         def run(params, text_tokens, n_text, speech_tokens, n_speech,

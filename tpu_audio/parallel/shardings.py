@@ -18,13 +18,40 @@ from tpu_audio.utils import pytree
 
 # (regex on flat path, spec for the LAST ndims of the leaf)
 transformer_rules: list[tuple[str, P]] = [
-    (r"\.attn\.[qkv]\.weight$", P("tp", None)),
-    (r"\.attn\.[qkv]\.bias$", P("tp")),
+    (r"\.attn\.([qkv]|qkv)\.weight$", P("tp", None)),
+    (r"\.attn\.([qkv]|qkv)\.bias$", P("tp")),
     (r"\.attn\.o\.weight$", P(None, "tp")),
-    (r"\.mlp\.(gate|up|fc1)\.weight$", P("tp", None)),
-    (r"\.mlp\.(gate|up|fc1)\.bias$", P("tp")),
+    (r"\.mlp\.(gate|up|gateup|fc1)\.weight$", P("tp", None)),
+    (r"\.mlp\.(gate|up|gateup|fc1)\.bias$", P("tp")),
     (r"\.mlp\.(down|fc2)\.weight$", P(None, "tp")),
     (r"(embed|token_embedding|lm_head)\.weight$", P(None, None)),
+]
+
+# S3Gen / CosyVoice flow graphs (conformer encoder + CFM estimator /
+# CosyVoice3 DiT) — the non-LM stages of the TTS serving unit (the
+# reference's S3Token2Wav, Codec/S3Gen/S3Gen.swift:240-343). Attention and
+# FFN projections shard megatron-style over tp; the conv stacks (HiFT
+# vocoder, U-Net res blocks, CAMPPlus) stay replicated — they are
+# dispatch-bound at tiny channel counts (docs/BENCHMARKS.md "S3Gen at
+# production sizes"), so sharding them buys collectives, not time.
+flow_rules: list[tuple[str, P]] = [
+    # ESPnet rel-pos conformer attention (Transformer/Attention.swift)
+    (r"\.self_attn\.linear_[qkv]\.weight$", P("tp", None)),
+    (r"\.self_attn\.linear_[qkv]\.bias$", P("tp")),
+    (r"\.self_attn\.linear_pos\.weight$", P("tp", None)),
+    (r"\.self_attn\.pos_bias_[uv]$", P("tp", None)),
+    (r"\.self_attn\.linear_out\.weight$", P(None, "tp")),
+    (r"\.feed_forward\.w_1\.weight$", P("tp", None)),
+    (r"\.feed_forward\.w_1\.bias$", P("tp")),
+    (r"\.feed_forward\.w_2\.weight$", P(None, "tp")),
+    # Matcha-estimator / DiT transformer blocks (MatchaTransformer.swift,
+    # Flow/DiT.swift — to_q/to_k/to_v/to_out naming)
+    (r"\.attn\.(q|k|v|to_q|to_k|to_v)\.weight$", P("tp", None)),
+    (r"\.attn\.(q|k|v|to_q|to_k|to_v)\.bias$", P("tp")),
+    (r"\.attn\.(o|to_out)\.weight$", P(None, "tp")),
+    (r"\.ff\.fc1\.weight$", P("tp", None)),
+    (r"\.ff\.fc1\.bias$", P("tp")),
+    (r"\.ff\.fc2\.weight$", P(None, "tp")),
 ]
 
 whisper_rules: list[tuple[str, P]] = transformer_rules + [
