@@ -169,12 +169,49 @@ def build_funasr(w8a8: bool):
     return eng, {}, 16000
 
 
+def build_chatterbox(w8a8: bool):
+    from benchmarks.chatterbox_stages import build_engine
+
+    eng = build_engine(full=False)
+    return eng, dict(max_new_tokens=96), eng.sample_rate
+
+
+def build_chatterbox_turbo(w8a8: bool):
+    import jax
+
+    from tpu_audio.codecs import s3tokenizer
+    from tpu_audio.codecs.s3gen import conformer, flow
+    from tpu_audio.codecs.s3gen import model as s3gen
+    from tpu_audio.models.chatterbox import voice_encoder as ve
+    from tpu_audio.models.chatterbox_turbo import model as turbo
+    from tpu_audio.models.chatterbox_turbo.engine import ChatterboxTurboEngine
+
+    t3_cfg = turbo.T3TurboConfig()
+    s3_cfg = s3gen.S3GenConfig(
+        conformer=conformer.ConformerConfig(num_blocks=2, num_up_blocks=1),
+        estimator=flow.EstimatorConfig(num_mid_blocks=3),
+        cfm=flow.CFMConfig(n_timesteps=2))  # meanflow few-step
+    tok_cfg = s3tokenizer.S3TokenizerConfig(n_audio_layer=2)
+    ve_cfg = ve.VoiceEncConfig()
+    t3_params = turbo.init_params(jax.random.PRNGKey(SEED), t3_cfg)
+    s3_params = s3gen.init_params(jax.random.PRNGKey(SEED + 1), s3_cfg)
+    tok_params = s3tokenizer.init_params(jax.random.PRNGKey(SEED + 2),
+                                         tok_cfg)
+    ve_params = ve.init_params(jax.random.PRNGKey(SEED + 3), ve_cfg)
+    eng = ChatterboxTurboEngine.from_turbo_params(
+        t3_params, t3_cfg, s3_params, s3_cfg, tok_params, tok_cfg, ve_params,
+        ve_cfg, max_cache=1024)
+    return eng, dict(max_new_tokens=96), eng.sample_rate
+
+
 BUILDERS = {
     "orpheus": build_orpheus,
     "outetts": build_outetts,
     "marvis": build_marvis,
     "cosyvoice2": build_cosyvoice2,
     "funasr": build_funasr,
+    "chatterbox": build_chatterbox,
+    "chatterbox_turbo": build_chatterbox_turbo,
 }
 
 
@@ -193,9 +230,42 @@ def run_tts(eng, kw: dict, sr: int) -> None:
         audio = np.concatenate(parts) if parts else np.zeros(1, np.float32)
         dur = max(len(audio) / sr, 1e-6)
         tag = "warmup" if run < WARMUP else f"run {run - WARMUP + 1}"
+        spec = getattr(getattr(eng, "lm", None), "last_spec_stats", None)
+        spec_s = (f"  spec α={spec['accept_rate']:.2f} "
+                  f"({spec['accepted']}/{spec['drafted']} over "
+                  f"{spec['iterations']} iters)" if spec else "")
         print(f"[{tag}] total {total:.2f}s  audio {dur:.2f}s  "
-              f"RTF {total / dur:.3f}  TTFA {ttfa if ttfa else -1:.2f}s",
-              flush=True)
+              f"RTF {total / dur:.3f}  TTFA {ttfa if ttfa else -1:.2f}s"
+              f"{spec_s}", flush=True)
+
+
+def run_ttfa(eng, kw: dict, sr: int, runs: int = 20) -> None:
+    """p50/p90 time-to-first-audio over `runs` streaming starts (VERDICT r3
+    #7; BASELINE bar: p50 < 300 ms). Each run abandons the stream after the
+    first non-empty chunk — TTFA is a cold-start property, the rest of the
+    stream is the RTF benchmark's job."""
+    ttfas = []
+    for run in range(WARMUP + runs):
+        t0 = time.perf_counter()
+        for chunk in eng.generate_streaming(TEXT, **kw):
+            if len(chunk.samples):
+                break
+        dt = time.perf_counter() - t0
+        if run >= WARMUP:
+            ttfas.append(dt)
+        if hasattr(eng, "stop"):
+            try:
+                eng.stop()
+            except Exception:
+                pass
+        if hasattr(eng, "_stop_requested"):
+            eng._stop_requested = False
+    arr = np.sort(np.asarray(ttfas))
+    p50 = float(np.percentile(arr, 50))
+    p90 = float(np.percentile(arr, 90))
+    print(f"TTFA over {len(arr)} runs: p50 {p50 * 1e3:.0f} ms  "
+          f"p90 {p90 * 1e3:.0f} ms  min {arr[0] * 1e3:.0f} ms  "
+          f"max {arr[-1] * 1e3:.0f} ms  (target p50 < 300 ms)", flush=True)
 
 
 def run_stt(eng, kw: dict, sr: int) -> None:
@@ -218,6 +288,13 @@ def main() -> None:
     ap.add_argument("--engine", required=True, choices=sorted(BUILDERS))
     ap.add_argument("--w8a8", action="store_true",
                     help="serve the LLM core in the int8 W8A8 format")
+    ap.add_argument("--ttfa", action="store_true",
+                    help="measure p50/p90 time-to-first-audio over 20 "
+                         "streaming starts instead of full-run RTF")
+    ap.add_argument("--spec", choices=["ngram"], default=None,
+                    help="engine-level speculative decoding (VERDICT r3 #4:"
+                         " prove the projection table END-TO-END — prints "
+                         "the measured accept rate per run)")
     args = ap.parse_args()
 
     import jax
@@ -226,10 +303,16 @@ def main() -> None:
           f"{' w8a8' if args.w8a8 else ''}", flush=True)
     t0 = time.perf_counter()
     eng, kw, sr = BUILDERS[args.engine](args.w8a8)
+    if args.spec:
+        if not hasattr(eng, "speculative"):
+            raise SystemExit(f"{args.engine} has no speculative option")
+        eng.speculative = args.spec
     print(f"built in {time.perf_counter() - t0:.1f}s", flush=True)
 
     if args.engine == "funasr":
         run_stt(eng, kw, sr)
+    elif args.ttfa:
+        run_ttfa(eng, kw, sr)
     else:
         run_tts(eng, kw, sr)
 

@@ -173,3 +173,27 @@ class TestEngine:
             max_cache=256)
         res = eng.generate("Hi.", mode="instruct", instruct_text="speak slowly")
         assert np.isfinite(res.samples).all()
+
+
+class TestCosyLMSpeculative:
+    def test_ngram_spec_records_stats_and_valid_tokens(self, lm_params):
+        gen = lm_mod.CosyLMGenerator(lm_params, TINY_LM, max_cache=256)
+        out = gen.generate([5, 6, 7, 8], [], [1, 2, 3, 1, 2, 3], seed=0,
+                           max_new=32, speculative="ngram")
+        assert all(0 <= t < TINY_LM.speech_token_size for t in out)
+        st = gen.last_spec_stats
+        assert st["drafted"] > 0 and 0.0 <= st["accept_rate"] <= 1.0
+
+    def test_engine_threads_speculative(self, lm_params):
+        from tpu_audio.codecs import s3tokenizer
+        s3_cfg, s3_params = tiny_s3()
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice2Engine.from_params(
+            lm_params, TINY_LM, s3_params, s3_cfg, tok_params, tok_cfg,
+            max_cache=256)
+        eng.speculative = "ngram"
+        res = eng.generate("Hello.")
+        assert np.isfinite(res.samples).all()
+        assert eng.lm.last_spec_stats["drafted"] > 0

@@ -48,7 +48,7 @@ class CosyVoice2Engine(TTSEngineBase):
     supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
 
     def __init__(self, speed: float = 1.0, quantization: str = "w8a8",
-                 mesh=None):
+                 mesh=None, speculative: str | None = None, gamma: int = 4):
         """quantization: "w8a8" (default) requantizes the 4-bit checkpoint
         LM to the per-channel int8 serving format at load; "w4a8" repacks
         losslessly for the int4→int8 MXU kernel; "q4" keeps the
@@ -68,6 +68,12 @@ class CosyVoice2Engine(TTSEngineBase):
         self.mesh = mesh
         self.speed = speed
         self.quantization = quantization
+        # speculative="ngram": prompt-lookup self-drafting in the LM stage
+        # (exact — every token keeps the RAS sampler's distribution;
+        # ops/speculative.py). CosyVoice2 prompts embed the speaker's
+        # speech-token stream, so the draft history starts warm.
+        self.speculative = speculative
+        self.gamma = gamma
         self.lm: lm_mod.CosyLMGenerator | None = None
         self.lm_cfg = lm_mod.CosyLMConfig()
         self.s3gen_params = None
@@ -224,7 +230,8 @@ class CosyVoice2Engine(TTSEngineBase):
         else:
             raise ValueError(f"unknown mode {mode}")
         tokens = self.lm.generate(text_ids, prompt_ids, prompt_speech,
-                                  seed=seed)
+                                  seed=seed, speculative=self.speculative,
+                                  gamma=self.gamma)
         return self._token2wav(tokens, spk, seed)
 
     def voice_conversion(self, source_audio: np.ndarray, sample_rate: int,

@@ -240,7 +240,8 @@ class CosyLMGenerator:
                 eos_ids=(cfg.eos_id,), sampler=sampler, pad_id=cfg.eos_id,
                 history=hist, history_len=jnp.asarray(n_speech),
                 logit_processor=processor)
-            return first, res.tokens, res.lengths
+            return (first, res.tokens, res.lengths, res.iterations,
+                    res.drafted, res.accepted)
 
         fn = jax.jit(run)
         self._fns[key_] = fn
@@ -272,12 +273,20 @@ class CosyLMGenerator:
 
         if speculative == "ngram":
             fn = self._spec_fn(t_pad, s_pad, max_len, sampler, gamma)
+            (first, tokens, lengths, iters, drafted, accepted) = fn(
+                self.params, jnp.asarray(text), jnp.int32(n_t),
+                jnp.asarray(speech), jnp.int32(n_s), jnp.int32(min_len),
+                jax.random.PRNGKey(seed))
+            self.last_spec_stats = {
+                "iterations": int(iters), "drafted": int(drafted),
+                "accepted": int(accepted),
+                "accept_rate": int(accepted) / max(int(drafted), 1)}
         else:
             fn = self._fn(t_pad, s_pad, max_len, sampler, True)
-        first, tokens, lengths = fn(
-            self.params, jnp.asarray(text), jnp.int32(n_t),
-            jnp.asarray(speech), jnp.int32(n_s), jnp.int32(min_len),
-            jax.random.PRNGKey(seed))
+            first, tokens, lengths = fn(
+                self.params, jnp.asarray(text), jnp.int32(n_t),
+                jnp.asarray(speech), jnp.int32(n_s), jnp.int32(min_len),
+                jax.random.PRNGKey(seed))
         out = [int(first[0])] + [int(t) for t in
                                  np.asarray(tokens[0][: int(lengths[0])])]
         # drop EOS/fill specials (the loop already stops at EOS)

@@ -106,7 +106,7 @@ def default_speaker() -> SpeakerProfile | None:
     if not os.path.exists(DEFAULT_SPEAKER_PATH):
         from tpu_audio.utils import get_logger
 
-        get_logger("outetts").warning(
+        get_logger("tts").warning(
             "OuteTTS bundled default speaker asset is missing (%s): "
             "generation will run UNCONDITIONED (no voice cloning prompt), "
             "which does not match the reference's out-of-the-box voice. "

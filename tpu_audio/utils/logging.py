@@ -10,7 +10,8 @@ from __future__ import annotations
 import logging
 import os
 
-_CATEGORIES = ("audio", "tts", "stt", "model", "perf", "hub", "parallel")
+_CATEGORIES = ("audio", "tts", "stt", "model", "perf", "hub", "parallel",
+               "training")
 _CONFIGURED = False
 
 
