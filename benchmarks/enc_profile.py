@@ -335,6 +335,18 @@ def main():
                           enc["blocks"], x0),
                b * lyr * flops_layer)
 
+    # whole-block FUSED phases (ops/pallas/fused_encoder): LayerNorm+QKV
+    # and attention+o-proj+residual+LayerNorm as TWO Pallas launches per
+    # block, XLA MLP — the attention output never exists in HBM
+    if h % 2 == 0 and 2 * (d // h) == 128:
+        def block_stack_fused(blocks, x):
+            return wmodel._encode_blocks_fused(blocks, x, h)
+
+        report("block stack (FUSED phases)",
+               slope_time("blocks_fe", make_loop(block_stack_fused),
+                          enc["blocks"], x0),
+               b * lyr * flops_layer)
+
     # attention replaced by identity-over-v (projections + MLP intact):
     # block-stack-minus-this isolates what the attend custom call costs IN
     # CONTEXT (its standalone slope is ~95 ms; if the in-context delta is
@@ -361,22 +373,38 @@ def main():
                       enc["blocks"], x0),
            b * lyr * (flops_layer - 2 * 2 * t * t * d))
 
-    # full encoder (current code path: conv1d_mxu stem)
-    report("full encoder",
+    # full encoder (current code path: conv1d_mxu stem); the fused-block
+    # gate picks the fused path automatically — A/B both explicitly
+    saved_gate = wmodel.FUSED_ENC
+    wmodel.FUSED_ENC = False
+    report("full encoder (per-op)",
            slope_time("full", make_loop(
                lambda p, m: wmodel.encode(p, cfg, m)), params, mel),
            enc_flops)
+    wmodel.FUSED_ENC = True
+    report("full encoder (FUSED blocks)",
+           slope_time("full_fe", make_loop(
+               lambda p, m: wmodel.encode(p, cfg, m)), params, mel),
+           enc_flops)
 
-    # int8 (w8a8 serving) encoder
+    # int8 (w8a8 serving) encoder: XLA-glue path vs the fused int8 chain
     try:
         from tpu_audio.models.whisper.load import serve_tree_int8
         pi8 = serve_tree_int8(params, decoder=False)
-        report("full encoder int8",
+        wmodel.FUSED_ENC = False
+        report("full encoder int8 (XLA glue)",
                slope_time("full_i8", make_loop(
+                   lambda p, m: wmodel.encode(p, cfg, m)), pi8, mel),
+               enc_flops)
+        wmodel.FUSED_ENC = True
+        report("full encoder int8 (FUSED w8a8)",
+               slope_time("full_i8f", make_loop(
                    lambda p, m: wmodel.encode(p, cfg, m)), pi8, mel),
                enc_flops)
     except Exception as exc:
         print(f"int8 encoder failed: {exc}")
+    finally:
+        wmodel.FUSED_ENC = saved_gate
 
 
 if __name__ == "__main__":

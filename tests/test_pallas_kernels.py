@@ -933,3 +933,257 @@ class TestProbesUnderTrace:
         traced(jnp.ones((2,)))
         assert seen == [True]
         assert list(fws._PROBE_MEMO.values()) == [True]
+
+
+class TestFusedEncoderBlock:
+    """ops/pallas/fused_encoder: LN+QKV-packed and attention+o-proj+LN
+    launches must reproduce the plain XLA block phases (interpret mode)."""
+
+    def _params(self, rng, d, n_heads, k_bias=True):
+        def lin(o, i, bias=True):
+            p = {"weight": jnp.asarray(rng.standard_normal((o, i)) * 0.05,
+                                       jnp.float32)}
+            if bias:
+                p["bias"] = jnp.asarray(rng.standard_normal((o,)) * 0.05,
+                                        jnp.float32)
+            return p
+
+        attn = {"q": lin(d, d), "k": lin(d, d, bias=k_bias),
+                "v": lin(d, d), "o": lin(d, d)}
+        ln1 = {"weight": jnp.asarray(1 + 0.1 * rng.standard_normal(d),
+                                     jnp.float32),
+               "bias": jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)}
+        ln2 = {"weight": jnp.asarray(1 + 0.1 * rng.standard_normal(d),
+                                     jnp.float32),
+               "bias": jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)}
+        return attn, ln1, ln2
+
+    def _ref(self, attn, ln1, ln2, x, n_heads):
+        from tpu_audio.nn import attention as attn_ops
+        from tpu_audio.nn import layers
+
+        b, t, d = x.shape
+        hd = d // n_heads
+        scale = hd ** -0.25
+        hn = layers.layer_norm(ln1, x)
+        q = layers.linear(attn["q"], hn).reshape(b, t, n_heads, hd) * scale
+        k = layers.linear(attn["k"], hn).reshape(b, t, n_heads, hd) * scale
+        v = layers.linear(attn["v"], hn).reshape(b, t, n_heads, hd)
+        o = attn_ops.attend(q, k, v, None, q_scaled=True)
+        y = x + layers.linear(attn["o"], o.reshape(b, t, d))
+        return y, layers.layer_norm(ln2, y)
+
+    @pytest.mark.parametrize("t,k_bias", [(512, True), (600, False)])
+    def test_matches_plain_block_phases(self, rng, t, k_bias):
+        from tpu_audio.ops.pallas import fused_encoder as fe
+
+        b, d, n_heads = 2, 256, 4
+        attn, ln1, ln2 = self._params(rng, d, n_heads, k_bias)
+        x = jnp.asarray(rng.standard_normal((b, t, d)) * 0.3, jnp.float32)
+        q, k, v = fe.ln_qkv_packed(x, ln1, attn, n_heads, block_t=128,
+                                   interpret=True)
+        assert q.shape == (b, n_heads // 2, -(-t // 128) * 128, 128)
+        y, h = fe.attn_oproj_ln(q, k, v, x, attn["o"], ln2, t_valid=t,
+                                block_q=128, interpret=True)
+        ref_y, ref_h = self._ref(attn, ln1, ln2, x, n_heads)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_packed_layout_matches_einsum_projection(self, rng):
+        """The packed q/k/v layout must equal the pair-major einsum the
+        production encoder used before (bgtxe ordering)."""
+        from tpu_audio.ops.pallas import fused_encoder as fe
+
+        b, t, d, n_heads = 1, 256, 256, 4
+        g, hd = n_heads // 2, d // n_heads
+        attn, ln1, _ = self._params(rng, d, n_heads)
+        x = jnp.asarray(rng.standard_normal((b, t, d)) * 0.3, jnp.float32)
+        from tpu_audio.nn import layers
+
+        hn = layers.layer_norm(ln1, x)
+        scale = hd ** -0.25
+        wq = attn["q"]["weight"].reshape(g, 2, hd, d)
+        bq = attn["q"]["bias"].reshape(g, 1, 2, hd)
+        ref_q = (jnp.einsum("btd,gxed->bgtxe", hn, wq) + bq[None]).reshape(
+            b, g, t, 2 * hd) * scale
+        q, _, _ = fe.ln_qkv_packed(x, ln1, attn, n_heads, block_t=128,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(q[:, :, :t]),
+                                   np.asarray(ref_q), rtol=2e-4, atol=2e-4)
+
+    def test_supported_gate(self):
+        from tpu_audio.ops.pallas import fused_encoder as fe
+
+        x = jnp.zeros((1, 1500, 1280), jnp.bfloat16)
+        attn = {"q": {"weight": jnp.zeros((1280, 1280), jnp.bfloat16)}}
+        # CPU backend → gate must refuse regardless of shape
+        assert fe.supported(x, attn, 20) in (False,)
+
+    def test_encode_fused_matches_plain(self, rng, monkeypatch):
+        """wmodel.encode with the fused-block path (interpret mode, gate
+        forced open) must match the per-op encoder."""
+        import functools
+
+        from tpu_audio.models.whisper import model as wmodel
+        from tpu_audio.models.whisper.config import WhisperConfig
+        from tpu_audio.ops.pallas import fused_encoder as fe
+
+        cfg = WhisperConfig(
+            n_mels=80, n_audio_ctx=300, n_audio_state=256, n_audio_head=4,
+            n_audio_layer=2, n_vocab=1000, n_text_ctx=16, n_text_state=256,
+            n_text_head=4, n_text_layer=1)
+        params = wmodel.init_params(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(rng.standard_normal((1, 600, 80)) * 0.1,
+                          jnp.float32)
+        ref = np.asarray(wmodel.encode(params, cfg, mel))
+
+        monkeypatch.setattr(
+            fe, "ln_qkv_packed",
+            functools.partial(fe.ln_qkv_packed, interpret=True))
+        monkeypatch.setattr(
+            fe, "attn_oproj_ln",
+            functools.partial(fe.attn_oproj_ln, interpret=True))
+        monkeypatch.setattr(fe, "probe", lambda *a, **k: True)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(wmodel, "FUSED_ENC", True)
+        # supported() requires T >= 512? n_audio_ctx=300 → lower the bar
+        monkeypatch.setattr(fe, "supported",
+                            lambda x, a, h: "weight" in a["q"])
+        got = np.asarray(wmodel.encode(params, cfg, mel))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestFusedEncoderInt8:
+    """w8a8 fused encoder chain: activation quantization inside the
+    kernels must match the quantize_rows + s8-GEMM reference semantics,
+    and the full int8 block must track the fp block."""
+
+    def _fp_params(self, rng, d, ff, n_heads):
+        def lin(o, i, bias=True):
+            p = {"weight": jnp.asarray(rng.standard_normal((o, i)) * 0.05,
+                                       jnp.float32)}
+            if bias:
+                p["bias"] = jnp.asarray(rng.standard_normal((o,)) * 0.05,
+                                        jnp.float32)
+            return p
+
+        attn = {"q": lin(d, d), "k": lin(d, d, bias=False),
+                "v": lin(d, d), "o": lin(d, d)}
+        mlp = {"fc1": lin(ff, d), "fc2": lin(d, ff)}
+        ln1 = {"weight": jnp.ones((d,), jnp.float32),
+               "bias": jnp.zeros((d,), jnp.float32)}
+        ln2 = {"weight": jnp.asarray(1 + 0.1 * rng.standard_normal(d),
+                                     jnp.float32),
+               "bias": jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)}
+        return attn, mlp, ln1, ln2
+
+    def _quantize(self, tree):
+        from tpu_audio.ops import quant
+
+        out = {}
+        for name, p in tree.items():
+            q = {k: jnp.asarray(v) for k, v in
+                 quant.quantize_array_int8(np.asarray(p["weight"])).items()}
+            if "bias" in p:
+                q["bias"] = p["bias"]
+            out[name] = q
+        return out
+
+    def test_ln_qkv_int8_matches_reference(self, rng):
+        from tpu_audio.nn import layers
+        from tpu_audio.ops.pallas import fused_encoder as fe
+        from tpu_audio.ops.pallas.int8_matmul import quantize_rows
+
+        b, t, d, n_heads = 1, 256, 256, 4
+        hd, g = d // n_heads, n_heads // 2
+        attn, _, ln1, _ = self._fp_params(rng, d, d * 2, n_heads)
+        qattn = self._quantize(attn)
+        x = jnp.asarray(rng.standard_normal((b, t, d)) * 0.3, jnp.float32)
+        q, k, v = fe.ln_qkv_packed_int8(x, ln1, qattn, n_heads,
+                                        block_t=128, interpret=True)
+        # reference: same row quant, s8 dot, per-channel scales
+        xn = layers.layer_norm(ln1, x).reshape(t, d)
+        xq, sx = quantize_rows(xn)
+        scale = hd ** -0.25
+
+        def ref(name, s, bias):
+            acc = jnp.dot(xq.astype(jnp.int32),
+                          qattn[name]["weight_i8"].T.astype(jnp.int32))
+            y = (acc.astype(jnp.float32) * sx
+                 * qattn[name]["scale_i8"].reshape(1, -1) * s)
+            if bias is not None:
+                y = y + bias * s
+            return y.reshape(b, t, g, 2 * hd).transpose(0, 2, 1, 3)
+
+        np.testing.assert_allclose(
+            np.asarray(q[:, :, :t]),
+            np.asarray(ref("q", scale, attn["q"]["bias"])),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(k[:, :, :t]), np.asarray(ref("k", scale, None)),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(v[:, :, :t]),
+            np.asarray(ref("v", 1.0, attn["v"]["bias"])),
+            rtol=1e-4, atol=1e-5)
+
+    def test_fc_chain_matches_reference(self, rng):
+        from tpu_audio.nn import layers
+        from tpu_audio.ops.pallas import fused_encoder as fe
+        from tpu_audio.ops.pallas.int8_matmul import quantize_rows
+
+        b, t, d, ff = 1, 200, 256, 512
+        _, mlp, _, _ = self._fp_params(rng, d, ff, 4)
+        qmlp = self._quantize(mlp)
+        h = jnp.asarray(rng.standard_normal((b, t, d)) * 0.5, jnp.float32)
+        y = jnp.asarray(rng.standard_normal((b, t, d)) * 0.5, jnp.float32)
+        g_i8, sg = fe.fc1_gelu_int8(h, qmlp["fc1"], block_t=128,
+                                    interpret=True)
+        out = fe.fc2_residual_int8(g_i8, sg, y, qmlp["fc2"], block_t=128,
+                                   interpret=True)
+        # reference chain with identical quantization points
+        hq, sh = quantize_rows(h.reshape(t, d))
+        a = (jnp.dot(hq.astype(jnp.int32),
+                     qmlp["fc1"]["weight_i8"].T.astype(jnp.int32))
+             .astype(jnp.float32) * sh
+             * qmlp["fc1"]["scale_i8"].reshape(1, -1)
+             + mlp["fc1"]["bias"])
+        a = layers.gelu(a)
+        gq, sgr = quantize_rows(a)
+        ref = (jnp.dot(gq.astype(jnp.int32),
+                       qmlp["fc2"]["weight_i8"].T.astype(jnp.int32))
+               .astype(jnp.float32) * sgr
+               * qmlp["fc2"]["scale_i8"].reshape(1, -1)
+               + mlp["fc2"]["bias"] + y.reshape(t, d))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_full_int8_block_tracks_fp(self, rng):
+        from tpu_audio.ops.pallas import fused_encoder as fe
+
+        b, t, d, ff, n_heads = 1, 256, 256, 512, 4
+        attn, mlp, ln1, ln2 = self._fp_params(rng, d, ff, n_heads)
+        qattn, qmlp = self._quantize(attn), self._quantize(mlp)
+        x = jnp.asarray(rng.standard_normal((b, t, d)) * 0.3, jnp.float32)
+
+        q, k, v = fe.ln_qkv_packed_int8(x, ln1, qattn, n_heads,
+                                        block_t=128, interpret=True)
+        y, h = fe.attn_oproj_ln_int8(q, k, v, x, qattn["o"], ln2,
+                                     t_valid=t, block_q=128, interpret=True)
+        g_i8, sg = fe.fc1_gelu_int8(h, qmlp["fc1"], block_t=128,
+                                    interpret=True)
+        got = np.asarray(fe.fc2_residual_int8(g_i8, sg, y, qmlp["fc2"],
+                                              block_t=128, interpret=True))
+
+        qf, kf, vf = fe.ln_qkv_packed(x, ln1, attn, n_heads, block_t=128,
+                                      interpret=True)
+        yf, hf = fe.attn_oproj_ln(qf, kf, vf, x, attn["o"], ln2,
+                                  t_valid=t, block_q=128, interpret=True)
+        from tpu_audio.nn import layers
+        ref = np.asarray(yf + layers.linear(
+            mlp["fc2"], layers.gelu(layers.linear(mlp["fc1"], hf))))
+        a, bb = got.ravel(), ref.ravel()
+        cos = float(a @ bb / (np.linalg.norm(a) * np.linalg.norm(bb) + 1e-12))
+        assert cos > 0.999, f"int8 block cosine {cos}"
