@@ -314,3 +314,39 @@ class TestO1FlowPolicy:
         rng = np.random.default_rng(2)
         total_off, _ = self._stream(flow_params, rng, o1_flow=False)
         assert total_auto == total_off
+
+
+class TestCV3EngineMesh:
+    """DiT-family engine under a dp×tp mesh (VERDICT r3 weak-#6): token
+    streaming must produce the same waveform as single-device."""
+
+    def _engine(self, lm_params, flow_params, mesh=None):
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        return CosyVoice3Engine.from_params(
+            lm_params, TINY_LM, flow_params, TINY_FLOW, tok_params, tok_cfg,
+            max_cache=256, chunk=4, mesh=mesh)
+
+    def test_waveform_parity_dp2_tp4(self, lm_params, flow_params):
+        from tpu_audio.parallel import make_mesh
+
+        ref = np.concatenate([c.samples for c in self._engine(
+            lm_params, flow_params).generate_streaming("Hello there.")])
+        got = np.concatenate([c.samples for c in self._engine(
+            lm_params, flow_params,
+            mesh=make_mesh(dp=2, tp=4)).generate_streaming("Hello there.")])
+        assert ref.shape == got.shape
+        assert np.allclose(ref, got, atol=1e-4)
+
+    def test_dit_params_sharded(self, lm_params, flow_params):
+        from tpu_audio.parallel import make_mesh
+
+        eng = self._engine(lm_params, flow_params,
+                           mesh=make_mesh(dp=2, tp=4))
+        flat = __import__("tpu_audio.utils.pytree",
+                          fromlist=["flatten"]).flatten(eng.flow_params)
+        sharded = [k for k, v in flat.items()
+                   if hasattr(v, "sharding")
+                   and any(s == "tp" for s in (v.sharding.spec or ()))]
+        assert sharded, "no DiT/flow leaves picked up tp sharding"

@@ -63,10 +63,20 @@ class CosyVoice3Engine(TTSEngineBase):
     @classmethod
     def from_params(cls, lm_params, lm_cfg, flow_params, flow_cfg,
                     tok_params, tok_cfg, tokenizer=None,
-                    max_cache: int = 512, chunk: int = 8) -> "CosyVoice3Engine":
+                    max_cache: int = 512, chunk: int = 8,
+                    mesh=None) -> "CosyVoice3Engine":
+        """mesh: optional (dp, tp) Mesh — shards the Qwen2 LM with
+        megatron GSPMD rules and the DiT/flow graph with
+        parallel.flow_rules (to_q/to_k/to_v/ff patterns); the causal HiFT
+        vocoder stays replicated (dispatch-bound)."""
         eng = cls()
+        if mesh is not None:
+            from tpu_audio.parallel import flow_rules, shard_tree
+
+            flow_params = shard_tree(flow_params, mesh, flow_rules)
         eng.lm_cfg = lm_cfg
-        eng.lm = lm_mod.CosyLMGenerator(lm_params, lm_cfg, max_cache=max_cache)
+        eng.lm = lm_mod.CosyLMGenerator(lm_params, lm_cfg,
+                                        max_cache=max_cache, mesh=mesh)
         eng.streamer = lm_mod.CosyLMStreamer(eng.lm, chunk=chunk)
         eng.flow_params, eng.flow_cfg = flow_params, flow_cfg
         eng.synth = cv3.CV3Synthesizer(flow_params, flow_cfg)
