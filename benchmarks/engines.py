@@ -255,11 +255,9 @@ def run_ttfa(eng, kw: dict, sr: int, runs: int = 20) -> None:
             ttfas.append(dt)
         if hasattr(eng, "stop"):
             try:
-                eng.stop()
-            except Exception:
+                eng.stop()  # cancel the abandoned stream; the locked
+            except Exception:  # wrapper clears the flag on the next start
                 pass
-        if hasattr(eng, "_stop_requested"):
-            eng._stop_requested = False
     arr = np.sort(np.asarray(ttfas))
     p50 = float(np.percentile(arr, 50))
     p90 = float(np.percentile(arr, 90))

@@ -906,6 +906,36 @@ class TestProbesUnderTrace:
         assert seen == [True]
         assert list(fused_step._PROBE_MEMO.values()) == [True]
 
+    def test_fused_step_probe_rope_scaling_dict(self, monkeypatch):
+        """Llama-3.2 configs carry rope_scaling as a DICT — the probe memo
+        key must not hash the config itself (regression: probe_compile
+        raised TypeError for Orpheus-3B/OuteTTS-1B, crashing the decode
+        path instead of gating it)."""
+        import functools
+
+        from tpu_audio.nn import transformer
+        from tpu_audio.ops.pallas import fused_step
+
+        monkeypatch.setattr(
+            fused_step, "fused_decode_step",
+            functools.partial(fused_step.fused_decode_step, interpret=True))
+        monkeypatch.setattr(fused_step, "_PROBE_MEMO", {})
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = transformer.TransformerConfig(
+            dim=128, n_layers=2, n_heads=2, n_kv_heads=1, hidden_dim=512,
+            rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 8192})
+        params = transformer.fuse_fp_tree(
+            transformer.init_params(jax.random.PRNGKey(0), cfg))
+        ok = fused_step.probe_compile(cfg, params, max_len=16,
+                                      cache_dtype=jnp.float32)
+        assert ok is True
+        # memoized under the repr key, second call hits the memo
+        assert fused_step.probe_compile(cfg, params, max_len=16,
+                                        cache_dtype=jnp.float32) is True
+        assert list(fused_step._PROBE_MEMO.values()) == [True]
+
     def test_whisper_probe_inside_jit_trace(self, monkeypatch):
         import functools
 

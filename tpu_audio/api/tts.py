@@ -100,6 +100,11 @@ class TTSEngineBase:
             @functools.wraps(inner)
             def locked(self, *a, **k):
                 with self._gen_lock:
+                    # stop() cancels the generation in flight; a NEW stream
+                    # starts fresh (reference stop semantics — without this
+                    # a stop() between streams poisoned every later call
+                    # with GenerationStopped)
+                    self._stop_flag.clear()
                     yield from inner(self, *a, **k)
 
             cls.generate_streaming = locked

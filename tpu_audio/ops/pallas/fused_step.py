@@ -500,7 +500,10 @@ def probe_compile(cfg, params: dict, max_len: int = 512,
     cache_dtype = jnp.dtype(cache_dtype)
     act_dtype = jnp.dtype(act_dtype if act_dtype is not None
                           else lp["ln1"]["weight"].dtype)
-    sig = (cfg, w.shape, str(w.dtype), max_len, cache_dtype.name,
+    # repr(cfg): TransformerConfig is a dataclass whose rope_scaling field
+    # is a dict (Llama-3.2) — unhashable, so the config itself can't key
+    # the memo
+    sig = (repr(cfg), w.shape, str(w.dtype), max_len, cache_dtype.name,
            act_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]

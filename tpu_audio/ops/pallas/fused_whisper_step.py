@@ -491,7 +491,8 @@ def decode_supported(cfg, dec: dict, cache_dtype=jnp.float32) -> bool:
     cache_dtype = jnp.dtype(cache_dtype)
     # activations = token embedding dtype; the kernel specializes on it
     act_dtype = jnp.dtype(dec["ln"]["weight"].dtype)
-    sig = (cfg, int8, cache_dtype.name, act_dtype.name)
+    # repr(): config dataclasses may hold unhashable fields (dicts)
+    sig = (repr(cfg), int8, cache_dtype.name, act_dtype.name)
     if sig in _PROBE_MEMO:
         return _PROBE_MEMO[sig]
     try:
