@@ -492,7 +492,13 @@ def _fc1_gelu_kernel_i8(h_ref, w_ref, cs_ref, bias_ref, g_ref, sg_ref):
         hq, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     a = acc.astype(jnp.float32) * sh * cs_ref[0] + bias_ref[0]
-    a = jax.nn.gelu(a, approximate=False)  # f32 erf, in-kernel
+    # f32 erf gelu in-kernel — via the A&S rational erf (|err| <= 1.5e-7):
+    # Mosaic's TC kernel type has no erf/erfc lowering (on-chip failure:
+    # "Unimplemented primitive ... erfc"), and that fallback was the whole
+    # reason the round-3 FUSED-w8a8 encoder row measured the XLA glue path
+    from tpu_audio.ops.pallas.fused_whisper_step import _gelu
+
+    a = _gelu(a)
     gq, sg = _quant_rows(a)
     g_ref[0] = gq
     sg_ref[0] = sg
