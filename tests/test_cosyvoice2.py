@@ -175,6 +175,59 @@ class TestEngine:
         assert np.isfinite(res.samples).all()
 
 
+class TestTokenStreaming:
+    """CV2Synthesizer (models/cosyvoice2/streaming.py): the token-chunk
+    streaming path added after round-3 TTFA measurement (sentence path
+    p50 4.77 s vs <300 ms target)."""
+
+    def test_synth_stream_yields_all_audio(self, rng):
+        from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
+
+        s3_cfg, s3_params = tiny_s3()
+        synth = CV2Synthesizer(s3_params, s3_cfg)
+        token_chunks = [list(rng.integers(0, 60, 6)) for _ in range(3)]
+        prompt_mel = rng.standard_normal((4, s3_cfg.mel_dim)).astype(
+            np.float32)
+        out = list(synth.stream(iter(token_chunks), [0, 1], prompt_mel,
+                                np.zeros((1, s3_cfg.spk_dim), np.float32),
+                                seed=0, chunk_size=6))
+        assert len(out) == 3
+        ups = s3_cfg.hift.upsample_scale
+        assert sum(len(a) for a in out) == 18 * 2 * ups
+        for a in out:
+            assert np.isfinite(a).all()
+
+    def test_engine_token_streaming_e2e(self, lm_params):
+        s3_cfg, s3_params = tiny_s3()
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice2Engine.from_params(
+            lm_params, TINY_LM, s3_params, s3_cfg, tok_params, tok_cfg,
+            max_cache=256)
+        chunks = list(eng.generate_streaming("Hello there."))  # TOKEN default
+        assert chunks[-1].is_final
+        assert sum(c.is_final for c in chunks) == 1
+        assert all(np.isfinite(c.samples).all() for c in chunks)
+        assert sum(len(c.samples) for c in chunks) > 0
+
+    def test_one_shot_uses_sentence_path(self, lm_params):
+        """generate() must keep the single finalize-style flow pass (and
+        the speculative LM option must thread through it)."""
+        s3_cfg, s3_params = tiny_s3()
+        tok_cfg = s3tokenizer.S3TokenizerConfig(
+            n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
+        tok_params = s3tokenizer.init_params(jax.random.PRNGKey(2), tok_cfg)
+        eng = CosyVoice2Engine.from_params(
+            lm_params, TINY_LM, s3_params, s3_cfg, tok_params, tok_cfg,
+            max_cache=256)
+        eng.speculative = "ngram"
+        res = eng.generate("Hello.")
+        assert np.isfinite(res.samples).all()
+        assert eng.lm.last_spec_stats["drafted"] > 0
+        assert eng._synth is None  # token synthesizer untouched
+
+
 class TestCosyLMSpeculative:
     def test_ngram_spec_records_stats_and_valid_tokens(self, lm_params):
         gen = lm_mod.CosyLMGenerator(lm_params, TINY_LM, max_cache=256)

@@ -45,7 +45,11 @@ class CosyVoice2Speaker:
 
 class CosyVoice2Engine(TTSEngineBase):
     sample_rate = SR_OUT
-    supported_streaming_granularities = (StreamingGranularity.SENTENCE,)
+    supported_streaming_granularities = (StreamingGranularity.SENTENCE,
+                                         StreamingGranularity.TOKEN)
+    # token granularity is the default serving path: first audio after
+    # ~25 speech tokens (1 s of audio) instead of the whole first sentence
+    default_streaming_granularity = StreamingGranularity.TOKEN
 
     def __init__(self, speed: float = 1.0, quantization: str = "w8a8",
                  mesh=None, speculative: str | None = None, gamma: int = 4):
@@ -84,6 +88,8 @@ class CosyVoice2Engine(TTSEngineBase):
         self.speaker: CosyVoice2Speaker | None = None
         self._whisper = None
         self._wav_fns = {}
+        self._streamer = None  # CosyLMStreamer (token granularity)
+        self._synth = None  # streaming.CV2Synthesizer
 
     def load(self, progress_handler=None) -> None:
         if self.is_loaded:
@@ -211,24 +217,26 @@ class CosyVoice2Engine(TTSEngineBase):
                          np.float32)
         return np.asarray(s3gen.fade_in(jnp.asarray(out)), np.float32)
 
-    def _generate_sentence(self, sentence: str, spk: CosyVoice2Speaker,
-                           mode: str, instruct_text: str | None,
-                           seed: int) -> np.ndarray:
+    def _mode_ids(self, sentence: str, spk: CosyVoice2Speaker, mode: str,
+                  instruct_text: str | None):
+        """(prompt_text_ids, text_ids, prompt_speech) for an LM call
+        (CosyVoice2TTS.swift:370-520 mode prompts)."""
         if mode == "zero_shot":
             prompt_ids = spk.prompt_text_ids
-            text_ids = self.tokenizer.encode(sentence)
-            prompt_speech = spk.speech_tokens
         elif mode == "cross_lingual":
             prompt_ids = []
-            text_ids = self.tokenizer.encode(sentence)
-            prompt_speech = spk.speech_tokens
         elif mode == "instruct":
             prompt_ids = self.tokenizer.encode(
                 (instruct_text or "") + ENDOFPROMPT)
-            text_ids = self.tokenizer.encode(sentence)
-            prompt_speech = spk.speech_tokens
         else:
             raise ValueError(f"unknown mode {mode}")
+        return prompt_ids, self.tokenizer.encode(sentence), spk.speech_tokens
+
+    def _generate_sentence(self, sentence: str, spk: CosyVoice2Speaker,
+                           mode: str, instruct_text: str | None,
+                           seed: int) -> np.ndarray:
+        prompt_ids, text_ids, prompt_speech = self._mode_ids(
+            sentence, spk, mode, instruct_text)
         tokens = self.lm.generate(text_ids, prompt_ids, prompt_speech,
                                   seed=seed, speculative=self.speculative,
                                   gamma=self.gamma)
@@ -252,6 +260,13 @@ class CosyVoice2Engine(TTSEngineBase):
 
     # ---------------------------------------------------------------- synthesis
 
+    def generate(self, text: str, **kw):
+        # one-shot collection runs the sentence path: single finalize-style
+        # flow pass per sentence (reference non-streaming synthesis) and
+        # the speculative LM option applies
+        kw.setdefault("granularity", StreamingGranularity.SENTENCE)
+        return super().generate(text, **kw)
+
     def generate_streaming(self, text: str,
                            granularity: StreamingGranularity | None = None,
                            mode: str = "zero_shot",
@@ -260,10 +275,60 @@ class CosyVoice2Engine(TTSEngineBase):
         if self.lm is None:
             self.load()
         spk = self.speaker or self._default_speaker()
+        granularity = granularity or self.default_streaming_granularity
         sentences = textutils.split_into_sentences(text)
+        if granularity == StreamingGranularity.TOKEN:
+            yield from self._stream_tokens(sentences, spk, mode,
+                                           instruct_text)
+            return
         for si, sentence in enumerate(sentences):
             self._check_stopped()
             audio = self._generate_sentence(sentence, spk, mode,
                                             instruct_text, si)
             yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
                              text=sentence, is_final=si == len(sentences) - 1)
+
+    def _stream_tokens(self, sentences: list[str], spk: CosyVoice2Speaker,
+                       mode: str, instruct_text: str | None
+                       ) -> Iterator[AudioChunk]:
+        """Token-granularity streaming: LM chunks → incremental flow +
+        O(1) vocoder (models/cosyvoice2/streaming.py). First audio after
+        ~chunk_size tokens instead of the whole first sentence. The
+        speculative LM option applies to the sentence path only (the
+        chunked streamer decodes plainly)."""
+        from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
+
+        if self._streamer is None:
+            self._streamer = lm_mod.CosyLMStreamer(self.lm)
+        if self._synth is None:
+            self._synth = CV2Synthesizer(self.s3gen_params, self.s3gen_cfg)
+        pending: AudioChunk | None = None
+        for si, sentence in enumerate(sentences):
+            self._check_stopped()
+            prompt_ids, text_ids, prompt_speech = self._mode_ids(
+                sentence, spk, mode, instruct_text)
+            token_stream = self._streamer.stream(text_ids, prompt_ids,
+                                                 prompt_speech, seed=si)
+            first = True
+            for audio in self._synth.stream(
+                    token_stream, spk.speech_tokens, spk.prompt_mel,
+                    spk.embedding, seed=si,
+                    chunk_size=self._streamer.chunk):
+                self._check_stopped()
+                if first:  # 20 ms anti-prompt-bleed fade (S3Gen.swift:259)
+                    audio = np.asarray(s3gen.fade_in(jnp.asarray(audio)),
+                                       np.float32)
+                    first = False
+                if pending is not None:
+                    yield pending
+                pending = AudioChunk(samples=audio,
+                                     sample_rate=self.sample_rate,
+                                     text=sentence, is_final=False)
+        if pending is not None:
+            yield AudioChunk(samples=pending.samples,
+                             sample_rate=pending.sample_rate,
+                             text=pending.text, is_final=True)
+        else:
+            yield AudioChunk(samples=np.zeros(0, np.float32),
+                             sample_rate=self.sample_rate, text="",
+                             is_final=True)
