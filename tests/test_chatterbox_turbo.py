@@ -50,6 +50,81 @@ class TestT3Turbo:
         assert o1 == o2
 
 
+NEAR_GREEDY = turbo.TurboSampler(temperature=1e-4, top_p=1.0, min_p=0.0,
+                                 repetition_penalty=1.0)
+
+
+def _teacher_forced_tokens(params, cfg, spk_emb, text, n_steps):
+    """Reference decode: every step re-runs the FULL sequence with
+    consecutive positions 0..L-1 (GPT2.swift:239) and argmaxes the last
+    logits. Catches any drift in the incremental loop's position ids."""
+    from tpu_audio.nn import layers
+
+    gcfg = cfg.gpt2
+    out = []
+    for _ in range(n_steps):
+        cond = layers.linear(params["cond_enc"]["spkr_enc"],
+                             spk_emb)[:, None, :]
+        text_e = layers.embedding(params["text_emb"],
+                                  jnp.asarray(text, jnp.int32)[None])
+        seq = [cfg.start_speech_token] + out
+        sp_e = layers.embedding(params["speech_emb"],
+                                jnp.asarray(seq, jnp.int32)[None])
+        x = jnp.concatenate([cond, text_e, sp_e], axis=1)
+        L = x.shape[1]
+        x = x + layers.embedding(params["wpe"], jnp.arange(L))[None]
+        cache = transformer.make_cache(gcfg, 1, L)
+        extra = jnp.zeros((1, 1, 1, L))
+        h, _ = transformer.forward_hidden(params["tfmr"], gcfg, x, cache,
+                                          extra)
+        logits = layers.linear(params["speech_head"], h[0, -1])
+        tok = int(jnp.argmax(logits))
+        out.append(tok)
+        if tok == cfg.stop_speech_token:
+            break
+    return out
+
+
+class TestTurboPositions:
+    def test_incremental_matches_teacher_forced(self, t3_params):
+        """Regression: generated token j must be embedded at position
+        n_text + 2 + j (prefill ends at n_text + 1). The decode loop used
+        to skip position n_text + 2, shifting every generated token."""
+        text = [5, 6, 7, 8, 9]
+        spk = jnp.zeros((1, 32))
+        ref = _teacher_forced_tokens(t3_params, TINY_T3, spk, text, 6)
+        gen = turbo.T3TurboGenerator(t3_params, TINY_T3, max_cache=256)
+        got_raw = gen._fn(32, 6, NEAR_GREEDY)(
+            t3_params, spk,
+            jnp.asarray(np.pad(text, (0, 27)).astype(np.int32)),
+            jnp.int32(len(text)), jax.random.PRNGKey(0))
+        got = [int(t) for t in np.asarray(got_raw[0][: int(got_raw[1])])]
+        assert got == ref[: len(got)], (got, ref)
+
+
+class TestT3TurboStreamer:
+    def test_stream_matches_generate(self, t3_params):
+        gen = turbo.T3TurboGenerator(t3_params, TINY_T3, max_cache=256)
+        text = [5, 6, 7, 8]
+        ref = gen.generate(jnp.zeros((1, 32)), text, sampler=NEAR_GREEDY,
+                           max_new=12, seed=0)
+        streamer = turbo.T3TurboStreamer(gen, chunk=5)
+        got = []
+        for toks in streamer.stream(jnp.zeros((1, 32)), text,
+                                    sampler=NEAR_GREEDY, max_new=12, seed=0):
+            got.extend(toks)
+        assert got == ref, (got, ref)
+
+    def test_chunk_boundaries_cover_all_tokens(self, t3_params):
+        gen = turbo.T3TurboGenerator(t3_params, TINY_T3, max_cache=256)
+        streamer = turbo.T3TurboStreamer(gen, chunk=3)
+        chunks = list(streamer.stream(jnp.zeros((1, 32)), [5, 6, 7],
+                                      max_new=10, seed=1))
+        assert all(len(c) <= 3 for c in chunks)
+        assert all(t < TINY_T3.start_speech_token
+                   for c in chunks for t in c)
+
+
 class TestMeanflow:
     def test_no_cfg_integration(self, rng):
         est_cfg = flow.EstimatorConfig(in_channels=64, out_channels=16,
@@ -71,7 +146,7 @@ class TestMeanflow:
 
 
 class TestTurboEngine:
-    def test_end_to_end(self, t3_params):
+    def _build_engine(self, t3_params):
         tok_cfg = s3tokenizer.S3TokenizerConfig(
             n_mels=128, n_audio_state=64, n_audio_head=4, n_audio_layer=1)
         tok_params = s3tokenizer.init_params(jax.random.PRNGKey(1), tok_cfg)
@@ -107,6 +182,18 @@ class TestTurboEngine:
             max_cache=256)
         # the default conditional speaker_emb must match turbo's 32-dim
         eng.t3_cfg = TINY_T3  # for _default_conditionals sizing
+        return eng
+
+    def test_end_to_end(self, t3_params):
+        eng = self._build_engine(t3_params)
         res = eng.generate("Hi there.", max_new_tokens=12)
         assert res.sample_rate == 24000
         assert np.isfinite(res.samples).all()
+
+    def test_token_streaming_e2e(self, t3_params):
+        eng = self._build_engine(t3_params)
+        chunks = list(eng.generate_streaming("Hi there. And more words.",
+                                             max_new_tokens=12))
+        assert chunks[-1].is_final
+        assert sum(c.is_final for c in chunks) == 1
+        assert all(np.isfinite(c.samples).all() for c in chunks)

@@ -40,6 +40,8 @@ class ChatterboxTurboEngine(ChatterboxEngine):
         self.meanflow_steps = meanflow_steps
         self.turbo_cfg = turbo.T3TurboConfig()
         self.turbo_gen: turbo.T3TurboGenerator | None = None
+        self._t3_streamer = None  # turbo.T3TurboStreamer (token granularity)
+        self._turbo_synth = None  # streaming.TurboSynthesizer
 
     def load(self, progress_handler=None) -> None:
         if self.is_loaded:
@@ -129,6 +131,18 @@ class ChatterboxTurboEngine(ChatterboxEngine):
                          np.float32)
         return np.asarray(s3gen.fade_in(jnp.asarray(out)), np.float32)
 
+    supported_streaming_granularities = (StreamingGranularity.SENTENCE,
+                                         StreamingGranularity.TOKEN)
+    # token granularity: first audio after ~25 speech tokens (1 s) via the
+    # chunked T3 streamer + windowed meanflow, instead of the whole first
+    # sentence (round-3 measured sentence-path TTFA p50 474 ms)
+    default_streaming_granularity = StreamingGranularity.TOKEN
+
+    def generate(self, text: str, **kw):
+        # one-shot collection keeps the single full-context flow pass
+        kw.setdefault("granularity", StreamingGranularity.SENTENCE)
+        return super().generate(text, **kw)
+
     def generate_streaming(self, text: str,
                            granularity: StreamingGranularity | None = None,
                            max_new_tokens: int = 600,
@@ -140,6 +154,11 @@ class ChatterboxTurboEngine(ChatterboxEngine):
             temperature=self.temperature, top_p=self.top_p, min_p=self.min_p,
             repetition_penalty=self.repetition_penalty)
         sentences = textutils.split_into_sentences(text)
+        granularity = granularity or self.default_streaming_granularity
+        if granularity == StreamingGranularity.TOKEN:
+            yield from self._stream_tokens(sentences, cond, sampler,
+                                           max_new_tokens)
+            return
         for si, sentence in enumerate(sentences):
             self._check_stopped()
             ids = self.tokenizer.encode(punc_norm(sentence))
@@ -151,3 +170,50 @@ class ChatterboxTurboEngine(ChatterboxEngine):
             audio = self._token2wav(np.asarray(speech, np.int32), cond, si)
             yield AudioChunk(samples=audio, sample_rate=self.sample_rate,
                              text=sentence, is_final=si == len(sentences) - 1)
+
+    def _stream_tokens(self, sentences: list[str],
+                       cond: ChatterboxConditionals,
+                       sampler: "turbo.TurboSampler",
+                       max_new_tokens: int) -> Iterator[AudioChunk]:
+        from tpu_audio.models.chatterbox_turbo.streaming import (
+            TurboSynthesizer, drop_silence)
+
+        if self._t3_streamer is None:
+            self._t3_streamer = turbo.T3TurboStreamer(self.turbo_gen)
+        if self._turbo_synth is None:
+            self._turbo_synth = TurboSynthesizer(
+                self.s3gen_params, self.s3gen_cfg,
+                n_timesteps=self.meanflow_steps)
+        prompt_tokens = [int(t) for t in np.asarray(cond.prompt_tokens[0])]
+        pending: AudioChunk | None = None
+        for si, sentence in enumerate(sentences):
+            self._check_stopped()
+            ids = self.tokenizer.encode(punc_norm(sentence))
+            ids = [min(i, self.turbo_cfg.text_tokens_dict_size - 1)
+                   for i in ids]
+            token_stream = drop_silence(self._t3_streamer.stream(
+                cond.speaker_emb, ids, sampler=sampler,
+                max_new=max_new_tokens, seed=si))
+            first = True
+            for audio in self._turbo_synth.stream(
+                    token_stream, prompt_tokens, cond.prompt_mel,
+                    cond.embedding, seed=si,
+                    chunk_size=self._t3_streamer.chunk):
+                self._check_stopped()
+                if first:  # 20 ms anti-prompt-bleed fade (S3Gen.swift:259)
+                    audio = np.asarray(s3gen.fade_in(jnp.asarray(audio)),
+                                       np.float32)
+                    first = False
+                if pending is not None:
+                    yield pending
+                pending = AudioChunk(samples=audio,
+                                     sample_rate=self.sample_rate,
+                                     text=sentence, is_final=False)
+        if pending is not None:
+            yield AudioChunk(samples=pending.samples,
+                             sample_rate=pending.sample_rate,
+                             text=pending.text, is_final=True)
+        else:
+            yield AudioChunk(samples=np.zeros(0, np.float32),
+                             sample_rate=self.sample_rate, text="",
+                             is_final=True)

@@ -115,7 +115,11 @@ class T3TurboGenerator:
                 i, buf, last_tok, cache, finished, recent, key = c
                 emb = layers.embedding(params["speech_emb"],
                                        last_tok[None, None])
-                p = jnp.clip(n_text + 2 + i, 0, cfg.max_positions - 1)
+                # last_tok is buf[i-1], the (i-1)th generated token; the
+                # prefill occupied positions 0..n_text+1 (GPT2.swift:239
+                # positionIds = pastLength..<pastLength+T, consecutive), so
+                # generated token j sits at position n_text + 2 + j
+                p = jnp.clip(n_text + 2 + (i - 1), 0, cfg.max_positions - 1)
                 emb = emb + params["wpe"]["weight"][p][None, None]
                 h, cache = transformer.forward_hidden(params["tfmr"], gcfg,
                                                       emb, cache, extra)
@@ -165,10 +169,153 @@ class T3TurboGenerator:
         return [t for t in out if t < self.cfg.start_speech_token]
 
 
+class T3TurboStreamer:
+    """Chunked resumable T3-Turbo decode for token-granularity streaming
+    (mirrors models/cosyvoice2/lm.py CosyLMStreamer): one compiled prefill
+    per text bucket + one compiled fixed-size chunk decoder; the KV cache,
+    repetition-penalty window, and position counter carry across chunks on
+    device. Positions stay consecutive with the prefill
+    (GPT2.swift:239 positionIds = pastLength..<pastLength+T)."""
+
+    def __init__(self, gen: T3TurboGenerator, chunk: int = 25):
+        self.gen = gen
+        self.chunk = chunk
+        self._prefill_fns = {}
+        self._chunk_fns = {}
+
+    def _prefill(self, text_pad: int):
+        if text_pad in self._prefill_fns:
+            return self._prefill_fns[text_pad]
+        cfg = self.gen.cfg
+        gcfg = cfg.gpt2
+        max_cache = self.gen.max_cache
+
+        def run(params, spk_emb, text_tokens, n_text):
+            cond = layers.linear(params["cond_enc"]["spkr_enc"],
+                                 spk_emb)[:, None, :]
+            text_e = layers.embedding(params["text_emb"], text_tokens[None])
+            bos = layers.embedding(params["speech_emb"],
+                                   jnp.full((1, 1), cfg.start_speech_token))
+            total = 1 + text_pad + 1
+            x = jnp.concatenate([cond, text_e, jnp.zeros_like(bos)], axis=1)
+            x = jax.lax.dynamic_update_slice(x, bos, (0, 1 + n_text, 0))
+            slots = jnp.arange(total)
+            pos = jnp.clip(slots, 0, n_text + 1)
+            x = x + layers.embedding(params["wpe"], pos)[None]
+            n_real = 2 + n_text
+            cache = transformer.make_cache(gcfg, 1, max_cache)
+            slot = jnp.arange(max_cache)
+            extra = jnp.where((slot >= n_real) & (slot < total), -1e30,
+                              0.0)[None, None, None, :]
+            hidden, cache = transformer.forward_hidden(params["tfmr"], gcfg,
+                                                       x, cache, extra)
+            last = jax.lax.dynamic_index_in_dim(hidden[0], n_real - 1, 0,
+                                                keepdims=False)
+            logits = layers.linear(params["speech_head"],
+                                   last).astype(jnp.float32)[None]
+            return logits, cache, extra
+
+        fn = jax.jit(run)
+        self._prefill_fns[text_pad] = fn
+        return fn
+
+    def _chunk_fn(self, sampler: TurboSampler):
+        if sampler in self._chunk_fns:
+            return self._chunk_fns[sampler]
+        cfg = self.gen.cfg
+        gcfg = cfg.gpt2
+        chunk = self.chunk
+
+        def run(params, first_logits, cache, extra, recent, produced,
+                n_text, key):
+            def _select(logits, recent, key):
+                lg = sampling.apply_repetition_penalty(
+                    logits, recent[None], sampler.repetition_penalty)[0]
+                lg = lg / sampler.temperature
+                lg = sampling.apply_top_p(lg[None], sampler.top_p)[0]
+                lg = sampling.apply_min_p(lg[None], sampler.min_p)[0]
+                key, sub = jax.random.split(key)
+                return jax.random.categorical(sub, lg).astype(jnp.int32), key
+
+            def _fwd(tok, j, cache):
+                """Forward generated token j (position n_text + 2 + j)."""
+                emb = layers.embedding(params["speech_emb"],
+                                       tok[None, None])
+                p = jnp.clip(n_text + 2 + j, 0, cfg.max_positions - 1)
+                emb = emb + params["wpe"]["weight"][p][None, None]
+                h, cache = transformer.forward_hidden(params["tfmr"], gcfg,
+                                                      emb, cache, extra)
+                logits = layers.linear(params["speech_head"],
+                                       h[0, -1]).astype(jnp.float32)[None]
+                return logits, cache
+
+            tok0, key = _select(first_logits, recent, key)
+            buf = jnp.full((chunk,), cfg.stop_speech_token, jnp.int32)
+            buf = buf.at[0].set(tok0)
+            recent = jnp.concatenate([recent[1:], tok0[None]])
+
+            def body(c):
+                i, buf, last_tok, cache, finished, recent, key = c
+                logits, cache = _fwd(last_tok, produced + i - 1, cache)
+                tok, key = _select(logits, recent, key)
+                buf = buf.at[i].set(tok)
+                finished = finished | (tok == cfg.stop_speech_token)
+                recent = jnp.concatenate([recent[1:], tok[None]])
+                return (i + 1, buf, tok, cache, finished, recent, key)
+
+            carry = (jnp.asarray(1, jnp.int32), buf, tok0, cache,
+                     tok0 == cfg.stop_speech_token, recent, key)
+            i, buf, last_tok, cache, finished, recent, _ = jax.lax.while_loop(
+                lambda c: (c[0] < chunk) & ~c[4], body, carry)
+            # next chunk's first logits: the last produced token has not
+            # been forwarded yet (same convention as the one-shot loop)
+            next_logits, cache = _fwd(last_tok, produced + i - 1, cache)
+            return buf, i, finished, next_logits, cache, recent
+
+        fn = jax.jit(run)
+        self._chunk_fns[sampler] = fn
+        return fn
+
+    def stream(self, spk_emb, text_tokens: list[int], *,
+               sampler: TurboSampler = TurboSampler(), max_new: int = 600,
+               seed: int = 0):
+        """Yields lists of speech tokens (≤ chunk each) as they decode;
+        stop/start specials are stripped, SILENCE_TOKEN is kept (the
+        synthesis side filters it, matching _token2wav)."""
+        cfg = self.gen.cfg
+        n = len(text_tokens)
+        pad = -(-max(n, 1) // 32) * 32
+        toks = np.zeros(pad, np.int32)
+        toks[:n] = text_tokens
+        logits, cache, extra = self._prefill(pad)(
+            self.gen.params, spk_emb, jnp.asarray(toks), jnp.int32(n))
+        chunk_fn = self._chunk_fn(sampler)
+        recent = jnp.full((64,), -1, jnp.int32)
+        key = jax.random.PRNGKey(seed)
+        produced = 0
+        while produced < max_new:
+            key, sub = jax.random.split(key)
+            buf, cnt, finished, logits, cache, recent = chunk_fn(
+                self.gen.params, logits, cache, extra, recent,
+                jnp.int32(produced), jnp.int32(n), sub)
+            # the chunk decoder always runs up to `chunk` steps; honor
+            # max_new exactly by trimming the final chunk
+            take = min(int(cnt), max_new - produced)
+            out = [int(t) for t in np.asarray(buf[:take])
+                   if t < cfg.start_speech_token]
+            produced += take
+            if out:
+                yield out
+            if bool(finished):
+                break
+
+
 def meanflow_inference(estimator_fn, mu, mask_len, spks, cond, key,
-                       n_timesteps: int = 2):
+                       n_timesteps: int = 2, streaming: bool = False):
     """CBT meanflow: few-step Euler WITHOUT CFG
-    (CBTFlowMatching.swift:51-74)."""
+    (CBTFlowMatching.swift:51-74). streaming=True applies the estimator's
+    chunk-causal masks (the same discipline as flow.cfm_inference) for the
+    windowed token-streaming path."""
     b, t, d = mu.shape
     z = jax.random.normal(key, (b, t, d), mu.dtype)
     t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
@@ -176,7 +323,7 @@ def meanflow_inference(estimator_fn, mu, mask_len, spks, cond, key,
     def step(i, x):
         dt = t_span[i + 1] - t_span[i]
         tt = jnp.full((b,), t_span[i], mu.dtype)
-        v = estimator_fn(x, mask_len, mu, tt, spks, cond, False)
+        v = estimator_fn(x, mask_len, mu, tt, spks, cond, streaming)
         return x + dt * v
 
     return jax.lax.fori_loop(0, n_timesteps, step, z)
