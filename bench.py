@@ -35,6 +35,11 @@ def main():
 
     cfg = PRESETS["large-v3-turbo"]
     params = wmodel.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # settle the fused-encoder Mosaic gates eagerly (main thread, before
+    # any trace): a mid-trace probe failure is memoized for the process
+    # and silently demotes every later encode to the per-op path
+    print(f"fused encoder probes (bf16+int8): "
+          f"{wmodel.warm_fused_probes(cfg, int8=True)}", file=sys.stderr)
     rng = np.random.default_rng(0)
 
     base_mask = np.zeros(cfg.n_vocab, np.float32)
@@ -213,8 +218,10 @@ def main():
         except Exception as exc:
             print(f"int8 full-pipeline run failed ({exc})", file=sys.stderr)
         try:
-            # best-known combo: bf16 encoder (int8 encoder measured at
-            # latency parity) + stacked-int8 decoder + int8 cross-KV
+            # mixed combo: bf16 encoder + stacked-int8 decoder + int8
+            # cross-KV (was the round-3 winner while the int8 encoder ran
+            # the XLA glue path; the fused w8a8 encoder should now put the
+            # full-w8a8 row ahead — the headline takes the max)
             params_mix = {**params_i8, "encoder": params["encoder"]}
             full_mix_xrt = measure_full(BATCH, params_mix, kv_int8=True)
             print(f"FULL pipeline batch={BATCH} bf16-enc + int8 decoder + "

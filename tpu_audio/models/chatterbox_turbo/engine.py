@@ -179,7 +179,9 @@ class ChatterboxTurboEngine(ChatterboxEngine):
             TurboSynthesizer, drop_silence)
 
         if self._t3_streamer is None:
-            self._t3_streamer = turbo.T3TurboStreamer(self.turbo_gen)
+            self._t3_streamer = turbo.T3TurboStreamer(
+                self.turbo_gen,
+                first_extra=self.s3gen_cfg.pre_lookahead_len)
         if self._turbo_synth is None:
             self._turbo_synth = TurboSynthesizer(
                 self.s3gen_params, self.s3gen_cfg,

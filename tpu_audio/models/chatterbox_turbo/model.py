@@ -175,11 +175,18 @@ class T3TurboStreamer:
     per text bucket + one compiled fixed-size chunk decoder; the KV cache,
     repetition-penalty window, and position counter carry across chunks on
     device. Positions stay consecutive with the prefill
-    (GPT2.swift:239 positionIds = pastLength..<pastLength+T)."""
+    (GPT2.swift:239 positionIds = pastLength..<pastLength+T).
 
-    def __init__(self, gen: T3TurboGenerator, chunk: int = 25):
+    first_extra: extra tokens decoded in the FIRST chunk only, so the
+    synthesizer's first window (chunk + pre_lookahead tokens) needs one
+    chunk dispatch instead of two — see CosyLMStreamer.
+    """
+
+    def __init__(self, gen: T3TurboGenerator, chunk: int = 25,
+                 first_extra: int = 0):
         self.gen = gen
         self.chunk = chunk
+        self.first_extra = first_extra
         self._prefill_fns = {}
         self._chunk_fns = {}
 
@@ -219,12 +226,13 @@ class T3TurboStreamer:
         self._prefill_fns[text_pad] = fn
         return fn
 
-    def _chunk_fn(self, sampler: TurboSampler):
-        if sampler in self._chunk_fns:
-            return self._chunk_fns[sampler]
+    def _chunk_fn(self, sampler: TurboSampler, size: int | None = None):
+        chunk = size or self.chunk
+        key_ = (sampler, chunk)
+        if key_ in self._chunk_fns:
+            return self._chunk_fns[key_]
         cfg = self.gen.cfg
         gcfg = cfg.gpt2
-        chunk = self.chunk
 
         def run(params, first_logits, cache, extra, recent, produced,
                 n_text, key):
@@ -273,7 +281,7 @@ class T3TurboStreamer:
             return buf, i, finished, next_logits, cache, recent
 
         fn = jax.jit(run)
-        self._chunk_fns[sampler] = fn
+        self._chunk_fns[key_] = fn
         return fn
 
     def stream(self, spk_emb, text_tokens: list[int], *,
@@ -289,11 +297,13 @@ class T3TurboStreamer:
         toks[:n] = text_tokens
         logits, cache, extra = self._prefill(pad)(
             self.gen.params, spk_emb, jnp.asarray(toks), jnp.int32(n))
-        chunk_fn = self._chunk_fn(sampler)
         recent = jnp.full((64,), -1, jnp.int32)
         key = jax.random.PRNGKey(seed)
         produced = 0
         while produced < max_new:
+            chunk_fn = self._chunk_fn(
+                sampler, self.chunk + self.first_extra if produced == 0
+                else self.chunk)
             key, sub = jax.random.split(key)
             buf, cnt, finished, logits, cache, recent = chunk_fn(
                 self.gen.params, logits, cache, extra, recent,

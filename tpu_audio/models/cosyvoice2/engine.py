@@ -299,7 +299,8 @@ class CosyVoice2Engine(TTSEngineBase):
         from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
 
         if self._streamer is None:
-            self._streamer = lm_mod.CosyLMStreamer(self.lm)
+            self._streamer = lm_mod.CosyLMStreamer(
+                self.lm, first_extra=self.s3gen_cfg.pre_lookahead_len)
         if self._synth is None:
             self._synth = CV2Synthesizer(self.s3gen_params, self.s3gen_cfg)
         pending: AudioChunk | None = None

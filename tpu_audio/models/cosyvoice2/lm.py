@@ -299,11 +299,21 @@ class CosyLMStreamer:
 
     One compiled prefill + one compiled fixed-size chunk decoder; the KV
     cache and last token carry across chunks on device.
+
+    first_extra: extra tokens decoded in the FIRST chunk only. The flow
+    synthesizer emits its first window after chunk + pre_lookahead tokens
+    (CosyVoice3Model.swift:605-649 token_hop_len + preLookaheadLen), so a
+    fixed-size streamer forces a SECOND full LM dispatch for the 3
+    lookahead tokens — measured on the critical TTFA path. Setting
+    first_extra = pre_lookahead puts first audio one chunk dispatch after
+    prefill (one extra compiled chunk size).
     """
 
-    def __init__(self, gen: CosyLMGenerator, chunk: int = 25):
+    def __init__(self, gen: CosyLMGenerator, chunk: int = 25,
+                 first_extra: int = 0):
         self.gen = gen
         self.chunk = chunk
+        self.first_extra = first_extra
         self._prefill_fns = {}
         self._chunk_fns = {}
 
@@ -344,12 +354,13 @@ class CosyLMStreamer:
         self._prefill_fns[key_] = fn
         return fn
 
-    def _chunk_fn(self, sampler: SamplerConfig):
-        if sampler in self._chunk_fns:
-            return self._chunk_fns[sampler]
+    def _chunk_fn(self, sampler: SamplerConfig, size: int | None = None):
+        chunk = size or self.chunk
+        key_ = (sampler, chunk)
+        if key_ in self._chunk_fns:
+            return self._chunk_fns[key_]
         cfg = self.gen.cfg
         qcfg = cfg.qwen
-        chunk = self.chunk
 
         def run(params, first_logits, cache, extra, produced, min_len,
                 first_chunk, key):
@@ -393,7 +404,7 @@ class CosyLMStreamer:
             return tokens, n, finished, next_logits, cache2
 
         fn = jax.jit(run)
-        self._chunk_fns[sampler] = fn
+        self._chunk_fns[key_] = fn
         return fn
 
     def stream(self, text_ids, prompt_text_ids, prompt_speech_tokens, *,
@@ -416,11 +427,13 @@ class CosyLMStreamer:
         logits, cache, extra = self._prefill(t_pad, s_pad)(
             self.gen.params, jnp.asarray(text), jnp.int32(n_t),
             jnp.asarray(speech), jnp.int32(n_s))
-        chunk_fn = self._chunk_fn(sampler)
         key = jax.random.PRNGKey(seed)
         produced = 0
         first_chunk = True
         while produced < max_len:
+            chunk_fn = self._chunk_fn(
+                sampler, self.chunk + self.first_extra if first_chunk
+                else self.chunk)
             key, sub = jax.random.split(key)
             tokens, n, finished, logits, cache = chunk_fn(
                 self.gen.params, logits, cache, extra,

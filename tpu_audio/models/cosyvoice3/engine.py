@@ -56,7 +56,8 @@ class CosyVoice3Engine(TTSEngineBase):
         (lm_params, self.lm_cfg, self.flow_params, self.flow_cfg,
          self.tok_params, self.tok_cfg, self.tokenizer) = cvload.load()
         self.lm = lm_mod.CosyLMGenerator(lm_params, self.lm_cfg)
-        self.streamer = lm_mod.CosyLMStreamer(self.lm)
+        self.streamer = lm_mod.CosyLMStreamer(self.lm,
+                                              first_extra=cv3.PRE_LOOKAHEAD)
         self.synth = cv3.CV3Synthesizer(self.flow_params, self.flow_cfg)
         self.is_loaded = True
 
@@ -77,7 +78,8 @@ class CosyVoice3Engine(TTSEngineBase):
         eng.lm_cfg = lm_cfg
         eng.lm = lm_mod.CosyLMGenerator(lm_params, lm_cfg,
                                         max_cache=max_cache, mesh=mesh)
-        eng.streamer = lm_mod.CosyLMStreamer(eng.lm, chunk=chunk)
+        eng.streamer = lm_mod.CosyLMStreamer(eng.lm, chunk=chunk,
+                                             first_extra=cv3.PRE_LOOKAHEAD)
         eng.flow_params, eng.flow_cfg = flow_params, flow_cfg
         eng.synth = cv3.CV3Synthesizer(flow_params, flow_cfg)
         eng.tok_params, eng.tok_cfg = tok_params, tok_cfg

@@ -139,6 +139,9 @@ def load(model: str = "tiny", quantization: str = "fp16",
     if serve_int8:
         tree = serve_tree_int8(tree)
     params = weights.to_device(tree, dtype=dtype)
+    # eager main-thread Mosaic probe so the fused-encoder gate is settled
+    # before any serving graph traces (see model.warm_fused_probes)
+    wmodel.warm_fused_probes(cfg, int8=serve_int8, dtype=dtype)
 
     tok = WhisperTokenizer.load(path, multilingual=cfg.is_multilingual,
                                 num_languages=cfg.num_languages)

@@ -250,6 +250,36 @@ def encode(params: dict, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     return layers.layer_norm(p["ln_post"], x)
 
 
+def warm_fused_probes(cfg: WhisperConfig, int8: bool = False,
+                      dtype=jnp.bfloat16) -> bool:
+    """Run the fused encoder-block Mosaic probes eagerly at LOAD time.
+
+    The gate inside encode() probes lazily, which means the probe can fire
+    mid-trace in a fresh thread while the runtime is busy compiling the
+    enclosing graph; a transient failure there is memoized False for the
+    process and the encoder silently drops to the per-op path (observed on
+    chip: bench.py's int8 encoder measured 425.9 ms glue in the same
+    session where enc_profile measured the identical fused path at
+    258.2 ms). Probing here — main thread, eager, before any trace — makes
+    the gate deterministic. Returns whether the fused path is live."""
+    if not FUSED_ENC:
+        return False
+    from tpu_audio.ops.pallas import fused_encoder as fe
+
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except Exception:
+        return False
+    d, heads = cfg.n_audio_state, cfg.n_audio_head
+    if heads % 2 or (d // heads) * 2 != 128:
+        return False
+    ok = bool(fe.probe(1, cfg.n_audio_ctx, d, heads, dtype))
+    if int8:
+        ok = bool(fe.probe_int8(d, 4 * d, heads, dtype)) and ok
+    return ok
+
+
 # ------------------------------------------------------------------ decoder
 
 @jax.tree_util.register_dataclass

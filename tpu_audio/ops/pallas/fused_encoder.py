@@ -645,6 +645,12 @@ def probe_int8(d: int, ff: int, n_heads: int, dtype) -> bool:
             return np.asarray(xn)
 
         ok = bool(np.isfinite(run_outside_trace(_run)).all())
+        if not ok:
+            from tpu_audio.utils.logging import get_logger
+
+            get_logger().warning(
+                "fused int8 encoder probe produced non-finite output at "
+                "d=%d ff=%d heads=%d; using the per-op path", d, ff, n_heads)
     except Exception as exc:
         from tpu_audio.ops.quant import _warn_kernel_fallback
 

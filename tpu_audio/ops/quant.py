@@ -27,19 +27,22 @@ import numpy as np
 
 QKEYS = ("weight_q4", "weight_q8", "weight_i8", "weight_q4p", "weight_q4s")
 
-_fallback_warned = False
+_fallback_warned: set = set()
 
 
 def _warn_kernel_fallback(exc: Exception) -> None:
-    global _fallback_warned
-    if _fallback_warned:
+    # once per DISTINCT failure, not once per process: a decoder-kernel
+    # fallback early in a run must not silence a later, different encoder
+    # probe failure (that hid the bench int8 encoder running the glue path)
+    key = f"{type(exc).__name__}: {exc}"
+    if key in _fallback_warned:
         return
-    _fallback_warned = True
+    _fallback_warned.add(key)
     from tpu_audio.utils.logging import get_logger
 
     get_logger().warning(
-        "fused Pallas quant matmul failed (%s: %s); falling back to the "
-        "dequantize+matmul path for this process", type(exc).__name__, exc)
+        "fused Pallas kernel failed (%s); falling back to the unfused "
+        "path for this process", key)
 
 
 def is_quantized(p: dict) -> bool:
