@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tpu_audio.api.tts import StreamingGranularity
 from tpu_audio.codecs import snac
 from tpu_audio.models.orpheus import model as omodel
 from tpu_audio.models.orpheus.engine import OrpheusEngine
@@ -172,6 +173,98 @@ class TestOrpheusEngine:
         assert set(t) == {"short"} and t["short"] > 0
         t2 = eng.warmup(full=True)
         assert {"short", "medium", "long"} <= set(t2)
+
+
+def _frame_tokens(rng, frames: int) -> list[int]:
+    """Valid 7-token SNAC frames (each slot in its own codebook page)."""
+    base, cb = omodel.CODE_OFFSET, omodel.CODEBOOK_SIZE
+    toks = []
+    for _ in range(frames):
+        vals = rng.integers(0, 64, 7)  # tiny codebook size 64
+        toks.extend(base + page * cb + int(v)
+                    for page, v in enumerate(vals))
+    return toks
+
+
+class TestTokenStreaming:
+    def test_stream_spans_concat_matches_generate(self):
+        """stream_spans is the spanned decode seen incrementally — the
+        concatenated token stream equals generate() (greedy)."""
+        params = transformer.init_params(jax.random.PRNGKey(0), TINY_LM)
+        g = omodel.CausalLMGenerator(params, TINY_LM, max_cache=128)
+        kw = dict(sampler=SamplerConfig(temperature=0.0), eos_ids=(1,),
+                  max_new=13)
+        ref = g.generate([5, 6, 7], **kw)
+        got = []
+        for span_toks in g.stream_spans([5, 6, 7], span=4, **kw):
+            got.extend(span_toks)
+        assert got == ref
+
+    def test_pos_noise_is_window_invariant(self, snac_params, rng):
+        """decode with noise_pos: a window of the stream produces the same
+        samples as the same region of the full decode."""
+        frames = 16  # stride-1 latents
+        codes = [jnp.asarray(rng.integers(0, 64, (1, frames // s)),
+                             jnp.int32) for s in (4, 2, 1)]
+        key = jax.random.PRNGKey(7)
+        full = np.asarray(snac.decode_codes(
+            snac_params, TINY_SNAC, codes, key,
+            noise_pos=jnp.int32(0))[0])
+        off = 8
+        sub = [c[:, off // s:] for c, s in zip(codes, (4, 2, 1))]
+        win = np.asarray(snac.decode_codes(
+            snac_params, TINY_SNAC, sub, key,
+            noise_pos=jnp.int32(off))[0])
+        # interior of the window (past the receptive field) must match
+        hop = TINY_SNAC.hop
+        rf = 12 * hop  # generous: RF is ~11 latents for the full config
+        np.testing.assert_allclose(win[rf:], full[off * hop + rf:],
+                                   atol=1e-5)
+
+    def test_token_streaming_matches_one_shot(self):
+        """Engine token-granularity streaming: concatenated chunks equal
+        the one-shot decode of the full token sequence (position-stable
+        noise + window context beyond the receptive field)."""
+        rng = np.random.default_rng(11)
+        lm_params = transformer.init_params(jax.random.PRNGKey(2), TINY_LM)
+        snac_params = snac.init_params(jax.random.PRNGKey(3), TINY_SNAC)
+        eng = OrpheusEngine.from_params(lm_params, TINY_LM, snac_params,
+                                        TINY_SNAC, max_cache=256)
+        toks = _frame_tokens(rng, 23)  # odd count: exercises the finalize
+
+        def fake_spans(*a, **k):
+            span = k.get("span", 28)
+            for i in range(0, len(toks), span):
+                yield toks[i: i + span]
+
+        eng.lm.stream_spans = fake_spans
+        chunks = list(eng.generate_streaming(
+            "Hello there.", granularity=StreamingGranularity.TOKEN))
+        assert chunks[-1].is_final
+        assert sum(c.is_final for c in chunks) == 1
+        got = np.concatenate([c.samples for c in chunks])
+        ref = eng._decode_snac(omodel.parse_frames(toks), seed=0)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_token_streaming_multiple_emissions(self):
+        """The stream yields audio before the LM finishes: more than one
+        chunk for a long enough token stream."""
+        rng = np.random.default_rng(5)
+        lm_params = transformer.init_params(jax.random.PRNGKey(2), TINY_LM)
+        snac_params = snac.init_params(jax.random.PRNGKey(3), TINY_SNAC)
+        eng = OrpheusEngine.from_params(lm_params, TINY_LM, snac_params,
+                                        TINY_SNAC, max_cache=256)
+        toks = _frame_tokens(rng, 40)
+
+        def fake_spans(*a, **k):
+            for i in range(0, len(toks), 28):
+                yield toks[i: i + 28]
+
+        eng.lm.stream_spans = fake_spans
+        chunks = list(eng.generate_streaming(
+            "Hello.", granularity=StreamingGranularity.TOKEN))
+        assert len(chunks) >= 3
 
 
 class TestBatchGeneration:

@@ -134,16 +134,37 @@ def embed_codes(params, cfg: SNACConfig, codes: list[jax.Array]) -> jax.Array:
     return z
 
 
+def _pos_noise(key, block: int, start, length: int, dtype) -> jax.Array:
+    """N(0,1) noise keyed by (block, absolute upsampled position).
+
+    Position-stable: the draw at absolute position p is the same whatever
+    window of the stream is being decoded, so a sliding-window streaming
+    decode is sample-identical to the one-shot decode (the split-key draw
+    in decode_latent depends on the window shape). `start` may be traced
+    (dynamic window offset under jit)."""
+    pos = jnp.int32(start) + jnp.arange(length, dtype=jnp.int32)
+    kb = jax.random.fold_in(key, block)
+    draw = jax.vmap(lambda p: jax.random.normal(jax.random.fold_in(kb, p),
+                                                (), jnp.float32))
+    return draw(pos).astype(dtype)[None, :, None]
+
+
 def decode_latent(params, cfg: SNACConfig, z: jax.Array,
                   key: jax.Array | None = None,
-                  noises: list | None = None) -> jax.Array:
+                  noises: list | None = None,
+                  noise_pos: jax.Array | None = None) -> jax.Array:
     """latent (B, T, latent_dim) → waveform (B, T·hop).
 
     noises: optional per-block (B, T_i, 1) arrays replacing the PRNG draw
-    (parity tests inject the same noise into the torch reference)."""
+    (parity tests inject the same noise into the torch reference).
+    noise_pos: absolute latent-frame index of z[:, 0] — switches the noise
+    draw to the position-stable scheme (_pos_noise) required for
+    streaming-window == one-shot parity; noise is then shared across the
+    batch (streaming serves B=1)."""
     p = params["decoder"]
     x = _wn(p["depthwise_conv"], z, padding=3, groups=cfg.latent_dim)
     x = _wn(p["pointwise_conv"], x)
+    upsample = 1
     for i, stride in enumerate(cfg.decoder_rates):
         blk = p["blocks"][str(i)]
         out_dim = cfg.decoder_dim // (2 ** (i + 1))
@@ -153,10 +174,14 @@ def decode_latent(params, cfg: SNACConfig, z: jax.Array,
                           padding=-(-stride // 2))
         if stride % 2 == 1:  # output_padding = stride % 2
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+        upsample *= stride
         if cfg.noise and "noise" in blk:
             h = _wn(blk["noise"]["linear"], x)
             if noises is not None:
                 noise = jnp.asarray(noises[i], x.dtype)
+            elif noise_pos is not None and key is not None:
+                noise = _pos_noise(key, i, noise_pos * upsample,
+                                   x.shape[1], x.dtype)
             elif key is not None:
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, (x.shape[0], x.shape[1], 1),
@@ -178,5 +203,7 @@ def decode_latent(params, cfg: SNACConfig, z: jax.Array,
 
 
 def decode_codes(params, cfg: SNACConfig, codes: list[jax.Array],
-                 key: jax.Array | None = None) -> jax.Array:
-    return decode_latent(params, cfg, embed_codes(params, cfg, codes), key)
+                 key: jax.Array | None = None,
+                 noise_pos: jax.Array | None = None) -> jax.Array:
+    return decode_latent(params, cfg, embed_codes(params, cfg, codes), key,
+                         noise_pos=noise_pos)

@@ -567,6 +567,25 @@ class CausalLMGenerator:
 
     def _generate_spanned(self, prompt_ids, *, sampler, eos_ids, max_new,
                           seed, bucket, should_stop, span) -> list[int]:
+        out: list[int] = []
+        for toks in self.stream_spans(prompt_ids, sampler=sampler,
+                                      eos_ids=eos_ids, max_new=max_new,
+                                      seed=seed, bucket=bucket,
+                                      should_stop=should_stop, span=span):
+            out.extend(toks)
+        return out
+
+    def stream_spans(self, prompt_ids, *, sampler, eos_ids, max_new,
+                     seed: int = 0, bucket: int = 32, should_stop=None,
+                     span: int = 32):
+        """Yield generated ids one compiled `span`-token chunk at a time.
+
+        Token-granularity serving primitive: the KV cache, repetition
+        window, and finished flag carry across spans on device, so the
+        token stream is identical to `generate` with the same seed — only
+        the host sees it in `span`-sized pieces. First tokens after one
+        prefill + one span dispatch (reference streams per sentence:
+        OrpheusTTS.swift:201)."""
         from tpu_audio.ops.sampling import update_recent
 
         n = len(prompt_ids)
@@ -579,24 +598,28 @@ class CausalLMGenerator:
         first, cache = self._prefill_fn(pad, sampler)(
             self.params, jnp.asarray(prompt), pad_amount, kp)
         if int(first[0]) in eos_ids:
-            return []
-        out = [int(first[0])]
+            return
         window = max(sampler.repetition_window, sampler.ras_window, 1)
         recent = update_recent(jnp.full((1, window), -1, jnp.int32), first)
         finished = jnp.zeros((1,), jnp.bool_)
         last = first
         fn = self._span_fn(span, sampler, tuple(eos_ids))
+        pending = [int(first[0])]
         remaining = max_new - 1
-        while remaining > 0 and not should_stop():
+        while remaining > 0 and (should_stop is None or not should_stop()):
             key, ks = jax.random.split(key)
             tokens, lengths, cache, recent, finished, last = fn(
                 self.params, cache, last, recent, finished, pad_amount, ks)
             got = min(int(lengths[0]), remaining)
-            out.extend(int(t) for t in np.asarray(tokens[0][:got]))
+            pending.extend(int(t) for t in np.asarray(tokens[0][:got]))
             remaining -= span
+            if pending:
+                yield pending
+                pending = []
             if bool(finished[0]):
-                break
-        return out
+                return
+        if pending:
+            yield pending
 
 
 def parse_frames(tokens: list[int]) -> list[np.ndarray]:
