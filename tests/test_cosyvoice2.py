@@ -197,6 +197,67 @@ class TestTokenStreaming:
         for a in out:
             assert np.isfinite(a).all()
 
+    def test_bounded_window_rebase_matches_until_first_rebase(self, rng):
+        """max_window_tokens: the sliding-window/mel-reprompt path must be
+        byte-identical to the unbounded (reference-scheme) path for every
+        chunk emitted BEFORE the first rebase, keep the sample-count
+        invariant afterwards, and stay finite."""
+        from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
+
+        s3_cfg, s3_params = tiny_s3()
+        token_chunks = [list(rng.integers(0, 60, 6)) for _ in range(5)]
+        prompt_mel = rng.standard_normal((4, s3_cfg.mel_dim)).astype(
+            np.float32)
+        spk = np.zeros((1, s3_cfg.spk_dim), np.float32)
+
+        ref_synth = CV2Synthesizer(s3_params, s3_cfg,
+                                   max_window_tokens=None)
+        ref = list(ref_synth.stream(iter(token_chunks), [0, 1], prompt_mel,
+                                    spk, seed=0, chunk_size=6))
+        syn = CV2Synthesizer(s3_params, s3_cfg, max_window_tokens=16,
+                             rebase_prompt_tokens=4)
+        got = list(syn.stream(iter(token_chunks), [0, 1], prompt_mel,
+                              spk, seed=0, chunk_size=6))
+        assert len(got) == len(ref)
+        assert all(len(g) == len(r) for g, r in zip(got, ref))
+        # windows are 9 then 15 tokens → chunk 2 (21) is the first past
+        # the 16 cap; chunks 0-1 precede any rebase and must be identical
+        np.testing.assert_array_equal(got[0], ref[0])
+        np.testing.assert_array_equal(got[1], ref[1])
+        for g in got:
+            assert np.isfinite(g).all()
+
+    def test_bounded_window_flow_calls_stay_bounded(self, rng):
+        """Flow windows never exceed max_window_tokens after warm-up (the
+        O(max_window) per-chunk property for unbounded streams)."""
+        from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
+
+        s3_cfg, s3_params = tiny_s3()
+        token_chunks = [list(rng.integers(0, 60, 6)) for _ in range(8)]
+        prompt_mel = rng.standard_normal((4, s3_cfg.mel_dim)).astype(
+            np.float32)
+        syn = CV2Synthesizer(s3_params, s3_cfg, max_window_tokens=12,
+                             rebase_prompt_tokens=4)
+        seen = []
+        orig = syn._flow_fn
+
+        def spy(t_pad, p_len, streaming):
+            fn = orig(t_pad, p_len, streaming)
+
+            def wrapped(params, tokens, tl, *a):
+                seen.append(int(tl[0]))
+                return fn(params, tokens, tl, *a)
+
+            return wrapped
+
+        syn._flow_fn = spy
+        out = list(syn.stream(iter(token_chunks), [0, 1], prompt_mel,
+                              np.zeros((1, s3_cfg.spk_dim), np.float32),
+                              seed=0, chunk_size=6))
+        assert sum(len(a) for a in out) == 48 * 2 * s3_cfg.hift.upsample_scale
+        assert max(seen) <= 12 + 6  # one chunk of slack before a rebase fires
+        assert any(s <= 12 for s in seen[2:])
+
     def test_engine_token_streaming_e2e(self, lm_params):
         s3_cfg, s3_params = tiny_s3()
         tok_cfg = s3tokenizer.S3TokenizerConfig(

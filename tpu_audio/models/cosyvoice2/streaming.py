@@ -46,9 +46,23 @@ class CV2Synthesizer:
     hits a handful of compiled graphs regardless of utterance length.
     """
 
-    def __init__(self, params, cfg: s3gen.S3GenConfig):
+    def __init__(self, params, cfg: s3gen.S3GenConfig,
+                 max_window_tokens: int = 150,
+                 rebase_prompt_tokens: int = 50):
+        """max_window_tokens: cap on the flow window (generated tokens per
+        flow call). The reference re-runs token2mel over the FULL token
+        prefix every chunk (CosyVoice2Model.swift:501 streaming=false on
+        the grown window) — O(n²) over the stream and unbounded per-chunk
+        latency. Here, once the window would exceed the cap, emitted
+        tokens RETIRE: the last rebase_prompt_tokens of them (and their
+        generated mel) become the next window's prompt scaffold — the
+        same zero-shot prompt conditioning the flow is trained on — so
+        per-chunk cost is O(max_window) for unbounded streams. Set
+        max_window_tokens=None for the reference behavior."""
         self.params = params
         self.cfg = cfg
+        self.max_window_tokens = max_window_tokens
+        self.rebase_prompt_tokens = rebase_prompt_tokens
         self._flow_fns: dict = {}
         self._voc_fns: dict = {}
 
@@ -91,12 +105,11 @@ class CV2Synthesizer:
         prompt_mel (1, 2P', 80) or (2P', 80); embedding (1, 192).
         """
         cfg = self.cfg
-        p_len = len(prompt_tokens)
-        pm = jnp.asarray(prompt_mel[None]) if np.ndim(prompt_mel) == 2 \
-            else jnp.asarray(prompt_mel)
+        p_len0 = len(prompt_tokens)
+        pm0 = np.asarray(prompt_mel, np.float32)
+        if pm0.ndim == 3:
+            pm0 = pm0[0]
         emb = jnp.asarray(embedding)
-        pt = jnp.asarray(np.asarray(prompt_tokens, np.int32)[None]) \
-            if p_len else jnp.zeros((1, 0), jnp.int32)
         lookahead = cfg.pre_lookahead_len
         mel_ratio = cfg.token_mel_ratio
         ups = cfg.hift.upsample_scale
@@ -105,6 +118,15 @@ class CV2Synthesizer:
         emitted = 0  # generated tokens whose audio has been yielded
         done = False
         chunk_iter = iter(token_chunks)
+
+        # rolling flow window [base, window_end): tokens before base have
+        # retired into (cur_pt, cur_pm), the current prompt scaffold
+        base = 0
+        cur_pt = list(prompt_tokens)
+        cur_pm = pm0
+        # absolute mel stream: p_len0·ratio prompt frames, then generated
+        # frames — the vocoder consumes this independent of flow windows
+        mel_buf = np.zeros((0, cfg.mel_dim), np.float32)
 
         # incremental vocoder state (hift.vocode_window)
         nh = cfg.hift.nb_harmonics + 1
@@ -128,11 +150,25 @@ class CV2Synthesizer:
             # streaming masks, matching the reference finalize=true
             window_end = len(gen_tokens) if done else min(
                 len(gen_tokens), emit_upto + lookahead)
-            n = window_end
+            reb = self.rebase_prompt_tokens
+            if (self.max_window_tokens is not None
+                    and window_end - base > self.max_window_tokens
+                    and emitted - reb >= base and emitted >= reb):
+                # retire emitted tokens: their generated mel becomes the
+                # next window's prompt (zero-shot continuation scaffold)
+                base = emitted
+                cur_pt = gen_tokens[base - reb: base]
+                cur_pm = mel_buf[(p_len0 + base - reb) * mel_ratio:
+                                 (p_len0 + base) * mel_ratio]
+            p_len = len(cur_pt)
+            n = window_end - base
             t_pad = max(32, -(-n // 32) * 32)
             toks = np.zeros((1, t_pad), np.int32)
-            toks[0, :n] = gen_tokens[:window_end]
-            valid_frames = (p_len + emit_upto) * mel_ratio
+            toks[0, :n] = gen_tokens[base:window_end]
+            pt = jnp.asarray(np.asarray(cur_pt, np.int32)[None]) \
+                if p_len else jnp.zeros((1, 0), jnp.int32)
+            pm = jnp.asarray(cur_pm[None])
+            valid_frames = (p_len0 + emit_upto) * mel_ratio
             lb = min(hift.LOOKBACK_FRAMES, voc_frames)
             n_new = valid_frames - voc_frames
 
@@ -141,7 +177,17 @@ class CV2Synthesizer:
                 jnp.asarray([p_len]), pm, jnp.asarray([pm.shape[1]]), emb,
                 jax.random.PRNGKey(seed))
             mel_np = np.asarray(mel[0])
-            window = mel_np[voc_frames - lb: valid_frames]
+            # fold this window's mel into the absolute stream buffer
+            need = (p_len0 + window_end) * mel_ratio
+            if len(mel_buf) < need:
+                mel_buf = np.vstack([mel_buf, np.zeros(
+                    (need - len(mel_buf), cfg.mel_dim), np.float32)])
+            if base == 0:  # first windows: keep the prompt-region mel too
+                mel_buf[:p_len0 * mel_ratio] = \
+                    mel_np[:p_len0 * mel_ratio]
+            mel_buf[(p_len0 + base) * mel_ratio: need] = \
+                mel_np[p_len * mel_ratio: (p_len + n) * mel_ratio]
+            window = mel_buf[voc_frames - lb: valid_frames]
 
             audio_w, phase, source_w = self._voc_fn(lb, n_new)(
                 self.params, jnp.asarray(window[None]), voc_key, phase,
@@ -151,7 +197,7 @@ class CV2Synthesizer:
             new_lb = min(hift.LOOKBACK_FRAMES, valid_frames)
             source_tail = source_w[:, (lb + n_new - new_lb) * ups:]
             # skip the prompt-region samples (first chunk only)
-            skip = max(0, p_len * mel_ratio - voc_frames)
+            skip = max(0, p_len0 * mel_ratio - voc_frames)
             voc_frames = valid_frames
             new_audio = new_audio[skip * ups:]
             emitted = emit_upto
