@@ -293,9 +293,10 @@ class CosyVoice2Engine(TTSEngineBase):
                        ) -> Iterator[AudioChunk]:
         """Token-granularity streaming: LM chunks → incremental flow +
         O(1) vocoder (models/cosyvoice2/streaming.py). First audio after
-        ~chunk_size tokens instead of the whole first sentence. The
-        speculative LM option applies to the sentence path only (the
-        chunked streamer decodes plainly)."""
+        ~chunk_size tokens instead of the whole first sentence. With
+        speculative="ngram" the chunks decode through the resumable
+        draft/verify loop (CosyLMStreamer._stream_spec) — the latency
+        levers compose on this default serving path."""
         from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
 
         if self._streamer is None:
@@ -308,8 +309,9 @@ class CosyVoice2Engine(TTSEngineBase):
             self._check_stopped()
             prompt_ids, text_ids, prompt_speech = self._mode_ids(
                 sentence, spk, mode, instruct_text)
-            token_stream = self._streamer.stream(text_ids, prompt_ids,
-                                                 prompt_speech, seed=si)
+            token_stream = self._streamer.stream(
+                text_ids, prompt_ids, prompt_speech, seed=si,
+                speculative=self.speculative, gamma=self.gamma)
             first = True
             for audio in self._synth.stream(
                     token_stream, spk.speech_tokens, spk.prompt_mel,

@@ -316,14 +316,18 @@ class CosyLMStreamer:
         self.first_extra = first_extra
         self._prefill_fns = {}
         self._chunk_fns = {}
+        self._spec_fns = {}
 
-    def _prefill(self, text_pad: int, speech_pad: int):
-        key_ = (text_pad, speech_pad)
+    def _prefill(self, text_pad: int, speech_pad: int,
+                 allow_fused: bool = True):
+        key_ = (text_pad, speech_pad, allow_fused)
         if key_ in self._prefill_fns:
             return self._prefill_fns[key_]
         cfg = self.gen.cfg
         qcfg = cfg.qwen
-        fused = transformer.fused_decode_supported(
+        # the fused decode kernel serves T=1 steps only; the speculative
+        # spans feed T=gamma+1 verify chunks, so they force the plain cache
+        fused = allow_fused and transformer.fused_decode_supported(
             qcfg, self.gen.params["llm"], self.gen.max_cache)
 
         def run(params, text_tokens, n_text, speech_tokens, n_speech):
@@ -407,10 +411,182 @@ class CosyLMStreamer:
         self._chunk_fns[key_] = fn
         return fn
 
+    def _spec_span0_fn(self, sampler: SamplerConfig, gamma: int,
+                       hist_w: int, chunk: int):
+        """First speculative span: sample the first token from the prefill
+        logits, then run the draft/verify loop for up to chunk-1 more."""
+        key_ = ("s0", sampler, gamma, hist_w, chunk)
+        if key_ in self._spec_fns:
+            return self._spec_fns[key_]
+        from tpu_audio.ops.speculative import speculative_decode_loop
+
+        cfg = self.gen.cfg
+        qcfg = cfg.qwen
+
+        def run(params, first_logits, cache, extra, speech_tokens, n_speech,
+                min_len, key):
+            def t_step(toks, c):
+                emb = layers.embedding(params["speech_embedding"], toks)
+                h, c = transformer.forward_hidden(params["llm"], qcfg, emb,
+                                                  c, extra)
+                return layers.linear(params["llm_decoder"],
+                                     h).astype(jnp.float32), c
+
+            def processor(logits, i, recent):
+                vocab = jnp.arange(logits.shape[-1])
+                below = i + 1 < min_len
+                return jnp.where(
+                    below & (vocab >= cfg.speech_token_size)[None],
+                    -1e30, logits)
+
+            k1, k2 = jax.random.split(key)
+            fl = processor(first_logits, jnp.asarray(0), None)
+            first = sampling.sample(k1, fl, sampler,
+                                    jnp.full((1, 64), -1, jnp.int32)
+                                    ).astype(jnp.int32)
+            hist = jnp.zeros((1, hist_w), jnp.int32)
+            hist = jax.lax.dynamic_update_slice(hist, speech_tokens[None],
+                                                (0, 0))
+            second_last = jnp.where(
+                n_speech > 0,
+                speech_tokens[jnp.maximum(n_speech - 1, 0)],
+                jnp.int32(-1))[None]
+            res = speculative_decode_loop(
+                k2, t_step, cache, first, second_last,
+                max_new_tokens=chunk - 1, gamma=gamma,
+                eos_ids=(cfg.eos_id,), sampler=sampler, pad_id=cfg.eos_id,
+                history=hist, history_len=n_speech,
+                logit_processor=processor)
+            # valid loop tokens = everything before the first EOS; the
+            # buffer pads with pad_id == eos_id, so argmax finds either the
+            # real EOS or the emission boundary (the buffer always keeps at
+            # least one pad slot: max emitted = chunk-1 + gamma < width)
+            n_loop = jnp.argmax(res.tokens[0] == cfg.eos_id)
+            first_eos = first[0] == cfg.eos_id
+            tokens = jnp.concatenate([first, res.tokens[0]])
+            n_valid = jnp.where(first_eos, 0, 1 + n_loop)
+            return (tokens, n_valid, res.finished | first_eos, res.last,
+                    res.second_last, res.recent, res.last_state,
+                    res.history, res.history_len, res.iterations,
+                    res.drafted, res.accepted)
+
+        fn = jax.jit(run)
+        self._spec_fns[key_] = fn
+        return fn
+
+    def _spec_span_fn(self, sampler: SamplerConfig, gamma: int,
+                      hist_w: int, chunk: int):
+        """Continuation speculative span: resume (cache, last, second_last,
+        recent window, n-gram history) from the previous span and decode up
+        to `chunk` more tokens (may overshoot by ≤ gamma)."""
+        key_ = ("sk", sampler, gamma, hist_w, chunk)
+        if key_ in self._spec_fns:
+            return self._spec_fns[key_]
+        from tpu_audio.ops.speculative import speculative_decode_loop
+
+        cfg = self.gen.cfg
+        qcfg = cfg.qwen
+
+        def run(params, cache, extra, last, second_last, recent, hist,
+                hist_len, offset, min_len, key):
+            def t_step(toks, c):
+                emb = layers.embedding(params["speech_embedding"], toks)
+                h, c = transformer.forward_hidden(params["llm"], qcfg, emb,
+                                                  c, extra)
+                return layers.linear(params["llm_decoder"],
+                                     h).astype(jnp.float32), c
+
+            def processor(logits, i, recent_):
+                vocab = jnp.arange(logits.shape[-1])
+                below = offset + i + 1 < min_len
+                return jnp.where(
+                    below & (vocab >= cfg.speech_token_size)[None],
+                    -1e30, logits)
+
+            res = speculative_decode_loop(
+                key, t_step, cache, last, second_last,
+                max_new_tokens=chunk, gamma=gamma, eos_ids=(cfg.eos_id,),
+                sampler=sampler, pad_id=cfg.eos_id, history=hist,
+                history_len=hist_len, logit_processor=processor,
+                recent0=recent, append_first_to_history=False)
+            n_valid = jnp.argmax(res.tokens[0] == cfg.eos_id)
+            return (res.tokens[0], n_valid, res.finished, res.last,
+                    res.second_last, res.recent, res.last_state,
+                    res.history, res.history_len, res.iterations,
+                    res.drafted, res.accepted)
+
+        fn = jax.jit(run)
+        self._spec_fns[key_] = fn
+        return fn
+
+    def _stream_spec(self, text, n_t, speech, n_s, min_len, max_len, *,
+                     sampler: SamplerConfig, seed: int, gamma: int):
+        """Token-granularity streaming THROUGH the draft/verify rejection
+        loop: every span is one compiled speculative_decode_loop resumed
+        from the previous span's carried state, so the round-3 latency
+        lever (speculative decoding) and the round-4 lever (token-chunk
+        streaming) compose on the default CV2 serving path. Replaces the
+        double-buffered decode of Qwen2LM.swift:389-407 with multi-token
+        weight passes. Accept stats accumulate into
+        self.gen.last_spec_stats."""
+        t_pad, s_pad = text.shape[0], speech.shape[0]
+        # margin: the final span may overshoot max_len by chunk+gamma before
+        # the host loop observes it (clamped DUS would corrupt the n-gram
+        # history tail — harmless to the distribution, bad for accept rate)
+        hist_w = -(-(s_pad + max_len + self.chunk + self.first_extra
+                     + 2 * gamma + 8) // 64) * 64
+        logits, cache, extra = self._prefill(t_pad, s_pad,
+                                             allow_fused=False)(
+            self.gen.params, jnp.asarray(text), jnp.int32(n_t),
+            jnp.asarray(speech), jnp.int32(n_s))
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        chunk0 = self.chunk + self.first_extra
+        (tokens, n, finished, last, second_last, recent, cache, hist,
+         hist_len, iters, drafted, accepted) = self._spec_span0_fn(
+            sampler, gamma, hist_w, chunk0)(
+            self.gen.params, logits, cache, extra, jnp.asarray(speech),
+            jnp.int32(n_s), jnp.int32(min_len), sub)
+        stats = {"iterations": int(iters), "drafted": int(drafted),
+                 "accepted": int(accepted)}
+        # hard cap at max_len, exactly like generate() (the rejection loop
+        # may overshoot a span's budget by up to gamma accepted drafts)
+        n = min(int(n), max_len)
+        produced = n
+        toks = [int(t) for t in np.asarray(tokens[:n])
+                if t < self.gen.cfg.speech_token_size]
+        if toks:
+            yield toks
+        span = self._spec_span_fn(sampler, gamma, hist_w, self.chunk)
+        while not bool(finished) and produced < max_len:
+            key, sub = jax.random.split(key)
+            (tokens, n, finished, last, second_last, recent, cache, hist,
+             hist_len, iters, drafted, accepted) = span(
+                self.gen.params, cache, extra, last, second_last, recent,
+                hist, hist_len, jnp.int32(produced - 1), jnp.int32(min_len),
+                sub)
+            stats["iterations"] += int(iters)
+            stats["drafted"] += int(drafted)
+            stats["accepted"] += int(accepted)
+            n = min(int(n), max_len - produced)
+            toks = [int(t) for t in np.asarray(tokens[:n])
+                    if t < self.gen.cfg.speech_token_size]
+            produced += n
+            if toks:
+                yield toks
+        stats["accept_rate"] = stats["accepted"] / max(stats["drafted"], 1)
+        self.gen.last_spec_stats = stats
+
     def stream(self, text_ids, prompt_text_ids, prompt_speech_tokens, *,
                sampler: SamplerConfig = RAS_SAMPLER, seed: int = 0,
-               max_new: int | None = None):
-        """Yields lists of speech tokens (≤ chunk each) as they are decoded."""
+               max_new: int | None = None, speculative: str | None = None,
+               gamma: int = 4):
+        """Yields lists of speech tokens (≤ chunk each) as they are decoded.
+
+        speculative="ngram" serves the chunks through the resumable
+        draft/verify loop (_stream_spec) — same per-token distribution
+        (exactly the sampler's, by the rejection-sampling guarantee), fewer
+        weight passes per emitted token."""
         cfg = self.gen.cfg
         full_text = list(prompt_text_ids) + list(text_ids)
         n_t, n_s = len(full_text), len(prompt_speech_tokens)
@@ -424,6 +600,11 @@ class CosyLMStreamer:
         min_len = int(len(text_ids) * cfg.min_token_text_ratio)
         max_len = max_new or max(8, int(len(text_ids)
                                         * cfg.max_token_text_ratio))
+        if speculative == "ngram":
+            yield from self._stream_spec(text, n_t, speech, n_s, min_len,
+                                         max_len, sampler=sampler,
+                                         seed=seed, gamma=gamma)
+            return
         logits, cache, extra = self._prefill(t_pad, s_pad)(
             self.gen.params, jnp.asarray(text), jnp.int32(n_t),
             jnp.asarray(speech), jnp.int32(n_s))
@@ -439,7 +620,8 @@ class CosyLMStreamer:
                 self.gen.params, logits, cache, extra,
                 jnp.int32(produced), jnp.int32(min_len),
                 first_chunk, sub)
-            n = int(n)
+            # hard cap at max_len, exactly like generate()
+            n = min(int(n), max_len - produced)
             toks = [int(t) for t in np.asarray(tokens[:n])
                     if t < cfg.speech_token_size]
             produced += n

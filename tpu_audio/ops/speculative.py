@@ -61,6 +61,16 @@ class SpecResult:
     iterations: jax.Array  # int32: speculative iterations run
     drafted: jax.Array     # int32: total tokens drafted
     accepted: jax.Array    # int32: total drafted tokens accepted
+    # carried sampling state for spanned decode (chunked token-granularity
+    # streaming runs the loop as a chain of short compiled spans; see
+    # models/cosyvoice2/lm.py CosyLMStreamer speculative mode)
+    emitted: jax.Array | None = None       # int32: tokens written, incl. overshoot
+    finished: jax.Array | None = None      # bool: EOS reached
+    last: jax.Array | None = None          # (1,) last emitted token
+    second_last: jax.Array | None = None   # (1,) token before `last`
+    recent: jax.Array | None = None        # (1, W) recent-token ring
+    history: jax.Array | None = None       # (1, H) n-gram history incl. emits
+    history_len: jax.Array | None = None   # int32
 
 
 def _with_pos(cache, pos):
@@ -103,6 +113,9 @@ def speculative_decode_loop(
     history: jax.Array | None = None,   # (1, H) incl. prompt (n-gram mode)
     history_len: jax.Array | None = None,
     logit_processor: Callable | None = None,  # (logits, abs_idx, recent)
+    recent0: jax.Array | None = None,   # (1, W) resume a prior span's window
+    append_first_to_history: bool = True,  # False when resuming (first is
+                                           # already the history's tail)
 ) -> SpecResult:
     """Generate up to max_new_tokens after `first_token` (first_token itself
     is NOT written to the output buffer, matching ops/decoding.decode_loop).
@@ -240,20 +253,26 @@ def speculative_decode_loop(
         i_out, _, _, _, _, _, _, finished, *_ = carry
         return (i_out < max_new_tokens) & ~finished
 
-    recent0 = update_recent(jnp.full((1, window), -1, jnp.int32),
-                            first_token.astype(jnp.int32))
-    hist0 = jax.lax.dynamic_update_slice(
-        history, first_token[None].astype(jnp.int32), (0, history_len))
+    if recent0 is None:
+        recent0 = update_recent(jnp.full((1, window), -1, jnp.int32),
+                                first_token.astype(jnp.int32))
+    if append_first_to_history:
+        hist0 = jax.lax.dynamic_update_slice(
+            history, first_token[None].astype(jnp.int32), (0, history_len))
+        hlen0 = history_len + 1
+    else:
+        hist0, hlen0 = history, history_len
     carry = (jnp.zeros((), jnp.int32),
              jnp.full((1, buf_w), pad_id, jnp.int32),
              first_token.astype(jnp.int32), second_last.astype(jnp.int32),
              target_cache, draft_cache, recent0,
              jnp.any(first_token[:, None] == eos, axis=-1)[0],
-             key, hist0, history_len + 1,
+             key, hist0, hlen0,
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32))
-    (i_out, buf, _, _, t_cache, _, _, _, _, _, _, iters, n_drafted,
-     n_accepted) = jax.lax.while_loop(cond, body, carry)
+    (i_out, buf, last, second_last_f, t_cache, _, recent_f, finished_f, _,
+     hist_f, hlen_f, iters, n_drafted, n_accepted) = jax.lax.while_loop(
+         cond, body, carry)
 
     eos_hit = jnp.any(buf[:, :, None] == eos[None], axis=-1)
     first_eos = jnp.argmax(eos_hit, axis=-1)
@@ -261,4 +280,7 @@ def speculative_decode_loop(
     lengths = jnp.minimum(lengths, max_new_tokens)
     return SpecResult(tokens=buf, lengths=lengths, last_state=t_cache,
                       iterations=iters, drafted=n_drafted,
-                      accepted=n_accepted)
+                      accepted=n_accepted, emitted=i_out,
+                      finished=finished_f, last=last,
+                      second_last=second_last_f, recent=recent_f,
+                      history=hist_f, history_len=hlen_f)
