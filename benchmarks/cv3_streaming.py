@@ -27,7 +27,7 @@ CHUNK_TOKENS = 25
 def build(full: bool):
     import jax
 
-    from tpu_audio.codecs.s3gen import conformer, flow, hift
+    from tpu_audio.codecs.s3gen import flow, hift
     from tpu_audio.models.cosyvoice3 import dit
     from tpu_audio.models.cosyvoice3 import model as cv3
 
@@ -36,11 +36,8 @@ def build(full: bool):
     else:
         cfg = cv3.CV3FlowConfig(
             input_dim=256,
-            conformer=conformer.ConformerConfig(
-                input_size=256, output_size=256, heads=4, linear_units=1024,
-                num_blocks=3, num_up_blocks=2),
             dit=dit.DiTConfig(dim=256, depth=6, heads=4, head_dim=64,
-                              spk_dim=80),
+                              mu_dim=256, spk_dim=80),
             cfm=flow.CFMConfig(n_timesteps=10),
             hift=hift.HiFTConfig(),
         )

@@ -11,6 +11,8 @@ from tpu_audio.models.whisper.config import WhisperConfig
 from tpu_audio.models.whisper.decoding import SegmentDecoder
 from tpu_audio.models.whisper.tokenizer import BPE, WhisperTokenizer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY = WhisperConfig(n_audio_state=64, n_audio_head=4, n_audio_layer=2,
                      n_text_state=64, n_text_head=4, n_text_layer=2,
                      n_text_ctx=32)

@@ -13,6 +13,8 @@ from tpu_audio.models.chatterbox import voice_encoder as ve
 from tpu_audio.models.chatterbox.engine import ChatterboxEngine, punc_norm
 from tpu_audio.nn import transformer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY_T3 = t3mod.T3Config(
     llama=transformer.TransformerConfig(dim=64, n_layers=2, n_heads=4,
                                         n_kv_heads=4, hidden_dim=128),

@@ -13,6 +13,8 @@ from tpu_audio.models.chatterbox_turbo import model as turbo
 from tpu_audio.models.chatterbox_turbo.engine import ChatterboxTurboEngine
 from tpu_audio.nn import transformer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY_T3 = turbo.T3TurboConfig(
     gpt2=transformer.TransformerConfig(dim=48, n_layers=2, n_heads=4,
                                        n_kv_heads=4, hidden_dim=96,
@@ -132,7 +134,8 @@ class TestMeanflow:
                                        num_mid_blocks=1, num_heads=4)
         params = flow.init_estimator(jax.random.PRNGKey(0), est_cfg)
 
-        def est(x, ml, mu, t, spks, cond, stream):
+        def est(x, ml, mu, t, spks, cond, stream, r=None):
+            # no time_embed_mixer on this tiny init → t-only conditioning
             return flow.estimator_forward(params, est_cfg, x, ml, mu, t,
                                           spks, cond, stream)
 

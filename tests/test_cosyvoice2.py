@@ -11,6 +11,8 @@ from tpu_audio.models.cosyvoice2 import lm as lm_mod
 from tpu_audio.models.cosyvoice2.engine import CosyVoice2Engine
 from tpu_audio.nn import transformer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY_QWEN = transformer.TransformerConfig(
     dim=48, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
     vocab_size=400, attn_qkv_bias=True, tie_word_embeddings=True)

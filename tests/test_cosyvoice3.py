@@ -6,12 +6,14 @@ import numpy as np
 import pytest
 
 from tpu_audio.codecs import s3tokenizer
-from tpu_audio.codecs.s3gen import conformer, flow, hift
+from tpu_audio.codecs.s3gen import flow, hift
 from tpu_audio.models.cosyvoice2 import lm as lm_mod
 from tpu_audio.models.cosyvoice3 import dit
 from tpu_audio.models.cosyvoice3 import model as cv3
 from tpu_audio.models.cosyvoice3.engine import CosyVoice3Engine
 from tpu_audio.nn import transformer
+
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
 
 TINY_QWEN = transformer.TransformerConfig(
     dim=48, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
@@ -20,14 +22,13 @@ TINY_LM = lm_mod.CosyLMConfig(qwen=TINY_QWEN, llm_input_size=48,
                               speech_token_size=60)
 
 TINY_DIT = dit.DiTConfig(mel_dim=16, dim=32, depth=2, heads=4, head_dim=8,
-                         spk_dim=16, conv_pos_groups=4)
+                         mu_dim=16, spk_dim=16, conv_pos_groups=4)
 
 TINY_FLOW = cv3.CV3FlowConfig(
     vocab_size=64, input_dim=32, spk_dim=24, mel_dim=16,
-    conformer=conformer.ConformerConfig(input_size=32, output_size=32,
-                                        heads=4, linear_units=64,
-                                        num_blocks=1, num_up_blocks=1),
-    dit=TINY_DIT, cfm=flow.CFMConfig(n_timesteps=2),
+    dit=dit.DiTConfig(mel_dim=16, dim=32, depth=2, heads=4, head_dim=8,
+                      mu_dim=32, spk_dim=16, conv_pos_groups=4),
+    cfm=flow.CFMConfig(n_timesteps=2),
     hift=hift.HiFTConfig(in_channels=16, base_channels=32,
                          upsample_rates=(4, 3), upsample_kernels=(8, 7),
                          source_resblock_kernels=(7, 11),
@@ -155,8 +156,8 @@ class TestChunkedDiT:
     static_chunk_size (VERDICT r1 #9)."""
 
     CFG = dit.DiTConfig(mel_dim=16, dim=32, depth=2, heads=4, head_dim=8,
-                        spk_dim=16, conv_pos_groups=4, static_chunk_size=4,
-                        num_left_chunks=2)
+                        mu_dim=16, spk_dim=16, conv_pos_groups=4,
+                        static_chunk_size=4, num_left_chunks=2)
 
     def _inputs(self, rng, t):
         x = jnp.asarray(rng.standard_normal((1, t, 16)), jnp.float32)
@@ -256,20 +257,22 @@ class TestChunkedCFM:
         cfg = TINY_FLOW
         params = cv3.init_params(jax.random.PRNGKey(1), cfg)
         t = 8
-        mu = jnp.asarray(rng.standard_normal((1, t, cfg.mel_dim)), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal((1, t, cfg.dit.mu_dim)),
+                         jnp.float32)
         cond = jnp.asarray(rng.standard_normal((1, t, cfg.mel_dim)),
                            jnp.float32)
         emb = jnp.asarray(rng.standard_normal((1, cfg.dit.spk_dim)),
                           jnp.float32)
         key = jax.random.PRNGKey(3)
         z = jax.random.normal(key, (1, t, cfg.mel_dim), jnp.float32)
+        # cfm_solve draws z with the same key/shape (out_dim=mel)
 
         def est(x_, ml, mu_, tt, spks_, cond_, stream):
             return dit.forward(params["decoder_estimator"], cfg.dit, x_, ml,
                                mu_, tt, spks_, cond_, stream)
 
         ref = flow.cfm_solve(est, cfg.cfm, mu, jnp.asarray([t]), emb, cond,
-                             key, streaming=True)
+                             key, streaming=True, out_dim=cfg.mel_dim)
         caches = cv3.make_flow_stream_caches(cfg, 16)
         got, _ = cv3.cfm_solve_chunk(params, cfg, z, mu, emb, cond, caches)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

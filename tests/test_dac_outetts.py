@@ -14,6 +14,8 @@ from tpu_audio.models.outetts.tokens import (AudioFeatures, SpeakerProfile,
                                              WordData)
 from tpu_audio.nn import transformer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY_DAC = dac.DACConfig(encoder_dim=8, encoder_rates=(2, 4, 5, 8),
                          decoder_dim=64, decoder_rates=(8, 5, 4, 2),
                          n_codebooks=2, codebook_size=32, codebook_dim=4,

@@ -10,6 +10,8 @@ from tpu_audio.api.stt_funasr import (FunASREngine, build_prompt_text,
 from tpu_audio.models.funasr import model as fmodel
 from tpu_audio.nn import transformer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY = fmodel.FunASRConfig(
     encoder=fmodel.SenseVoiceConfig(input_dim=560, encoder_dim=32,
                                     num_heads=4, ffn_dim=64,

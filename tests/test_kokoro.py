@@ -12,6 +12,8 @@ from tpu_audio.models.kokoro.config import AlbertConfig, KokoroConfig
 from tpu_audio.models.kokoro.engine import KokoroEngine
 from tpu_audio.nn import layers, lstm
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY = KokoroConfig(
     albert=AlbertConfig(num_hidden_layers=2, num_attention_heads=2,
                         hidden_size=32, intermediate_size=64,

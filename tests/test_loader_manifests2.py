@@ -419,3 +419,81 @@ class TestKokoroManifest:
         flat["predictor.extra_head.weight"] = np.zeros((4, 4), np.float32)
         with pytest.raises(ModelLoadError, match="unexpected"):
             _validate(kload.convert(flat), init_fn, "kokoro-corrupt")
+
+
+# ------------------------------------------------------------- cosyvoice3
+
+class TestCosyVoice3Manifest:
+    """CV3 flow remap lock: checkpoint naming follows upstream CosyVoice /
+    the MLX port (decoder.estimator.transformer_blocks_N.*, ff.ff_0_0,
+    attn.to_out_0, input_embed.conv_pos_embed.*, norm_out.linear —
+    CosyVoice3TTS.swift:291-300) → tpu_audio tree naming."""
+
+    def test_cv3_split_and_convert(self):
+        from tests.test_loader_manifests import _llama_manifest
+
+        from tpu_audio.models.cosyvoice2 import lm as lm_mod
+        from tpu_audio.models.cosyvoice3 import dit as ditmod
+        from tpu_audio.models.cosyvoice3 import load as cload
+        from tpu_audio.models.cosyvoice3 import model as cv3
+        from tpu_audio.codecs.s3gen import hift
+        from tpu_audio.nn import transformer
+
+        qwen = transformer.TransformerConfig(
+            dim=48, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
+            vocab_size=400, attn_qkv_bias=True, tie_word_embeddings=True)
+        lm_cfg = lm_mod.CosyLMConfig(qwen=qwen, llm_input_size=48,
+                                     speech_token_size=60)
+        flat = {}
+        for k, v in _llama_manifest(qwen).items():
+            flat["llm.llm." + k] = v
+        lm_fn = functools.partial(lm_mod.init_params, jax.random.PRNGKey(0),
+                                  lm_cfg)
+        for k, shape in _expected(lm_fn).items():
+            if k.startswith("llm."):
+                continue
+            flat[k] = np.zeros(shape, np.float32)
+
+        flow_cfg = cv3.CV3FlowConfig(
+            vocab_size=64, input_dim=32, spk_dim=24, mel_dim=16,
+            dit=ditmod.DiTConfig(mel_dim=16, dim=32, depth=2, heads=4,
+                                 head_dim=8, mu_dim=32, spk_dim=16,
+                                 conv_pos_groups=4),
+            hift=hift.HiFTConfig(
+                in_channels=16, base_channels=32, upsample_rates=(4, 3),
+                upsample_kernels=(8, 7), source_resblock_kernels=(7, 11),
+                source_resblock_dilations=((1, 3, 5), (1, 3, 5)),
+                resblock_kernels=(3,), resblock_dilations=((1, 3, 5),)))
+        flow_fn = functools.partial(cv3.init_params, jax.random.PRNGKey(1),
+                                    flow_cfg)
+        for k, shape in _expected(flow_fn).items():
+            # inverse remaps (checkpoint layout)
+            src = k
+            if src.startswith("mel2wav."):
+                prefix, src = "hift.", src[len("mel2wav."):]
+            else:
+                prefix = "flow."
+                src = src.replace("decoder_estimator.",
+                                  "decoder.estimator.")
+                src = re.sub(r"blocks\.(\d+)\.", r"transformer_blocks_\1.",
+                             src)
+                src = src.replace(".attn.to_out.", ".attn.to_out_0.")
+                src = src.replace(".ff.fc1.", ".ff.ff_0_0.")
+                src = src.replace(".ff.fc2.", ".ff.ff_2.")
+                src = src.replace(".input_embed.conv1.",
+                                  ".input_embed.conv_pos_embed.conv1.")
+                src = src.replace(".input_embed.conv2.",
+                                  ".input_embed.conv_pos_embed.conv2.")
+                src = src.replace("final_norm.linear.", "norm_out.linear.")
+            if len(shape) == 3:
+                shape = (_convT_to_torch(shape)
+                         if _TRANSPOSED_RE.search(k)
+                         else _conv_to_torch(shape))
+            flat[prefix + src] = np.zeros(shape, np.float32)
+        # runtime-computed keys the loader must DROP
+        flat["flow.decoder.estimator.rotary_embed.inv_freq"] = \
+            np.zeros((4,), np.float32)
+
+        lm_params, flow_params = cload.convert(flat)
+        _validate(lm_params, lm_fn, "cv3-lm")
+        _validate(flow_params, flow_fn, "cv3-flow")

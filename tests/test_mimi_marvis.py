@@ -10,6 +10,8 @@ from tpu_audio.models.marvis import model as mmodel
 from tpu_audio.models.marvis.engine import MarvisEngine
 from tpu_audio.nn import transformer
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY_MIMI = mimi.MimiConfig(dimension=32, n_filters=4, ratios=(4, 3, 2),
                             t_layers=2, t_heads=4, t_ff=64, n_q=4, bins=16,
                             q_dim=8)

@@ -394,3 +394,18 @@ class TestStackedQuantServing:
         cache = transformer.make_cache(TINY, 1, 8, dtype=jnp.float32)
         out, _ = transformer.forward(qt, TINY, tokens, cache)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDepthwiseShifted:
+    def test_matches_grouped_conv1d(self, rng):
+        from tpu_audio.nn import layers
+
+        k, c, t = 11, 32, 40
+        p = {"weight": jnp.asarray(
+            rng.standard_normal((k, 1, c)), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(c), jnp.float32)}
+        x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+        ref = layers.conv1d(p, x, padding=(7, 3), groups=c)
+        got = layers.depthwise_conv1d_shifted(p, x, padding=(7, 3))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)

@@ -12,6 +12,8 @@ from tpu_audio.models.orpheus.engine import OrpheusEngine
 from tpu_audio.nn import transformer
 from tpu_audio.ops.sampling import SamplerConfig
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY_SNAC = snac.SNACConfig(decoder_dim=64, decoder_rates=(4, 4, 2, 2),
                             latent_dim=32, codebook_size=64, codebook_dim=4,
                             vq_strides=(4, 2, 1))

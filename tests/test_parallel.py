@@ -13,6 +13,8 @@ from tpu_audio.nn import transformer as transformer_mod
 from tpu_audio.parallel import make_mesh, param_shardings, whisper_rules
 from tpu_audio.parallel.sp import encode_sequence_parallel
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY = WhisperConfig(n_audio_state=64, n_audio_head=8, n_audio_layer=2,
                      n_text_state=64, n_text_head=8, n_text_layer=2,
                      n_text_ctx=32)

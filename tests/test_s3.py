@@ -8,6 +8,9 @@ import numpy as np
 from tpu_audio.codecs import s3tokenizer
 from tpu_audio.codecs.s3gen import campplus, conformer, flow, hift
 from tpu_audio.codecs.s3gen import model as s3gen
+import pytest
+
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
 
 TINY_TOK = s3tokenizer.S3TokenizerConfig(
     n_mels=16, n_audio_state=64, n_audio_head=4, n_audio_layer=2)

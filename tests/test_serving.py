@@ -12,6 +12,8 @@ from tpu_audio.nn import transformer
 from tpu_audio.nn.transformer import TransformerConfig
 from tpu_audio.ops.sampling import SamplerConfig
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 CFG = TransformerConfig(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
                         hidden_dim=64, vocab_size=48,
                         tie_word_embeddings=True)

@@ -17,6 +17,8 @@ from tpu_audio.ops.sampling import (SamplerConfig, sample, update_recent,
                                     warped_probs)
 from tpu_audio.ops.speculative import propose_ngram, speculative_decode_loop
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 CFG = TransformerConfig(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
                         hidden_dim=64, vocab_size=48,
                         tie_word_embeddings=True)

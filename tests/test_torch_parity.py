@@ -21,6 +21,8 @@ from tpu_audio.nn import layers  # noqa: E402
 from tpu_audio.ops import stft as stft_mod  # noqa: E402
 from tpu_audio.ops import windows  # noqa: E402
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 
 class TestSTFT:
     def test_power_spectrum_matches_torch_stft(self, rng):

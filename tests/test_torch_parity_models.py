@@ -27,6 +27,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 ATOL = 5e-5  # fp32 forward accumulation across a full model
 
 

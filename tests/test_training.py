@@ -12,6 +12,8 @@ import pytest
 from tpu_audio.models.whisper.config import WhisperConfig
 from tpu_audio.training import Batcher, Example, evaluate, train
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 TINY = WhisperConfig(
     n_mels=80, n_audio_ctx=32, n_audio_state=64, n_audio_head=4,
     n_audio_layer=2, n_vocab=128, n_text_ctx=16, n_text_state=64,

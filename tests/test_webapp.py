@@ -11,6 +11,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine e2e / parity / mesh
+
 
 @pytest.fixture(scope="module")
 def server():

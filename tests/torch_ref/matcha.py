@@ -98,7 +98,7 @@ class TransformerBlock(nn.Module):
 class ConditionalDecoder(nn.Module):
     def __init__(self, in_channels=320, out_channels=80, channels=256,
                  n_blocks=4, num_mid_blocks=12, heads=8, head_dim=64,
-                 static_chunk_size=50):
+                 static_chunk_size=50, meanflow=False):
         super().__init__()
         self.in_channels = in_channels
         self.chunk = static_chunk_size
@@ -106,6 +106,9 @@ class ConditionalDecoder(nn.Module):
         time_dim = ch * 4
         self.time_l1 = nn.Linear(in_channels, time_dim)
         self.time_l2 = nn.Linear(time_dim, time_dim)
+        # meanflow-distilled (t, r) conditioning (CBTDecoder.swift:602-625)
+        self.time_embed_mixer = (nn.Linear(time_dim * 2, time_dim,
+                                           bias=False) if meanflow else None)
         self.down_resnet = CausalResnetBlock1D(in_channels, ch, time_dim)
         self.down_tf = nn.ModuleList(
             [TransformerBlock(ch, heads, head_dim) for _ in range(n_blocks)])
@@ -133,18 +136,24 @@ class ConditionalDecoder(nn.Module):
             bias = bias + torch.where(kc <= qc, 0.0, -torch.inf)[None, None]
         return bias
 
-    def forward(self, x, lengths, mu, t, spks=None, cond=None,
-                streaming=False):
-        """x/mu/cond (B, C, T); spks (B, C); t (B,) → (B, out, T)."""
-        b, _, tlen = x.shape
-        mask = (torch.arange(tlen)[None] < lengths[:, None]
-                ).float()[:, None, :]
+    def _temb(self, t):
         half = self.in_channels // 2
         emb = torch.exp(torch.arange(half, dtype=torch.float32)
                         * (-math.log(10000.0) / (half - 1)))
         ang = 1000.0 * t[:, None] * emb[None]
         t_emb = torch.cat([torch.sin(ang), torch.cos(ang)], dim=-1)
-        t_emb = self.time_l2(F.silu(self.time_l1(t_emb)))
+        return self.time_l2(F.silu(self.time_l1(t_emb)))
+
+    def forward(self, x, lengths, mu, t, spks=None, cond=None,
+                streaming=False, r=None):
+        """x/mu/cond (B, C, T); spks (B, C); t (B,) → (B, out, T)."""
+        b, _, tlen = x.shape
+        mask = (torch.arange(tlen)[None] < lengths[:, None]
+                ).float()[:, None, :]
+        t_emb = self._temb(t)
+        if r is not None and self.time_embed_mixer is not None:
+            t_emb = self.time_embed_mixer(
+                torch.cat([t_emb, self._temb(r)], dim=-1))
 
         h = torch.cat([x, mu], dim=1)
         if spks is not None:
@@ -193,4 +202,19 @@ def cfg_euler(est, z, mu, lengths, spks, cond, n_steps, rate,
                 torch.cat([cond, torch.zeros_like(cond)])
                 if cond is not None else None, streaming)
         x = x + dt * ((1 + rate) * v[:b] - rate * v[b:])
+    return x
+
+
+def basic_euler_meanflow(est, z, mu, lengths, spks, cond, n_steps,
+                         streaming=False):
+    """CBT meanflow basicEuler (CBTFlowMatching.swift:77-117): no CFG,
+    LINEAR t grid, estimator conditioned on (t, r=t_next)."""
+    t_span = torch.linspace(0, 1, n_steps + 1)
+    x = z
+    for s in range(n_steps):
+        b = x.shape[0]
+        t = torch.full((b,), float(t_span[s]))
+        r = torch.full((b,), float(t_span[s + 1]))
+        v = est(x, lengths, mu, t, spks, cond, streaming, r)
+        x = x + (t_span[s + 1] - t_span[s]) * v
     return x

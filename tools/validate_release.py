@@ -178,7 +178,109 @@ def validate_default_speaker(card: Scorecard) -> None:
     card.run("outetts", "default_speaker", gate)
 
 
-FAMILIES = ("whisper", "funasr", "tts", "default_speaker")
+def validate_streaming(card: Scorecard, quick: bool) -> None:
+    """Round-4/5 serving surfaces (VERDICT r4 #10): fused encoder probes
+    live on the serving path, token-granularity streamers (including the
+    bounded-flow-window rebase path, which is untestable on random weights
+    — VERDICT r4 weak #5), and speculative decoding composed with token
+    streaming (accept-rate recorded)."""
+    import time as _time
+
+    from tpu_audio.api.tts import StreamingGranularity, TTS
+
+    def fused_encoder_gate():
+        from tpu_audio.api.stt import STT
+        from tpu_audio.models.whisper import model as wm
+
+        eng = STT.whisper("large-v3-turbo", "w8a8")
+        eng.load()
+        live = wm.warm_fused_probes(eng.pipeline.cfg, int8=True)
+        assert live, "fused w8a8 encoder probes not live on this backend"
+        return {"fused_probes": bool(live)}
+
+    card.run("streaming", "whisper-fused-encoder", fused_encoder_gate)
+
+    token_engines = {
+        "cosyvoice2": lambda: TTS.cosyvoice2(),
+        "cosyvoice3": lambda: TTS.cosyvoice3(),
+        "chatterbox_turbo": lambda: TTS.chatterbox_turbo(),
+        "orpheus": lambda: TTS.orpheus(),
+        "marvis": lambda: TTS.marvis(),
+    }
+    if quick:
+        token_engines = {"cosyvoice2": token_engines["cosyvoice2"]}
+    for name, factory in token_engines.items():
+        def gate(factory=factory):
+            eng = factory()
+            eng.load()
+            eng.warmup()
+            t0 = _time.perf_counter()
+            chunks, ttfa = [], None
+            for c in eng.generate_streaming(
+                    ROUND_TRIP_TEXT,
+                    granularity=StreamingGranularity.TOKEN):
+                if ttfa is None and len(c.samples):
+                    ttfa = _time.perf_counter() - t0
+                chunks.append(c.samples)
+            wav = np.concatenate(chunks)
+            overlap = _round_trip(wav, eng.sample_rate)
+            assert overlap >= MIN_TTS_OVERLAP, f"round-trip {overlap:.2f}"
+            return {"round_trip_overlap": overlap,
+                    "ttfa_s": round(ttfa or -1.0, 3),
+                    "chunks": len(chunks)}
+
+        card.run("streaming", f"{name}-token", gate)
+
+    def cv2_spec_gate():
+        eng = TTS.cosyvoice2()
+        eng.speculative = "ngram"
+        eng.load()
+        eng.warmup()
+        chunks = [c.samples for c in eng.generate_streaming(
+            ROUND_TRIP_TEXT, granularity=StreamingGranularity.TOKEN)]
+        overlap = _round_trip(np.concatenate(chunks), eng.sample_rate)
+        st = eng.lm.last_spec_stats
+        assert overlap >= MIN_TTS_OVERLAP, f"round-trip {overlap:.2f}"
+        assert st and st["drafted"] > 0, "speculative stats missing"
+        return {"round_trip_overlap": overlap,
+                "accept_rate": round(st["accept_rate"], 3)}
+
+    card.run("streaming", "cosyvoice2-token-spec", cv2_spec_gate)
+
+    def cv2_rebase_gate():
+        """Force flow-window retirement early and LISTEN to the result:
+        after a rebase the generated mel becomes the prompt scaffold —
+        provable only on real weights."""
+        from tpu_audio.models.cosyvoice2.streaming import CV2Synthesizer
+
+        eng = TTS.cosyvoice2()
+        eng.load()
+        eng.warmup()
+        eng._synth = CV2Synthesizer(eng.s3gen_params, eng.s3gen_cfg,
+                                    max_window_tokens=60,
+                                    rebase_prompt_tokens=25)
+        long_text = ("The quick brown fox jumps over the lazy dog while "
+                     "the patient gray owl watches from a tall oak tree "
+                     "and counts every single careful step aloud.")
+        chunks = [c.samples for c in eng.generate_streaming(
+            long_text, granularity=StreamingGranularity.TOKEN)]
+        wav = np.concatenate(chunks)
+        assert len(wav) > eng.sample_rate, "rebase stream too short"
+        from tpu_audio.api.stt import STT
+        from tpu_audio.ops.resample import resample
+
+        text = STT.whisper("tiny").transcribe(
+            resample(wav, eng.sample_rate, 16000), language="en").text
+        want = _word_set(long_text)
+        overlap = len(_word_set(text) & want) / len(want)
+        assert overlap >= MIN_TTS_OVERLAP, (
+            f"post-rebase round-trip {overlap:.2f} ({text!r})")
+        return {"post_rebase_overlap": overlap}
+
+    card.run("streaming", "cosyvoice2-rebase-listen", cv2_rebase_gate)
+
+
+FAMILIES = ("whisper", "funasr", "tts", "streaming", "default_speaker")
 
 
 def main() -> None:
@@ -188,7 +290,29 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true",
                     help="one variant per family")
     ap.add_argument("--out", default="validation_scorecard.json")
+    ap.add_argument("--list", action="store_true",
+                    help="print the gate matrix without running anything")
     args = ap.parse_args()
+    if args.list:
+        lj_m = [f"whisper/{m}-{q}"
+                for m in ("tiny", "base", "small", "large-v3-turbo")
+                for q in ("fp16", "q8", "q4", "w8a8")]
+        lj_m += ["whisper/tiny.en-fp16", "whisper/base.en-fp16"]
+        fa = [f"funasr/{m}-{q}" for m in ("nano", "mlt_nano")
+              for q in ("q4", "q8", "fp16")]
+        tts = [f"tts/{n}" for n in ("kokoro", "orpheus", "oute", "marvis",
+                                    "marvis-w8a8", "chatterbox",
+                                    "chatterbox_turbo", "cosyvoice2",
+                                    "cosyvoice3")]
+        stream = (["streaming/whisper-fused-encoder"]
+                  + [f"streaming/{n}-token" for n in
+                     ("cosyvoice2", "cosyvoice3", "chatterbox_turbo",
+                      "orpheus", "marvis")]
+                  + ["streaming/cosyvoice2-token-spec",
+                     "streaming/cosyvoice2-rebase-listen"])
+        for g in lj_m + fa + tts + stream + ["outetts/default_speaker"]:
+            print(g)
+        sys.exit(0)
     only = set((args.only or ",".join(FAMILIES)).split(","))
 
     card = Scorecard()
@@ -199,6 +323,8 @@ def main() -> None:
         validate_funasr(card, args.quick, lj)
     if "tts" in only:
         validate_tts(card, args.quick)
+    if "streaming" in only:
+        validate_streaming(card, args.quick)
     if "default_speaker" in only:
         validate_default_speaker(card)
 

@@ -32,6 +32,9 @@ class EstimatorConfig:
     num_heads: int = 8
     static_chunk_size: int = 50
     num_left_chunks: int = 2
+    # meanflow-distilled estimator (Chatterbox Turbo): adds the (t, r)
+    # time_embed_mixer and expects estimator_forward(..., r=...)
+    meanflow: bool = False
 
 
 @dataclass(frozen=True)
@@ -75,7 +78,13 @@ def _resnet_init(ks, dim, dim_out, time_dim, dtype):
     }
 
 
-def init_estimator(key, cfg: EstimatorConfig, dtype=jnp.float32) -> dict:
+def init_estimator(key, cfg: EstimatorConfig, dtype=jnp.float32,
+                   meanflow: bool | None = None) -> dict:
+    """meanflow=True adds the time_embed_mixer Linear (no bias) that fuses
+    the (t, r) embeddings of a meanflow-distilled estimator
+    (CBTDecoder.swift:602-604)."""
+    if meanflow is None:
+        meanflow = cfg.meanflow
     ks = iter(jax.random.split(key, 512))
     ch = cfg.channels
     time_dim = ch * 4
@@ -114,6 +123,9 @@ def init_estimator(key, cfg: EstimatorConfig, dtype=jnp.float32) -> dict:
                                                   head_dim, dtype)
                              for i in range(cfg.n_blocks)},
         }
+    if meanflow:
+        p["time_embed_mixer"] = layers.init_linear(next(ks), time_dim * 2,
+                                                   time_dim, False, dtype)
     return p
 
 
@@ -173,19 +185,33 @@ def _chunk_bias(t: int, lengths, chunk: int, left_chunks: int,
     return bias.astype(jnp.float32)
 
 
-def estimator_forward(params, cfg: EstimatorConfig, x, mask_len, mu, t,
-                      spks=None, cond=None, streaming: bool = False):
-    """x/mu/cond: (B, T, 80); spks (B, 80); t (B,) → velocity (B, T, 80)."""
-    b, tlen, _ = x.shape
-    mask = (jnp.arange(tlen) < mask_len[:, None])[..., None].astype(x.dtype)
+def _time_embed(params, dim: int, t):
     # sinusoidal time embedding at dim in_channels, scale 1000
-    dim = cfg.in_channels
     half = dim // 2
     emb_f = jnp.exp(jnp.arange(half) * (-np.log(10000.0) / (half - 1)))
     ang = 1000.0 * t[:, None] * emb_f[None, :]
     t_emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-    t_emb = layers.linear(params["time_mlp"]["linear_2"], jax.nn.silu(
+    return layers.linear(params["time_mlp"]["linear_2"], jax.nn.silu(
         layers.linear(params["time_mlp"]["linear_1"], t_emb)))
+
+
+def estimator_forward(params, cfg: EstimatorConfig, x, mask_len, mu, t,
+                      spks=None, cond=None, streaming: bool = False,
+                      r=None):
+    """x/mu/cond: (B, T, 80); spks (B, 80); t (B,) → velocity (B, T, 80).
+
+    r: meanflow second timestep (the Euler step's END time). Meanflow-
+    distilled estimators (Chatterbox Turbo) predict the AVERAGE velocity
+    over [t, r] and condition on both: emb = time_embed_mixer(concat
+    [emb(t), emb(r)]) (CBTDecoder.swift:617-625 + the time_embed_mixer
+    Linear at :602-604). Requires params["time_embed_mixer"]."""
+    b, tlen, _ = x.shape
+    mask = (jnp.arange(tlen) < mask_len[:, None])[..., None].astype(x.dtype)
+    t_emb = _time_embed(params, cfg.in_channels, t)
+    if r is not None:
+        r_emb = _time_embed(params, cfg.in_channels, r)
+        t_emb = layers.linear(params["time_embed_mixer"],
+                              jnp.concatenate([t_emb, r_emb], axis=-1))
 
     h = jnp.concatenate([x, mu], axis=-1)
     if spks is not None:
@@ -237,7 +263,8 @@ def make_flow_cache(z, mu, prompt_len: int):
 
 def cfm_solve(estimator_fn, cfm: CFMConfig, mu, mask_len, spks, cond, key,
               streaming: bool = False, n_timesteps: int | None = None,
-              prompt_len: int = 0, flow_cache=None, return_cache: bool = False):
+              prompt_len: int = 0, flow_cache=None, return_cache: bool = False,
+              out_dim: int | None = None):
     """Generic CFG Euler solver: estimator_fn(x, mask_len, mu, t, spks,
     cond, streaming) → velocity. Used by the Matcha U-Net (here) and
     CosyVoice3's DiT estimator.
@@ -245,10 +272,14 @@ def cfm_solve(estimator_fn, cfm: CFMConfig, mu, mask_len, spks, cond, key,
     flow_cache: optional (B, prompt_len+34, D, 2) pinned (z, mu) from the
     previous streaming chunk (ConditionalCFM overlap cache,
     FlowMatching.swift:125-142); return_cache adds the updated cache to the
-    result."""
+    result.
+
+    out_dim: width of the generated sample x (defaults to mu's width —
+    true for the Matcha U-Net; CosyVoice3's DiT conditions an 80-mel x on
+    a 512-dim mu, CosyVoice3CFM.swift:365-368)."""
     n_steps = n_timesteps or cfm.n_timesteps
     b, t, d = mu.shape
-    z = jax.random.normal(key, (b, t, d), mu.dtype)
+    z = jax.random.normal(key, (b, t, out_dim or d), mu.dtype)
     if flow_cache is not None and flow_cache.shape[1] > 0:
         cs = flow_cache.shape[1]
         z = jnp.concatenate([flow_cache[..., 0].astype(z.dtype), z[:, cs:]],

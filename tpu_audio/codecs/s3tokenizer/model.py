@@ -91,8 +91,8 @@ def _fsmn(p, v: jax.Array, pad_mask, kernel: int) -> jax.Array:
     b, t, h, hd = v.shape
     x = v.reshape(b, t, h * hd) * pad_mask
     left = (kernel - 1) // 2
-    y = layers.conv1d(p, x, padding=(left, kernel - 1 - left),
-                      groups=h * hd)
+    y = layers.depthwise_conv1d_shifted(p, x,
+                                        padding=(left, kernel - 1 - left))
     return (y + x) * pad_mask
 
 

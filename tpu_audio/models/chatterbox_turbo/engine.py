@@ -106,10 +106,14 @@ class ChatterboxTurboEngine(ChatterboxEngine):
                                                  (0, 0, 0))
                 c = jnp.where((jnp.arange(t2) < pml)[None, :, None], c, 0)
 
-                def est(x_, ml, mu_, t, spks_, cond_, stream):
+                def est(x_, ml, mu_, t, spks_, cond_, stream, r=None):
+                    # meanflow (t, r) conditioning when the checkpoint
+                    # carries the mixer (CBTDecoder.swift:617-625)
+                    if "time_embed_mixer" not in fp["decoder_estimator"]:
+                        r = None
                     return s3flow.estimator_forward(
                         fp["decoder_estimator"], cfg.estimator, x_, ml, mu_,
-                        t, spks_, cond_, stream)
+                        t, spks_, cond_, stream, r=r)
 
                 k1, k2 = jax.random.split(key)
                 mel = turbo.meanflow_inference(est, mu, h_len, spks, c, k1,

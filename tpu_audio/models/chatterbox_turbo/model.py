@@ -322,10 +322,15 @@ class T3TurboStreamer:
 
 def meanflow_inference(estimator_fn, mu, mask_len, spks, cond, key,
                        n_timesteps: int = 2, streaming: bool = False):
-    """CBT meanflow: few-step Euler WITHOUT CFG
-    (CBTFlowMatching.swift:51-74). streaming=True applies the estimator's
-    chunk-causal masks (the same discipline as flow.cfm_inference) for the
-    windowed token-streaming path."""
+    """CBT meanflow: few-step Euler WITHOUT CFG on a LINEAR t grid (no
+    cosine warp), conditioning each step on both its start time t and end
+    time r — the meanflow-distilled estimator predicts the AVERAGE
+    velocity over [t, r] through its time_embed_mixer
+    (CBTFlowMatching.swift:77-117, CBTDecoder.swift:617-625).
+    estimator_fn(x, mask_len, mu, t, spks, cond, streaming, r).
+    streaming=True applies the estimator's chunk-causal masks (the same
+    discipline as flow.cfm_inference) for the windowed token-streaming
+    path."""
     b, t, d = mu.shape
     z = jax.random.normal(key, (b, t, d), mu.dtype)
     t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
@@ -333,7 +338,8 @@ def meanflow_inference(estimator_fn, mu, mask_len, spks, cond, key,
     def step(i, x):
         dt = t_span[i + 1] - t_span[i]
         tt = jnp.full((b,), t_span[i], mu.dtype)
-        v = estimator_fn(x, mask_len, mu, tt, spks, cond, streaming)
+        rr = jnp.full((b,), t_span[i + 1], mu.dtype)
+        v = estimator_fn(x, mask_len, mu, tt, spks, cond, streaming, rr)
         return x + dt * v
 
     return jax.lax.fori_loop(0, n_timesteps, step, z)

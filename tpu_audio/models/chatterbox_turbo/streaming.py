@@ -56,10 +56,14 @@ class TurboSynthesizer(CV2Synthesizer):
                 cond = jnp.where((jnp.arange(t2) < pml[0])[None, :, None],
                                  cond, 0)
 
-                def est(x_, ml, mu_, t, spks_, cond_, stream):
+                def est(x_, ml, mu_, t, spks_, cond_, stream, r=None):
+                    # meanflow (t, r) conditioning when the checkpoint
+                    # carries the mixer (CBTDecoder.swift:617-625)
+                    if "time_embed_mixer" not in fp["decoder_estimator"]:
+                        r = None
                     return s3flow.estimator_forward(
                         fp["decoder_estimator"], cfg.estimator, x_, ml, mu_,
-                        t, spks_, cond_, stream)
+                        t, spks_, cond_, stream, r=r)
 
                 return meanflow_inference(est, mu, h_len, spks, cond, key,
                                           n_timesteps=steps,

@@ -1,11 +1,17 @@
 """CosyVoice3 DiT flow estimator.
 
 Reference: package/TTS/CosyVoice3/Flow/DiT.swift:13-782 — sinusoidal
-timestep embedding → MLP; InputEmbedding = proj(concat[x, mu, spk, cond])
-+ causal conv position embedding (k31, groups 16, ×2 with gelu); DiT
-blocks with AdaLayerNormZero 6-way modulation (shift/scale/gate for attn
-and mlp), rotary attention, gelu-tanh feedforward; AdaLayerNormZeroFinal +
-output projection. Streaming uses chunked causal attention masks.
+timestep embedding (scale 1000, log-spaced over half_dim-1) → MLP;
+InputEmbedding = proj(concat[x, cond, mu, spk]) + causal conv position
+embedding (k31, groups 16, ×2 with mish); DiT blocks with AdaLayerNormZero
+6-way modulation (shift/scale/gate for attn and mlp), x_transformers-style
+rotary attention (applied to the FLAT pre-head projection, so only the
+first head_dim channels rotate — DiT.swift:446-453), gelu-tanh
+feedforward; AdaLayerNormZeroFinal + output projection (all LayerNorms
+eps 1e-6, no affine). Streaming uses chunked causal attention masks with
+unlimited left context (numDecodingLeftChunks = -1,
+Config/CosyVoice3Config.swift:35); num_left_chunks >= 0 bounds the left
+window for the O(1) frozen-KV streaming cache (a beyond-reference option).
 """
 
 from __future__ import annotations
@@ -16,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.nn import attention, layers, rope
+from tpu_audio.nn import attention, layers
 
 
 @dataclass(frozen=True)
@@ -26,17 +32,18 @@ class DiTConfig:
     depth: int = 22
     heads: int = 16
     head_dim: int = 64
-    ff_mult: int = 4
+    ff_mult: int = 2
+    mu_dim: int = 512
     spk_dim: int = 80
     conv_pos_kernel: int = 31
     conv_pos_groups: int = 16
     static_chunk_size: int = 50
-    num_left_chunks: int = 2
+    num_left_chunks: int = -1  # -1 = unbounded (reference parity)
 
     @property
     def in_concat(self) -> int:
-        # x + mu + spk + cond
-        return self.mel_dim * 3 + self.spk_dim
+        # x + cond + mu + spk (DiT.swift InputEmbedding concat order)
+        return self.mel_dim * 2 + self.mu_dim + self.spk_dim
 
 
 def init_params(key, cfg: DiTConfig, dtype=jnp.float32) -> dict:
@@ -75,14 +82,19 @@ def init_params(key, cfg: DiTConfig, dtype=jnp.float32) -> dict:
                                              True, dtype),
                    "fc2": layers.init_linear(next(ks), d * cfg.ff_mult, d,
                                              True, dtype)},
-            "ff_norm": layers.init_norm(d, bias=False, dtype=dtype),
         }
     return p
 
 
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
 def _time_embed(p, t: jax.Array, dim_freq: int = 256) -> jax.Array:
+    # SinusPositionEmbedding (DiT.swift:26-31): scale 1000, frequencies
+    # log-spaced with denominator half_dim - 1 (torch.arange convention)
     half = dim_freq // 2
-    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / (half - 1))
     ang = 1000.0 * t[:, None] * freqs[None, :]
     emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
     h = jax.nn.silu(layers.linear(p["time_mlp_0"], emb))
@@ -90,13 +102,36 @@ def _time_embed(p, t: jax.Array, dim_freq: int = 256) -> jax.Array:
 
 
 def _conv_pos(p, x, cfg: DiTConfig):
+    # CausalConvPositionEmbedding (DiT.swift:66-107): mish after each conv
     k = cfg.conv_pos_kernel
     h = layers.conv1d(p["conv1"], x, padding=(k - 1, 0),
                       groups=cfg.conv_pos_groups)
-    h = jax.nn.gelu(h, approximate=True)
+    h = _mish(h)
     h = layers.conv1d(p["conv2"], h, padding=(k - 1, 0),
                       groups=cfg.conv_pos_groups)
-    return jax.nn.gelu(h, approximate=True)
+    return _mish(h)
+
+
+def _rope_inv_freq(head_dim: int) -> jax.Array:
+    return 1.0 / (10000.0 ** (jnp.arange(0, head_dim, 2) / head_dim))
+
+
+def _rope_flat(x: jax.Array, pos: jax.Array, head_dim: int) -> jax.Array:
+    """x_transformers rotary on the FLAT projection (B, T, inner): only the
+    first head_dim channels rotate (after the head reshape that is head 0),
+    GPT-J pairwise with interleaved frequencies (DiT.swift:286-340,
+    applyRotaryPosEmb called before the head reshape at 446-453)."""
+    inv = _rope_inv_freq(head_dim)
+    ang = pos[:, None].astype(jnp.float32) * inv[None, :]  # (T, hd/2)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    rot = x[..., :head_dim].astype(jnp.float32)
+    a = rot[..., 0::2]
+    b = rot[..., 1::2]
+    even = a * cos - b * sin
+    odd = b * cos + a * sin
+    rotated = jnp.stack([even, odd], axis=-1).reshape(rot.shape)
+    return jnp.concatenate([rotated.astype(x.dtype), x[..., head_dim:]],
+                           axis=-1)
 
 
 # ------------------------------------------------------------- streaming
@@ -138,8 +173,8 @@ def make_stream_cache(cfg: DiTConfig, batch: int, s_max: int,
 def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
                   cache: DiTStreamCache, valid_new=None
                   ) -> tuple[jax.Array, DiTStreamCache]:
-    """Velocity for the NEW frames only: x/mu/cond (B, Tn, mel) are the
-    chunk being emitted; attention reads the frozen per-timestep KV cache
+    """Velocity for the NEW frames only: x/cond (B, Tn, mel) and
+    mu (B, Tn, mu_dim) are the chunk being emitted; attention reads the frozen per-timestep KV cache
     (chunk-causal against absolute positions). valid_new (scalar) marks
     how many of the Tn frames are real (ragged final chunk: pad slots are
     masked out and overwritten by any later chunk). Returns (v (B, Tn,
@@ -153,15 +188,15 @@ def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
 
     spk_b = jnp.broadcast_to(spks[:, None, :], (b, tn, spks.shape[-1]))
     h = layers.linear(params["input_embed"]["proj"],
-                      jnp.concatenate([x, mu, spk_b, cond], axis=-1))
+                      jnp.concatenate([x, cond, mu, spk_b], axis=-1))
     # causal grouped convs with carried tails (valid conv over tail+chunk)
     kk = cfg.conv_pos_kernel
     h1_in = jnp.concatenate([cache.conv1_tail.astype(h.dtype), h], axis=1)
-    c1 = jax.nn.gelu(layers.conv1d(params["input_embed"]["conv1"], h1_in,
-                                   groups=cfg.conv_pos_groups), approximate=True)
+    c1 = _mish(layers.conv1d(params["input_embed"]["conv1"], h1_in,
+                             groups=cfg.conv_pos_groups))
     h2_in = jnp.concatenate([cache.conv2_tail.astype(h.dtype), c1], axis=1)
-    c2 = jax.nn.gelu(layers.conv1d(params["input_embed"]["conv2"], h2_in,
-                                   groups=cfg.conv_pos_groups), approximate=True)
+    c2 = _mish(layers.conv1d(params["input_embed"]["conv2"], h2_in,
+                             groups=cfg.conv_pos_groups))
     conv1_tail = h1_in[:, -(kk - 1):]
     conv2_tail = h2_in[:, -(kk - 1):]
     h = h + c2
@@ -172,27 +207,25 @@ def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
     kpos = cache.base + jnp.arange(s_max)
     qc = qpos[:, None] // cfg.static_chunk_size
     kc = kpos[None, :] // cfg.static_chunk_size
-    ok = ((kc <= qc) & (kc >= qc - cfg.num_left_chunks)
-          & (jnp.arange(s_max)[None, :] < pos + valid_new))
+    ok = (kc <= qc) & (jnp.arange(s_max)[None, :] < pos + valid_new)
+    if cfg.num_left_chunks >= 0:
+        ok &= kc >= qc - cfg.num_left_chunks
     bias = jnp.where(ok, 0.0, attention.NEG_INF)[None, None].astype(
         jnp.float32)
 
-    inv = rope.base_inv_freq(cfg.head_dim, 10000.0)
     kbuf, vbuf = cache.k, cache.v
     for i in range(cfg.depth):
         bp = params["blocks"][str(i)]
         mod = layers.linear(bp["attn_norm"]["linear"], jax.nn.silu(t_emb))
         sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = jnp.split(mod, 6, -1)
-        hn = layers.layer_norm(None, h)
+        hn = layers.layer_norm(None, h, eps=1e-6)
         hn = hn * (1 + sc_msa[:, None]) + sh_msa[:, None]
-        q = layers.linear(bp["attn"]["to_q"], hn).reshape(
-            b, tn, cfg.heads, cfg.head_dim)
-        k = layers.linear(bp["attn"]["to_k"], hn).reshape(
-            b, tn, cfg.heads, cfg.head_dim)
+        q = _rope_flat(layers.linear(bp["attn"]["to_q"], hn), qpos,
+                       cfg.head_dim).reshape(b, tn, cfg.heads, cfg.head_dim)
+        k = _rope_flat(layers.linear(bp["attn"]["to_k"], hn), qpos,
+                       cfg.head_dim).reshape(b, tn, cfg.heads, cfg.head_dim)
         v = layers.linear(bp["attn"]["to_v"], hn).reshape(
             b, tn, cfg.heads, cfg.head_dim)
-        q = rope.apply_rope(q, qpos, inv)
-        k = rope.apply_rope(k, qpos, inv)
         kbuf = jax.lax.dynamic_update_slice(
             kbuf, k[None].astype(kbuf.dtype), (i, 0, pos, 0, 0))
         vbuf = jax.lax.dynamic_update_slice(
@@ -201,7 +234,7 @@ def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
                              vbuf[i].astype(q.dtype), bias)
         h = h + g_msa[:, None] * layers.linear(
             bp["attn"]["to_out"], o.reshape(b, tn, -1))
-        hn = layers.layer_norm(bp["ff_norm"], h)
+        hn = layers.layer_norm(None, h, eps=1e-6)
         hn = hn * (1 + sc_mlp[:, None]) + sh_mlp[:, None]
         ff = layers.linear(bp["ff"]["fc2"], jax.nn.gelu(
             layers.linear(bp["ff"]["fc1"], hn), approximate=True))
@@ -209,7 +242,8 @@ def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
 
     mod = layers.linear(params["final_norm"]["linear"], jax.nn.silu(t_emb))
     scale, shift = jnp.split(mod, 2, -1)
-    h = layers.layer_norm(None, h) * (1 + scale[:, None]) + shift[:, None]
+    h = layers.layer_norm(None, h, eps=1e-6) * (1 + scale[:, None]) \
+        + shift[:, None]
     out = layers.linear(params["proj_out"], h)
     return out, DiTStreamCache(k=kbuf, v=vbuf, conv1_tail=conv1_tail,
                                conv2_tail=conv2_tail, pos=pos + valid_new,
@@ -218,13 +252,14 @@ def forward_chunk(params, cfg: DiTConfig, x, mu, t, spks, cond,
 
 def forward(params, cfg: DiTConfig, x, mask_len, mu, t, spks, cond,
             streaming: bool = False) -> jax.Array:
-    """Velocity estimator: x/mu/cond (B, T, mel), spks (B, spk), t (B,)."""
+    """Velocity estimator: x/cond (B, T, mel), mu (B, T, mu_dim),
+    spks (B, spk), t (B,)."""
     b, tlen, _ = x.shape
     t_emb = _time_embed(params["time_embed"], t)
 
     spk_b = jnp.broadcast_to(spks[:, None, :], (b, tlen, spks.shape[-1]))
     h = layers.linear(params["input_embed"]["proj"],
-                      jnp.concatenate([x, mu, spk_b, cond], axis=-1))
+                      jnp.concatenate([x, cond, mu, spk_b], axis=-1))
     h = h + _conv_pos(params["input_embed"], h, cfg)
 
     # attention bias: padding + optional streaming chunk causality
@@ -234,31 +269,30 @@ def forward(params, cfg: DiTConfig, x, mask_len, mu, t, spks, cond,
     if streaming:
         qc = jnp.arange(tlen)[:, None] // cfg.static_chunk_size
         kc = jnp.arange(tlen)[None, :] // cfg.static_chunk_size
-        ok = (kc <= qc) & (kc >= qc - cfg.num_left_chunks)
+        ok = kc <= qc
+        if cfg.num_left_chunks >= 0:
+            ok &= kc >= qc - cfg.num_left_chunks
         bias = bias + jnp.where(ok, 0.0, attention.NEG_INF)[None, None]
     bias = bias.astype(jnp.float32)
 
     pos = jnp.arange(tlen)
-    inv = rope.base_inv_freq(cfg.head_dim, 10000.0)
 
     for i in range(cfg.depth):
         bp = params["blocks"][str(i)]
         mod = layers.linear(bp["attn_norm"]["linear"], jax.nn.silu(t_emb))
         sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = jnp.split(mod, 6, -1)
-        hn = layers.layer_norm(None, h)
+        hn = layers.layer_norm(None, h, eps=1e-6)
         hn = hn * (1 + sc_msa[:, None]) + sh_msa[:, None]
-        q = layers.linear(bp["attn"]["to_q"], hn).reshape(
-            b, tlen, cfg.heads, cfg.head_dim)
-        k = layers.linear(bp["attn"]["to_k"], hn).reshape(
-            b, tlen, cfg.heads, cfg.head_dim)
+        q = _rope_flat(layers.linear(bp["attn"]["to_q"], hn), pos,
+                       cfg.head_dim).reshape(b, tlen, cfg.heads, cfg.head_dim)
+        k = _rope_flat(layers.linear(bp["attn"]["to_k"], hn), pos,
+                       cfg.head_dim).reshape(b, tlen, cfg.heads, cfg.head_dim)
         v = layers.linear(bp["attn"]["to_v"], hn).reshape(
             b, tlen, cfg.heads, cfg.head_dim)
-        q = rope.apply_rope(q, pos, inv)
-        k = rope.apply_rope(k, pos, inv)
         o = attention.attend(q, k, v, bias)
         h = h + g_msa[:, None] * layers.linear(
             bp["attn"]["to_out"], o.reshape(b, tlen, -1))
-        hn = layers.layer_norm(bp["ff_norm"], h)
+        hn = layers.layer_norm(None, h, eps=1e-6)
         hn = hn * (1 + sc_mlp[:, None]) + sh_mlp[:, None]
         ff = layers.linear(bp["ff"]["fc2"], jax.nn.gelu(
             layers.linear(bp["ff"]["fc1"], hn), approximate=True))
@@ -266,7 +300,8 @@ def forward(params, cfg: DiTConfig, x, mask_len, mu, t, spks, cond,
 
     mod = layers.linear(params["final_norm"]["linear"], jax.nn.silu(t_emb))
     scale, shift = jnp.split(mod, 2, -1)
-    h = layers.layer_norm(None, h) * (1 + scale[:, None]) + shift[:, None]
+    h = layers.layer_norm(None, h, eps=1e-6) * (1 + scale[:, None]) \
+        + shift[:, None]
     out = layers.linear(params["proj_out"], h)
     mask = (jnp.arange(tlen) < mask_len[:, None])[..., None]
     return jnp.where(mask, out, 0.0)

@@ -17,6 +17,29 @@ REPO = "mlx-community/Fun-CosyVoice3-0.5B-2512-4bit"
 S3TOK_V3_REPO = "mlx-community/S3TokenizerV3"
 
 
+def _remap_flow_key(k: str) -> str | None:
+    """Checkpoint flow.* naming (the MLX port mirrors upstream CosyVoice:
+    decoder.estimator.transformer_blocks_N..., CosyVoice3TTS.swift:291-300)
+    → tpu_audio tree naming. None = computed at runtime, drop."""
+    if "rotary_embed" in k:
+        return None
+    k = re.sub(r"^decoder\.estimator\.", "decoder_estimator.", k)
+    k = re.sub(r"transformer_blocks[._](\d+)\.", r"blocks.\1.", k)
+    k = k.replace(".attn.to_out_0.", ".attn.to_out.")
+    k = k.replace(".attn.to_out.0.", ".attn.to_out.")
+    k = k.replace(".ff.ff_0_0.", ".ff.fc1.")
+    k = k.replace(".ff.ff.0.0.", ".ff.fc1.")
+    k = k.replace(".ff.ff_2.", ".ff.fc2.")
+    k = k.replace(".ff.ff.2.", ".ff.fc2.")
+    k = k.replace(".input_embed.conv_pos_embed.", ".input_embed.")
+    k = k.replace(".norm_out.linear.", ".final_norm.linear.")
+    # affine-free LayerNorms (attn_norm.norm / ff_norm / norm_out.norm)
+    # carry no weights; anything that still slipped through is dropped
+    if re.search(r"\.(ff_norm|attn_norm\.norm|final_norm\.norm)\.", k):
+        return None
+    return k
+
+
 def convert(flat: dict) -> tuple[dict, dict]:
     """Pure checkpoint layout → (lm_params, flow_params) trees (no IO)."""
     lm_flat, flow_flat = {}, {}
@@ -24,7 +47,9 @@ def convert(flat: dict) -> tuple[dict, dict]:
         if k.startswith(("llm.", "llm_", "speech_embedding.")):
             lm_flat[re.sub(r"^llm\.llm\.", "llm.", k)] = v
         elif k.startswith("flow."):
-            flow_flat[k[len("flow."):]] = v
+            nk = _remap_flow_key(k[len("flow."):])
+            if nk is not None:
+                flow_flat[nk] = v
         elif k.startswith("hift."):
             flow_flat["mel2wav." + k[len("hift."):]] = v
 

@@ -4,21 +4,23 @@ Reference: package/TTS/CosyVoice3/CosyVoice3Model.swift:10-669 — chunk 25
 tokens + 3-token pre-lookahead, silent-token filter (FSQ ids {1,2,28,29,
 55,248,494,2241,2242,2322,2323}, runs > 5 dropped), mel cache concat
 across chunks, incremental vocoder with source cache and sample offsets;
-finalize pass without lookahead at stream end. Flow = conformer-upsampled
-token features through the DiT estimator with CFG; vocoder = causal HiFT.
+finalize pass without lookahead at stream end. Flow (CausalMaskedDiffWithDiT,
+Flow/CosyVoice3CFM.swift:260-392) = token embedding → PreLookaheadLayer
+(k=4 lookahead conv + causal k=3 conv, residual) → ×token_mel_ratio repeat
+→ 512-dim mu through the DiT estimator with CFG; vocoder = causal HiFT.
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_audio.codecs.s3gen import conformer, flow, hift
+from tpu_audio.codecs.s3gen import flow, hift
 from tpu_audio.models.cosyvoice3 import dit
 from tpu_audio.nn import layers
 
@@ -35,8 +37,7 @@ class CV3FlowConfig:
     spk_dim: int = 192
     mel_dim: int = 80
     token_mel_ratio: int = 2
-    conformer: conformer.ConformerConfig = field(
-        default_factory=conformer.ConformerConfig)
+    pre_lookahead_len: int = PRE_LOOKAHEAD
     dit: dit.DiTConfig = field(default_factory=dit.DiTConfig)
     cfm: flow.CFMConfig = field(default_factory=flow.CFMConfig)
     hift: hift.HiFTConfig = field(default_factory=hift.HiFTConfig)
@@ -50,12 +51,33 @@ def init_params(key, cfg: CV3FlowConfig, dtype=jnp.float32) -> dict:
         "spk_embed_affine_layer": layers.init_linear(ks[1], cfg.spk_dim,
                                                      cfg.dit.spk_dim, True,
                                                      dtype),
-        "encoder": conformer.init_params(ks[2], cfg.conformer, dtype),
-        "encoder_proj": layers.init_linear(ks[3], cfg.conformer.output_size,
-                                           cfg.mel_dim, True, dtype),
+        # PreLookaheadLayer (CosyVoice3CFM.swift:28-93): conv1 input→dit.dim
+        # with kernel pre_lookahead_len+1 (right/lookahead context), conv2
+        # dit.dim→input causal k=3, residual
+        "pre_lookahead_layer": {
+            "conv1": layers.init_conv1d(ks[2], cfg.input_dim, cfg.dit.dim,
+                                        cfg.pre_lookahead_len + 1,
+                                        dtype=dtype),
+            "conv2": layers.init_conv1d(ks[3], cfg.dit.dim, cfg.input_dim, 3,
+                                        dtype=dtype),
+        },
         "decoder_estimator": dit.init_params(ks[4], cfg.dit, dtype),
         "mel2wav": hift.init_params(ks[5], cfg.hift, dtype),
     }
+
+
+def pre_lookahead(p, x: jax.Array, pre_len: int) -> jax.Array:
+    """PreLookaheadLayer (CosyVoice3CFM.swift:62-93): each position reads
+    pre_len future embeddings through conv1 (k = pre_len+1, leaky-relu),
+    then a causal k=3 conv, residual. x (B, T, C) must be zero beyond the
+    real length; positions < n_real - pre_len then match the reference's
+    streaming (context) mode exactly, and positions < n_real match its
+    finalize (zero-right-pad) mode — the two differ only in how much of
+    the output is considered valid."""
+    xp = jnp.pad(x, ((0, 0), (0, pre_len), (0, 0)))
+    h = jax.nn.leaky_relu(layers.conv1d(p["conv1"], xp), 0.01)
+    h = layers.conv1d(p["conv2"], h, padding=(2, 0))
+    return h + x
 
 
 def filter_silent_tokens(tokens: list[int],
@@ -77,15 +99,24 @@ def filter_silent_tokens(tokens: list[int],
 
 def flow_chunk(params, cfg: CV3FlowConfig, tokens, token_len, prompt_mel,
                prompt_mel_len, embedding, key, streaming: bool):
-    """tokens (1, T) (prompt+generated window) → mel (1, 2T, mel_dim)."""
+    """tokens (1, T) (prompt+generated window) → mel (1, 2T, mel_dim).
+
+    streaming=True mirrors the reference finalize=false path: the last
+    pre_lookahead_len real tokens are lookahead context only, so the valid
+    mel length is (token_len - pre_lookahead_len) * ratio
+    (CosyVoice3CFM.swift:344-356)."""
     emb = embedding / jnp.maximum(
         jnp.linalg.norm(embedding, axis=-1, keepdims=True), 1e-8)
     spks = layers.linear(params["spk_embed_affine_layer"], emb)
     x = layers.embedding(params["input_embedding"],
                          jnp.clip(tokens, 0, cfg.vocab_size - 1))
-    h, h_len = conformer.forward(params["encoder"], cfg.conformer, x,
-                                 token_len, streaming=streaming)
-    mu = layers.linear(params["encoder_proj"], h)
+    t_tok = x.shape[1]
+    x = jnp.where((jnp.arange(t_tok) < token_len[:, None])[..., None], x, 0)
+    h = pre_lookahead(params["pre_lookahead_layer"], x,
+                      cfg.pre_lookahead_len)
+    h_len = token_len - (0 if not streaming else cfg.pre_lookahead_len)
+    mu = jnp.repeat(h, cfg.token_mel_ratio, axis=1)
+    m_len = h_len * cfg.token_mel_ratio
     t2 = mu.shape[1]
     cond = jnp.zeros((1, t2, cfg.mel_dim), mu.dtype)
     pm = prompt_mel[:, : min(prompt_mel.shape[1], t2)]
@@ -97,8 +128,8 @@ def flow_chunk(params, cfg: CV3FlowConfig, tokens, token_len, prompt_mel,
         return dit.forward(params["decoder_estimator"], cfg.dit, x_, ml, mu_,
                            t, spks_, cond_, stream)
 
-    return flow.cfm_solve(est, cfg.cfm, mu, h_len, spks, cond, key,
-                          streaming=streaming)
+    return flow.cfm_solve(est, cfg.cfm, mu, m_len, spks, cond, key,
+                          streaming=streaming, out_dim=cfg.mel_dim)
 
 
 def make_flow_stream_caches(cfg: CV3FlowConfig, s_max: int,
@@ -174,10 +205,13 @@ class CV3Synthesizer:
     o1_flow=True (default) runs the DiT flow with frozen per-timestep KV
     caches: per-chunk cost is O(chunk), constant for the whole stream
     (the reference — and o1_flow=False — re-runs the growing window every
-    chunk, so chunk latency drifts upward on long streams). The conformer
-    still sees the full token window (it is ~1% of flow cost). The cache
-    ring holds stream_cache_frames slots; the chunk-causal mask only ever
-    reads (num_left_chunks+1) static chunks back, so the ring slides."""
+    chunk, so chunk latency drifts upward on long streams). The mu
+    pipeline (embedding + pre-lookahead convs) still sees the full token
+    window (it is ~1% of flow cost). The cache ring holds
+    stream_cache_frames slots; the O(1) path runs the DiT with a BOUNDED
+    left window (num_left_chunks ≥ 0 — a beyond-reference approximation;
+    the reference's streaming mask is unbounded-left), so the ring
+    slides."""
 
     def __init__(self, params, cfg: CV3FlowConfig, o1_flow="auto",
                  stream_cache_frames: int = 512,
@@ -195,6 +229,15 @@ class CV3Synthesizer:
         self.o1_flow = o1_flow
         self.stream_cache_frames = stream_cache_frames
         self.o1_switch_frames = o1_switch_frames
+        # the reference streaming mask has unbounded left context
+        # (num_left_chunks = -1); the O(1) frozen-KV path needs a bounded
+        # window for its ring — a documented beyond-reference approximation
+        # (2 left chunks = 100 mel frames of live context)
+        if cfg.dit.num_left_chunks < 0:
+            self._o1_cfg = replace(cfg, dit=replace(cfg.dit,
+                                                    num_left_chunks=2))
+        else:
+            self._o1_cfg = cfg
         self._flow_fns = {}
         self._voc_fns = {}
         self._mu_fns = {}
@@ -213,16 +256,15 @@ class CV3Synthesizer:
     # ------------------------------------------------- O(1) flow pieces
 
     def _mu_fn(self, t_pad: int, chunk_pad: int):
-        """Conformer token encoder + spk affine, returning ONLY the
-        (1, chunk_pad, mel) window of mu at dynamic offset `lo`.
+        """Token embedding → pre-lookahead layer → ×ratio repeat + spk
+        affine, returning ONLY the (1, chunk_pad, mu_dim) window of mu at
+        dynamic offset `lo`.
 
-        The conformer itself runs over the full token window (its
-        chunk-causal mask has unbounded left context), but the dispatch
-        OUTPUT is O(chunk): returning the full accumulated mu paid an
-        O(stream-length) per-chunk device→host transfer — measured as the
-        only positive per-stage drift term (+0.5 ms/chunk at 40 chunks,
-        cv3_streaming.py --stages). The mel projection also runs on the
-        sliced window only."""
+        The pre-lookahead convs run over the full token window (cheap —
+        two convs), but the dispatch OUTPUT is O(chunk): returning the
+        full accumulated mu paid an O(stream-length) per-chunk device→host
+        transfer — measured as the only positive per-stage drift term
+        (+0.5 ms/chunk at 40 chunks, cv3_streaming.py --stages)."""
         key_ = ("mu", t_pad, chunk_pad)
         if key_ not in self._mu_fns:
             cfg = self.cfg
@@ -234,14 +276,16 @@ class CV3Synthesizer:
                 spks = layers.linear(params["spk_embed_affine_layer"], e)
                 x = layers.embedding(params["input_embedding"],
                                      jnp.clip(tokens, 0, cfg.vocab_size - 1))
-                h, _ = conformer.forward(params["encoder"], cfg.conformer, x,
-                                         tl, streaming=True)
-                hp = jnp.pad(h, ((0, 0), (0, chunk_pad), (0, 0)))
+                x = jnp.where((jnp.arange(t_pad) < tl[:, None])[..., None],
+                              x, 0)
+                h = pre_lookahead(params["pre_lookahead_layer"], x,
+                                  cfg.pre_lookahead_len)
+                hu = jnp.repeat(h, cfg.token_mel_ratio, axis=1)
+                hp = jnp.pad(hu, ((0, 0), (0, chunk_pad), (0, 0)))
                 sl = jax.lax.dynamic_slice(
-                    hp, (0, lo, 0), (1, chunk_pad, h.shape[-1]))
-                mu = layers.linear(params["encoder_proj"], sl)
+                    hp, (0, lo, 0), (1, chunk_pad, hu.shape[-1]))
                 idx = jnp.arange(chunk_pad)
-                return jnp.where((idx < n_valid)[None, :, None], mu, 0.0), \
+                return jnp.where((idx < n_valid)[None, :, None], sl, 0.0), \
                     spks
 
             self._mu_fns[key_] = fn
@@ -249,7 +293,7 @@ class CV3Synthesizer:
 
     def _chunk_fn(self, chunk_pad: int):
         if chunk_pad not in self._chunk_fns:
-            cfg = self.cfg
+            cfg = self._o1_cfg
 
             @jax.jit
             def fn(params, z, mu_new, spks, cond_new, caches, valid):
@@ -330,7 +374,7 @@ class CV3Synthesizer:
         pm_np = np.asarray(pm[0], np.float32)
         noise_key = jax.random.PRNGKey(seed + 7)
         static = cfg.dit.static_chunk_size
-        horizon = (cfg.dit.num_left_chunks + 1) * static
+        horizon = (self._o1_cfg.dit.num_left_chunks + 1) * static
         o1_active = False
 
         while True:
@@ -393,7 +437,7 @@ class CV3Synthesizer:
                         s_max = max(self.stream_cache_frames,
                                     -(-(chunk_pad + static) // static)
                                     * static)
-                        caches = make_flow_stream_caches(self.cfg, s_max)
+                        caches = make_flow_stream_caches(self._o1_cfg, s_max)
                         cache_base = lo  # static-aligned by construction
                     slot = lo - cache_base
                     s_max = caches.k.shape[3]

@@ -183,6 +183,33 @@ def conv1d_mxu(p: dict, x: jax.Array, stride: int = 1,
     return y
 
 
+def depthwise_conv1d_shifted(p: dict, x: jax.Array,
+                             padding: int | tuple = 0) -> jax.Array:
+    """Depthwise conv1d (groups == channels, weight (K, 1, C)) lowered as K
+    shifted elementwise FMAs on the VPU.
+
+    XLA's TPU lowering of lax.conv with feature_group_count == C runs far
+    off the vector unit's roofline for small K (same pathology as the
+    dense small-K case conv1d_mxu fixes on the MXU — the FSMN memory
+    blocks of FunASR's SANM encoder are exactly this shape, K=11 C=512,
+    SenseVoiceEncoder.swift:22-136). y[t,c] = Σ_k x[t+k-pad, c]·w[k,c] is
+    K fused multiply-adds over contiguous slices; bit-class identical to
+    conv1d (accumulation order differs only across the K partials)."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    w = p["weight"].astype(x.dtype)  # (K, 1, C)
+    k = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (padding[0], padding[1]), (0, 0)))
+    t_out = xp.shape[1] - k + 1
+    y = None
+    for i in range(k):
+        yi = jax.lax.slice_in_dim(xp, i, i + t_out, axis=1) * w[i, 0]
+        y = yi if y is None else y + yi
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def conv_transpose1d(p: dict, x: jax.Array, stride: int = 1, padding: int = 0,
                      groups: int = 1) -> jax.Array:
     """Transposed 1-D conv over (B, T, C_in); weight (K, I/g, O) — same WIO
