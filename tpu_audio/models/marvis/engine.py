@@ -185,8 +185,9 @@ class MarvisEngine(TTSEngineBase):
 
     # ---------------------------------------------------------------- internals
 
-    def _fns(self, prompt_pad: int, k: int):
-        key_ = (prompt_pad, k)
+    def _fns(self, prompt_pad: int, k: int, span: int | None = None):
+        span = span or self.frame_span
+        key_ = (prompt_pad, k, span)
         if key_ in self._frame_fns:
             return self._frame_fns[key_]
         cfg = self.cfg
@@ -199,8 +200,7 @@ class MarvisEngine(TTSEngineBase):
 
         # 8-aligned ring: the fused backbone kernel takes (KVH, S, hd)
         # cache blocks whose sublane dim should stay tile-aligned
-        s_max = mmodel.backbone_ring_len(prompt_pad, self.max_frames,
-                                         self.frame_span)
+        s_max = mmodel.backbone_ring_len(prompt_pad, self.max_frames, span)
         # the kernel variant is per (ring length, dtype): re-gate THIS
         # bucket's shapes before committing the span graph to it (the
         # load-time _bb_fused only reflects the base bucket — a bucket
@@ -272,7 +272,7 @@ class MarvisEngine(TTSEngineBase):
                         top_k=self.top_k)
                     return (f2, kc, vc, pos + 1), f2
 
-                keys = jax.random.split(key, self.frame_span)
+                keys = jax.random.split(key, span)
                 (last, kc, vc, pos), frames = jax.lax.scan(
                     body, (frame, kc, vc, pos), keys)
                 return frames, last, (kc, vc, pos, start)
@@ -287,7 +287,7 @@ class MarvisEngine(TTSEngineBase):
                     f, c = carry
                     f2, c = one_frame(params, f, c, extra, k_)
                     return (f2, c), f2
-                keys = jax.random.split(key, self.frame_span)
+                keys = jax.random.split(key, span)
                 (last, cache2), frames = jax.lax.scan(body, (frame, state),
                                                       keys)
                 return frames, last, cache2
@@ -343,6 +343,11 @@ class MarvisEngine(TTSEngineBase):
         k = self.n_codebooks
         stream_frames = constants.streaming_interval_tokens(
             constants.DEFAULT_STREAMING_INTERVAL) or 6
+        # measured on chip (round 5): a longer one-shot span (18) is NOT
+        # faster — RTF 0.253-0.270 vs 0.213-0.227 at span 6 — the frame
+        # loop is device-compute-bound, not dispatch-bound, and the longer
+        # ring hurts the fused backbone kernel's shapes. Keep one span.
+        span = self.frame_span
 
         sentences = textutils.split_into_sentences(text)
         for si, sentence in enumerate(sentences):
@@ -355,7 +360,7 @@ class MarvisEngine(TTSEngineBase):
             tok_pad[0, pad - n:] = tokens
             mask_pad[0, pad - n:] = mask
 
-            prefill, span_fn, bb_fused = self._fns(pad, k)
+            prefill, span_fn, bb_fused = self._fns(pad, k, span)
             key = jax.random.PRNGKey(si)
             key, sub = jax.random.split(key)
             frame, cache, extra = prefill(self.params, jnp.asarray(tok_pad),
