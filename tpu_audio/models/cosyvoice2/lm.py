@@ -366,8 +366,8 @@ class CosyLMStreamer:
         cfg = self.gen.cfg
         qcfg = cfg.qwen
 
-        def run(params, first_logits, cache, extra, produced, min_len,
-                first_chunk, key):
+        def run(params, first_logits, cache, extra, recent, produced,
+                min_len, first_chunk, key):
             def step(tok, state):
                 cache, used_first = state
                 emb = layers.embedding(params["speech_embedding"], tok)
@@ -384,14 +384,15 @@ class CosyLMStreamer:
                                  -1e30, logits)
 
             k1, k2 = jax.random.split(key)
-            # the first token of the FIRST chunk comes from prefill logits
+            # the first token of the FIRST chunk comes from prefill logits;
+            # the RAS/repetition window carries across chunk dispatches
             fl = processor(first_logits, jnp.asarray(0), None)
-            first = sampling.sample(k1, fl, sampler,
-                                    jnp.full((1, 64), -1, jnp.int32)
-                                    ).astype(jnp.int32)
+            first = sampling.sample(k1, fl, sampler, recent).astype(jnp.int32)
+            recent = sampling.update_recent(recent, first)
             res = decode_loop(k2, step, (cache, True), first, chunk - 1,
                               eos_ids=(cfg.eos_id,), sampler=sampler,
-                              logit_processor=processor, pad_id=cfg.eos_id)
+                              logit_processor=processor, pad_id=cfg.eos_id,
+                              recent0=recent)
             cache, _ = res.last_state
             tokens = jnp.concatenate([first, res.tokens[0]])
             n = 1 + res.lengths[0]
@@ -405,7 +406,7 @@ class CosyLMStreamer:
                                                    cache, extra)
             next_logits = layers.linear(params["llm_decoder"],
                                         h[:, -1]).astype(jnp.float32)
-            return tokens, n, finished, next_logits, cache2
+            return tokens, n, finished, next_logits, cache2, res.recent
 
         fn = jax.jit(run)
         self._chunk_fns[key_] = fn
@@ -611,13 +612,15 @@ class CosyLMStreamer:
         key = jax.random.PRNGKey(seed)
         produced = 0
         first_chunk = True
+        window = max(sampler.repetition_window, sampler.ras_window, 1)
+        recent = jnp.full((1, window), -1, jnp.int32)
         while produced < max_len:
             chunk_fn = self._chunk_fn(
                 sampler, self.chunk + self.first_extra if first_chunk
                 else self.chunk)
             key, sub = jax.random.split(key)
-            tokens, n, finished, logits, cache = chunk_fn(
-                self.gen.params, logits, cache, extra,
+            tokens, n, finished, logits, cache, recent = chunk_fn(
+                self.gen.params, logits, cache, extra, recent,
                 jnp.int32(produced), jnp.int32(min_len),
                 first_chunk, sub)
             # hard cap at max_len, exactly like generate()
