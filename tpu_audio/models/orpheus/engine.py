@@ -46,7 +46,12 @@ class OrpheusEngine(TTSEngineBase):
     # window body are then bit-identical to the one-shot decode
     SNAC_CTX_FRAMES = 8
     SNAC_HOLD_FRAMES = 4
-    STREAM_SPAN = 28  # LM tokens per compiled span dispatch (4 frames)
+    # LM tokens per compiled span dispatch (4 frames). Round-5 on-chip
+    # probe: span 42 (one dispatch to the 35 tokens first audio needs at
+    # the real-checkpoint frame rate) measured WORSE — per-span overhead
+    # scales with span (8.3 vs 7.7 ms/token end-to-end), eroding the
+    # saved dispatch; 28 keeps the best measured latency.
+    STREAM_SPAN = 28
 
     def __init__(self, voice: str = "tara", temperature: float = 0.6,
                  top_p: float = 0.8, quantization: str = "w8a8",
